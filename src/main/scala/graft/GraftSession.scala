@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Spark-first equivalents of the reference's engine bootstrap
+  * (featureform provider/spark_* + embeddinghub server startup): one
+  * SparkSession with AQE enabled so joins/aggs re-plan at runtime
+  * (broadcast promotion, skew-split), and a shuffle-partition count
+  * sized for the deployment rather than Spark's default 200.
+  *
+  * At cluster scale the same builder is used with `master` unset (taken
+  * from spark-submit) and `shufflePartitions` sized to ~2-3x total
+  * cores with partitions targeting 128-256MB post-shuffle.
+  */
+object GraftSession {
+
+  def builder(
+      master: Option[String] = None,
+      shufflePartitions: Int = 32
+  ): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 100TB note: parquet scans split at this size; 128MB default is
+      // right for the cluster, harmless locally.
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(b.master)
+  }
+
+  /** Local session for tests / bench on this container. */
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession =
+    builder(Some(s"local[$cores]"), shufflePartitions).getOrCreate()
+}

@@ -1,13 +1,583 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.StreamingFeatures
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Numeric-exactness conventions (so every SQL-expressible operator is
+  * a *hash*-matchable oracle, not a tolerance compare):
+  *  - money/metric sums run in DECIMAL (exact, order-independent) and
+  *    are emitted as `CAST(dec AS DOUBLE)` — both engines cast the same
+  *    exact decimal, giving bit-identical doubles with no rounding;
+  *  - averages are emitted as sum-decimal-double / count (same rule);
+  *  - genuinely floating results (cosine, norms) are rounded to 6dp and
+  *    the oracle recomputes them with the same double-precision
+  *    accumulation order;
+  *  - timestamps are emitted as unix microseconds (BIGINT).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def decSumD(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+  private def decSum6D(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1PricingSummary(
+      Tables.load(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  // ---------------------------------------------------------------- //
+  // Feature-store core                                               //
+  // ---------------------------------------------------------------- //
+
+  private def materializedLatest(s: SparkSession, dir: String): DataFrame =
+    FeatureStore.materializeLatest(t(s, dir, "events"), "user_id", "value", "ts", "event_id")
+
+  private def fsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_materialize_latest" -> ((s, dir) =>
+      materializedLatest(s, dir)
+        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))),
+    "fs_materialize_range" -> ((s, dir) =>
+      FeatureStore
+        .materializeRange(
+          materializedLatest(s, dir)
+            .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")),
+          20, 70)),
+    "fs_training_set_pit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      FeatureStore
+        .trainingSet(
+          ev.where(col("event_type") === "purchase"),
+          "user_id", "value", "ts", "event_id",
+          Seq(
+            FeatureStore.FeatureDef(
+              "f_click", ev.where(col("event_type") === "click"), "user_id", "value", "ts"),
+            FeatureStore.FeatureDef(
+              "f_view", ev.where(col("event_type") === "view"), "user_id", "value", "ts")))
+        .select(
+          col("entity"), unix_micros(col("ts")).as("label_ts_us"), col("label"),
+          col("f_click"), col("f_view"))
+    }),
+    "fs_training_set_lag" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      FeatureStore
+        .trainingSet(
+          ev.where(col("event_type") === "purchase"),
+          "user_id", "value", "ts", "event_id",
+          Seq(
+            FeatureStore.FeatureDef(
+              "f_click_lag1h", ev.where(col("event_type") === "click"),
+              "user_id", "value", "ts", lag = Some(expr("INTERVAL 1 HOUR")))))
+        .select(
+          col("entity"), unix_micros(col("ts")).as("label_ts_us"), col("label"),
+          col("f_click_lag1h"))
+    }),
+    "fs_batch_features" -> ((s, dir) =>
+      FeatureStore.batchFeatures(
+        t(s, dir, "events"), "user_id", "event_type", "value", "ts", "event_id",
+        Seq("click", "view", "purchase", "signup", "error"))
+        .withColumnRenamed("user_id", "entity")),
+    "fs_transform_sql" -> ((s, dir) => {
+      Tables.registerPrimary(s, "orders", s"$dir/orders.parquet")
+      Tables.registerPrimary(s, "customer", s"$dir/customer.parquet")
+      s.sql("""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")
+    }),
+    "fs_transform_chain" -> ((s, dir) => {
+      // src -> t1 (filter+project) -> t2 (aggregate): featureform's
+      // chained-transformation DAG as one Catalyst plan.
+      val t1 = t(s, dir, "events")
+        .where(col("event_type") === "purchase" && col("value") > 50)
+        .select(col("user_id"), col("value"))
+      t1.groupBy(col("user_id").as("entity"))
+        .agg(
+          count(lit(1)).as("n_big"),
+          decSum6D(col("value")).as("total_big"),
+          max(col("value")).as("max_big"))
+    }),
+    "fs_split_train_test" -> ((s, dir) =>
+      FeatureStore
+        .trainTestSplit(materializedLatest(s, dir), "entity", 0.25)
+        .select(col("entity"), col("split"))),
+    "fs_feature_stats" -> ((s, dir) =>
+      FeatureStore.featureStats(t(s, dir, "events"), "event_type", "value", "user_id"))
+  )
+
+  private def fsOracles: Map[String, String] = Map(
+    "fs_materialize_latest" -> """
+      SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1""",
+    "fs_materialize_range" -> """
+      SELECT entity, value, ts_us, row_number FROM (
+        SELECT entity, value, ts_us, row_number() OVER (ORDER BY entity) AS row_number FROM (
+          SELECT user_id AS entity, value, epoch_us(ts) AS ts_us,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1)
+      WHERE row_number > 20 AND row_number <= 70""",
+    "fs_training_set_pit" -> """
+      WITH u AS (
+        SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
+               CAST(NULL AS DOUBLE) AS f_click, CAST(NULL AS DOUBLE) AS f_view
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, value, NULL FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, NULL, value FROM events WHERE event_type = 'view'
+      ), f AS (
+        SELECT entity, ts, kind, label,
+               last_value(f_click IGNORE NULLS) OVER w AS f_click,
+               last_value(f_view IGNORE NULLS) OVER w AS f_view
+        FROM u WINDOW w AS (
+          PARTITION BY entity ORDER BY ts, kind, tb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click, f_view
+      FROM f WHERE kind = 1""",
+    "fs_training_set_lag" -> """
+      WITH u AS (
+        SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
+               CAST(NULL AS DOUBLE) AS f_click_lag1h
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts + INTERVAL 1 HOUR, 0, 0, NULL, value
+        FROM events WHERE event_type = 'click'
+      ), f AS (
+        SELECT entity, ts, kind, label,
+               last_value(f_click_lag1h IGNORE NULLS) OVER w AS f_click_lag1h
+        FROM u WINDOW w AS (
+          PARTITION BY entity ORDER BY ts, kind, tb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click_lag1h
+      FROM f WHERE kind = 1""",
+    "fs_batch_features" -> """
+      WITH r AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id AS entity,
+             max(CASE WHEN event_type = 'click' THEN value END) AS click,
+             max(CASE WHEN event_type = 'view' THEN value END) AS "view",
+             max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+             max(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+             max(CASE WHEN event_type = 'error' THEN value END) AS "error"
+      FROM r WHERE rn = 1 GROUP BY user_id""",
+    "fs_transform_sql" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""",
+    "fs_transform_chain" -> """
+      SELECT user_id AS entity, count(*) AS n_big,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_big,
+             max(value) AS max_big
+      FROM events WHERE event_type = 'purchase' AND value > 50
+      GROUP BY user_id""",
+    "fs_split_train_test" -> """
+      SELECT entity,
+             CASE WHEN substr(md5(CAST(entity AS VARCHAR)), 1, 4) < '4000'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM (
+        SELECT user_id AS entity FROM (
+          SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1)""",
+    "fs_feature_stats" -> """
+      SELECT event_type AS feature, count(*) AS n,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             min(value) AS min_value, max(value) AS max_value,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value,
+             count(DISTINCT user_id) AS n_entities
+      FROM events GROUP BY event_type"""
+  )
+
+  // ---------------------------------------------------------------- //
+  // Embedding / vector                                               //
+  // ---------------------------------------------------------------- //
+
+  private def embQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_get_multi" -> ((s, dir) =>
+      Similarity
+        .multiGet(t(s, dir, "embeddings"), "vec_id", 0L to 9L)
+        .select(
+          col("vec_id"), size(col("embedding")).cast("long").as("dims"),
+          element_at(col("embedding"), 1).as("e_first"),
+          element_at(col("embedding"), -1).as("e_last"),
+          col("label"))),
+    "emb_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "emb_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvf(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 5, nProbe = 3)
+    }),
+    "emb_pairwise_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb
+        .where(col("vec_id") < 20)
+        .select(col("vec_id").as("a"), (col("vec_id") + 100).as("b"))
+      Similarity.pairwiseCosine(emb, "vec_id", "embedding", pairs)
+        .select(col("a"), col("b"), col("cos_sim"))
+    }),
+    "emb_centroids" -> ((s, dir) =>
+      Similarity
+        .centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(
+          col("centroid_id").as("label"),
+          size(col("centroid")).cast("long").as("dims"),
+          round(VectorFunctions.l2Norm(col("centroid")), 6).as("c_norm"))),
+    "emb_nearest_centroid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.centroids(emb, "label", "embedding")
+      Similarity
+        .nearestCentroid(emb, "vec_id", "embedding", cents)
+        .join(emb.select(col("vec_id"), col("label").as("own_label")), "vec_id")
+        .select(
+          col("vec_id"), col("assigned"), col("own_label"),
+          (col("assigned") === col("own_label")).cast("int").as("is_own"))
+    }),
+    "emb_norm_stats" -> ((s, dir) =>
+      Similarity.normStats(t(s, dir, "embeddings"), "label", "embedding"))
+  )
+
+  private val centroidCte = """
+      cd AS (
+        SELECT label, pos, avg(x) AS c FROM (
+          SELECT label, unnest(embedding)::DOUBLE AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings) GROUP BY label, pos),
+      cent AS (
+        SELECT label AS centroid_id, list(c ORDER BY pos) AS centroid
+        FROM cd GROUP BY label)"""
+
+  private def embOracles: Map[String, String] = Map(
+    "emb_get_multi" -> """
+      SELECT vec_id, len(embedding) AS dims, embedding[1] AS e_first,
+             embedding[-1] AS e_last, label
+      FROM embeddings WHERE vec_id BETWEEN 0 AND 9""",
+    "emb_knn_brute" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
+    "emb_pairwise_cosine" -> """
+      SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim FROM (
+        SELECT a, b, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb FROM (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+          WHERE a.vec_id < 20) GROUP BY a, b)""",
+    "emb_centroids" -> s"""
+      WITH $centroidCte
+      SELECT label, count(*) AS dims, round(sqrt(sum(c * c)), 6) AS c_norm
+      FROM cd GROUP BY label""",
+    "emb_nearest_centroid" -> s"""
+      WITH $centroidCte,
+      scored AS (
+        SELECT vec_id, own_label, centroid_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT e.vec_id, e.label AS own_label, c.centroid_id,
+                 unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
+          FROM embeddings e CROSS JOIN cent c)
+        GROUP BY vec_id, own_label, centroid_id)
+      SELECT vec_id, centroid_id AS assigned, own_label,
+             CAST(centroid_id = own_label AS INT) AS is_own FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored) WHERE rn = 1""",
+    "emb_norm_stats" -> """
+      WITH n AS (
+        SELECT label, sqrt(sum(x * x)) AS nrm FROM (
+          SELECT vec_id, label, unnest(embedding)::DOUBLE AS x FROM embeddings)
+        GROUP BY vec_id, label)
+      SELECT label, round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+             round(avg(nrm), 6) AS avg_norm
+      FROM n GROUP BY label"""
+  )
+
+  // ---------------------------------------------------------------- //
+  // Dedup                                                            //
+  // ---------------------------------------------------------------- //
+
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)),
+    "dedup_jaccard_words" -> ((s, dir) =>
+      Dedup.jaccardWordPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.9)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3))
+  )
+
+  private def dedupOracles: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text)""",
+    "dedup_jaccard_words" -> """
+      WITH w AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
+               len(list_distinct(string_split(text, ' '))) AS nw
+        FROM documents),
+      i AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
+               any_value(a.nw) AS nwa, any_value(b.nw) AS nwb
+        FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a, b, round(inter / (nwa + nwb - inter), 6) AS jaccard
+      FROM i WHERE round(inter / (nwa + nwb - inter), 6) >= 0.9""",
+    "dedup_embedding" -> """
+      SELECT a, b, round(cos_sim, 6) AS cos_sim FROM (
+        SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cos_sim FROM (
+          SELECT a, b, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb FROM (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id) GROUP BY a, b))
+      WHERE cos_sim > 0.3"""
+  )
+
+  // ---------------------------------------------------------------- //
+  // Text analysis                                                    //
+  // ---------------------------------------------------------------- //
+
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text"))
+  )
+
+  private val stopwordList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  private def textOracles: Map[String, String] = Map(
+    "text_token_count" -> """
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars
+      FROM documents""",
+    "text_quality" -> s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+               CAST(length(text) AS DOUBLE) AS n_chr,
+               CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS upper,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopwordList))) AS DOUBLE) AS stop
+        FROM documents)
+      SELECT doc_id,
+             round(n_dis / n_tok, 6) AS type_token_ratio,
+             round(stop / n_tok, 6) AS stopword_ratio,
+             round(punct / n_chr, 6) AS punct_ratio,
+             round((n_dis / n_tok) * 0.5 + (1.0 - stop / n_tok) * 0.3 +
+                   (1.0 - punct / n_chr) * 0.1 + (1.0 - upper / n_chr) * 0.1, 6) AS quality
+      FROM b""",
+    "text_lang_id" -> {
+      val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+        val ms = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($ms))) AS s_$lang"
+      }.mkString(",\n               ")
+      // alphabetical-first argmax, same tiebreak as the Spark side
+      """
+      WITH s AS (
+        SELECT doc_id, SCORES
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_pred,
+             greatest(s_de, s_en, s_es, s_fr, s_zh) AS marker_hits
+      FROM s""".replace("SCORES", scoreExprs)
+    },
+    "text_fingerprint" -> """
+      WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT doc_id, md5(norm) AS fp, length(norm) AS n_norm_chars FROM n"""
+  )
+
+  // ---------------------------------------------------------------- //
+  // Analytics / SQL-transformation engine                            //
+  // ---------------------------------------------------------------- //
+
+  private def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) =>
+      Analytics.q1PricingSummary(t(s, dir, "lineitem"))),
+    "q3_join" -> ((s, dir) =>
+      Analytics.q3ShippingPriority(
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), "BUILDING")),
+    "q5_multijoin" -> ((s, dir) => Analytics.q5LocalSupplier(s, dir, "ASIA")),
+    "q_window" -> ((s, dir) => Analytics.runningSpend(t(s, dir, "orders"))),
+    "q_topk_per_group" -> ((s, dir) => Analytics.topKPerGroup(t(s, dir, "orders"), 3)),
+    "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
+    "q_events_pivot" -> ((s, dir) =>
+      Analytics.eventPivot(
+        t(s, dir, "events"), Seq("click", "view", "purchase", "signup", "error"))
+        .withColumnRenamed("user_id", "entity")),
+    "q_rollup" -> ((s, dir) =>
+      Analytics.rollupBalances(
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+    "q_percentiles" -> ((s, dir) => Analytics.orderPercentiles(t(s, dir, "orders"))),
+    "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events")))
+  )
+
+  private val disc = "CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  private def analyticsOracles: Map[String, String] = Map(
+    "q1_agg" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(sum($disc) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_join" -> s"""
+      SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+             CAST(sum($disc) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority""",
+    "q5_multijoin" -> s"""
+      SELECT n_name, CAST(sum($disc) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name""",
+    "q_window" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      FROM orders""",
+    "q_topk_per_group" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        FROM orders) WHERE price_rank <= 3""",
+    "q_sessionize" -> """
+      WITH f AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT user_id, ts_us,
+               CAST(sum(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+      FROM g GROUP BY user_id, session_id""",
+    "q_events_pivot" -> """
+      SELECT user_id AS entity,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'view') AS "view",
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS "error"
+      FROM events GROUP BY user_id""",
+    "q_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)""",
+    "q_percentiles" -> """
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority""",
+    "q_json_extract" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type"""
+  )
+
+  // ---------------------------------------------------------------- //
+  // Multimodal + streaming analogs                                   //
+  // ---------------------------------------------------------------- //
+
+  private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()),
+    "stream_latest_value" -> ((s, dir) =>
+      StreamingFeatures
+        .latestValueBatch(t(s, dir, "events"))
+        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))),
+    "stream_windowed_agg" -> ((s, dir) =>
+      StreamingFeatures.windowedCountsBatch(t(s, dir, "events")))
+  )
+
+  private def miscOracles: Map[String, String] = Map(
+    "stream_latest_value" -> """
+      SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1""",
+    "stream_windowed_agg" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY date_trunc('hour', ts), event_type"""
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    fsQueries ++ embQueries ++ dedupQueries ++ textQueries ++ analyticsQueries ++ miscQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (emb_knn_ivf, dedup_minhash_lsh, dedup_simhash, mm_binary_meta) →
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    fsOracles ++ embOracles ++ dedupOracles ++ textOracles ++ analyticsOracles ++ miscOracles
 }

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators. All composed
+  * from built-in (codegen'd) functions — no UDFs in the hot path.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space corpus-safe). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Canonical form for fingerprinting: lowercase, strip non [a-z0-9 ],
+    * collapse whitespace, trim.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Document fingerprint = md5 of the canonical form. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    filter(
+      transform(t, (_, i) => concat_ws(" ", slice(t, i + lit(1), lit(n)))),
+      (_, i) => i <= size(t) - n)
+  }
+
+  /** Count of tokens that appear in a fixed marker set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
+}

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns — the compute core
+  * of the embeddinghub surface (reference:
+  * embeddinghub/embeddingstore/index.h approx_nearest over a cosine
+  * space; space.cc distance kernels).
+  *
+  * Implementation note: these are built from Spark's higher-order
+  * functions (`zip_with`/`aggregate`), evaluated entirely on the JVM
+  * with no UDF serialization boundary, and they stay inside the single
+  * projected stage. Inputs are cast to double before multiply so the
+  * accumulation matches a double-precision oracle to ~1e-14 (float
+  * multiplies would diverge at ~1e-7, enough to flip near-tied ranks).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Σ a_i * b_i */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared euclidean distance. */
+  def l2Sq(a: Column, b: Column): Column = {
+    val d = zip_with(asDouble(a), asDouble(b), (x, y) => x - y)
+    aggregate(d, lit(0.0), (acc, x) => acc + x * x)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The general SQL-transformation surface (featureform transformations
+  * are arbitrary SQL over registered sources —
+  * provider/offline.go:533 CreateTransformation,
+  * provider/scripts/spark/offline_store_spark_runner.py). Exercised
+  * here as declarative DataFrame plans over the TPC-H-ish corpus so
+  * Catalyst gets the whole tree: filters push to the parquet scan,
+  * small dims broadcast, aggregates partial-combine map-side.
+  *
+  * Money arithmetic is done in DECIMAL(18,4) so results are exact and
+  * engine-independent (double sums are order-dependent).
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** TPC-H Q1: pricing summary. One scan, one shuffle, map-side combine.
+    * Sums run in DECIMAL (exact, order-independent) and are emitted as
+    * doubles; averages as exact-sum / count (see SparkEntry scaladoc).
+    */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: revenue of open orders for one market segment.
+    * customer is small -> broadcast; orders⨝lineitem shuffles on the
+    * order key only.
+    */
+  def q3ShippingPriority(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      segment: String
+  ): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(customer.where(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(
+        col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"),
+        col("revenue"))
+
+  /** TPC-H Q5-style: revenue per nation within one region. All dims
+    * broadcast; the only big shuffle is orders⨝lineitem.
+    */
+  def q5LocalSupplier(
+      spark: SparkSession,
+      dir: String,
+      regionName: String
+  ): DataFrame = {
+    val region = Tables.load(spark, dir, "region").where(col("r_name") === regionName)
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Window functions: per-customer running spend + order rank. */
+  def runningSpend(orders: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      sum(dec(col("o_totalprice")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"),
+      row_number().over(w).cast("long").as("order_seq"))
+  }
+
+  /** Top-k rows per group (top orders per customer). */
+  def topKPerGroup(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rk"))
+      .where(col("rk") <= k)
+      .withColumnRenamed("rk", "price_rank")
+  }
+
+  /** Sessionization: 30-min inactivity gap splits a user's events into
+    * sessions. lag + cumulative sum over one entity-partitioned sort —
+    * the canonical single-shuffle shape.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val flagged = events.select(
+      col("user_id"),
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs,
+        1).otherwise(0).as("new_sess"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    flagged
+      .withColumn(
+        "session_id",
+        sum(col("new_sess")).over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+  }
+
+  /** Pivot: event counts per user x event_type. */
+  def eventPivot(events: DataFrame, eventTypes: Seq[String]): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** ROLLUP over region/nation of customer account balances. */
+  def rollupBalances(
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame
+  ): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+
+  /** Exact interpolated percentiles of order value per priority class. */
+  def orderPercentiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+        count(lit(1)).as("n"))
+
+  /** JSON property extraction from the events `props` column. */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The feature-store core: materialization, point-in-time training
+  * sets, batch features, splits, profiles.
+  *
+  * Reference semantics (re-expressed, not ported):
+  *  - materialization = latest value per entity:
+  *    `row_number() OVER (PARTITION BY entity ORDER BY ts DESC) = 1`
+  *    (reference: provider/bigquery.go:444, provider/clickhouse.go:1267)
+  *  - training set = for each label row (entity, label, ts), each
+  *    feature contributes its latest value with feature.ts <= label.ts
+  *    (reference: provider/bigquery.go:590-620, provider/postgres.go:166)
+  *  - lag features = value as of ts - delta
+  *    (reference: provider/offline.go:160 LagFeatureDef)
+  *  - train/test split (reference: provider/clickhouse.go:1132)
+  *
+  * A feature source is any DataFrame with (entity, value, ts) columns —
+  * featureform's universal ResourceSchema.
+  */
+object FeatureStore {
+
+  /** One feature input for a training set: rows (entity, ts, value),
+    * optional lag subtracted from the label timestamp at join time.
+    */
+  final case class FeatureDef(
+      name: String,
+      df: DataFrame,
+      entityCol: String,
+      valueCol: String,
+      tsCol: String,
+      lag: Option[Column] = None)
+
+  /** Latest value per entity.
+    *
+    * Scale: implemented as `max_by` aggregation, NOT a window — the
+    * aggregate gets map-side partial combine (each input partition
+    * reduces to <= |entities| rows before the single shuffle), so a
+    * 100TB event log with 10^8 entities shuffles ~entity-cardinality
+    * bytes instead of the full log that a window sort would.
+    * Deterministic tiebreak on (ts, tiebreakCol).
+    */
+  def materializeLatest(
+      events: DataFrame,
+      entityCol: String,
+      valueCol: String,
+      tsCol: String,
+      tiebreakCol: String
+  ): DataFrame =
+    events
+      .groupBy(col(entityCol).as("entity"))
+      .agg(
+        max_by(struct(col(valueCol).as("value"), col(tsCol).as("ts")),
+          struct(col(tsCol), col(tiebreakCol))).as("latest"))
+      .select(col("entity"), col("latest.value").as("value"), col("latest.ts").as("ts"))
+
+  /** Chunked materialization: the reference pages a materialization by
+    * a global row_number over entity (provider/bigquery.go:372-382).
+    * A global row_number is a total order — acceptable because input is
+    * already one row per entity; at 100TB you'd range-partition by
+    * entity and page per-range, which is the same semantics.
+    */
+  def materializeRange(
+      materialized: DataFrame,
+      startExclusive: Long,
+      endInclusive: Long
+  ): DataFrame = {
+    val w = Window.orderBy(col("entity"))
+    materialized
+      .withColumn("row_number", row_number().over(w).cast("long"))
+      .where(col("row_number") > startExclusive && col("row_number") <= endInclusive)
+  }
+
+  /** Point-in-time training set.
+    *
+    * For each label row, each feature's value as of (label.ts - lag),
+    * inclusive. Implemented as union + sorted window with
+    * `last(_, ignoreNulls)` running over (ts, kind, tiebreak):
+    * one shuffle on entity, O(n log n) per partition, and — unlike the
+    * naive `feature.ts <= label.ts` inequality join the reference's SQL
+    * providers emit — no O(|labels| x |features|) intermediate blowup,
+    * which is what survives a 100TB event log.
+    */
+  def trainingSet(
+      labels: DataFrame,
+      labelEntity: String,
+      labelValue: String,
+      labelTs: String,
+      labelTiebreak: String,
+      features: Seq[FeatureDef]
+  ): DataFrame = {
+    val featCols = features.map(_.name)
+    // kind=1 marks label rows; features sort first at an equal ts so the
+    // as-of boundary is inclusive, matching the reference's `ts <= t0.ts`.
+    val labelSide = labels.select(
+      Seq(
+        col(labelEntity).as("entity"),
+        col(labelTs).as("ts"),
+        lit(1).as("kind"),
+        col(labelTiebreak).cast("long").as("tb"),
+        col(labelValue).as("label")
+      ) ++ featCols.map(n => lit(null).cast("double").as(n)): _*)
+    val featureSides = features.map { f =>
+      // A lag shifts the feature's visibility forward: value as of
+      // (label.ts - lag) <=> (feature.ts + lag) <= label.ts.
+      val effTs = f.lag.fold(col(f.tsCol))(l => col(f.tsCol) + l)
+      f.df.select(
+        Seq(
+          col(f.entityCol).as("entity"),
+          effTs.as("ts"),
+          lit(0).as("kind"),
+          lit(0L).as("tb"),
+          lit(null).cast("double").as("label")
+        ) ++ featCols.map(n =>
+          (if (n == f.name) col(f.valueCol).cast("double")
+           else lit(null).cast("double")).as(n)): _*)
+    }
+    val unioned = featureSides.foldLeft(labelSide)(_.unionByName(_))
+    val w = Window
+      .partitionBy(col("entity"))
+      .orderBy(col("ts"), col("kind"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = featCols.foldLeft(unioned) { (df, n) =>
+      df.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+    }
+    filled
+      .where(col("kind") === 1)
+      .select(col("entity") +: col("ts") +: col("label") +: featCols.map(col): _*)
+  }
+
+  /** Batch features (OfflineStoreBatchFeature, provider/offline.go:515):
+    * the latest value of each named feature per entity, one row per
+    * entity, one column per feature. Partial-aggregated then pivoted.
+    */
+  def batchFeatures(
+      events: DataFrame,
+      entityCol: String,
+      featureNameCol: String,
+      valueCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      featureNames: Seq[String]
+  ): DataFrame =
+    events
+      .where(col(featureNameCol).isin(featureNames: _*))
+      .groupBy(col(entityCol).as("entity"))
+      .pivot(featureNameCol, featureNames)
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(tiebreakCol))))
+
+  /** Deterministic train/test split: stable under re-runs and engine
+    * changes because it keys on md5(entity), not on row order or RNG
+    * (the reference splits on row_number over a shuffled order,
+    * clickhouse.go:1132 — hash-of-entity is the distributed-safe
+    * equivalent and keeps all rows of one entity in one side).
+    * Returns the input with a `split` column: 'train' | 'test'.
+    */
+  def trainTestSplit(df: DataFrame, entityCol: String, testFraction: Double): DataFrame = {
+    // First 4 hex chars of md5 = 16 bits; fixed-width lowercase hex
+    // compares lexicographically == numerically, so a plain string
+    // comparison is engine-portable.
+    val bucket = substring(md5(col(entityCol).cast("string")), 1, 4)
+    val threshold = f"${(testFraction * 65536).toInt}%04x"
+    df.withColumn(
+      "split",
+      when(bucket < lit(threshold), lit("test")).otherwise(lit("train")))
+  }
+
+  /** Column profile per feature group: the stats surface the reference
+    * exposes in its dashboard/metadata (count, nulls, min/max/avg,
+    * distinct entities).
+    */
+  def featureStats(
+      events: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      entityCol: String
+  ): DataFrame =
+    events
+      .groupBy(col(groupCol).as("feature"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol).isNull, 1).otherwise(0)).as("n_null"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"),
+        // exact-decimal sum / count: order-independent, oracle-exact
+        (sum(col(valueCol).cast("decimal(18,6)")).cast("double") / count(col(valueCol)))
+          .as("avg_value"),
+        count_distinct(col(entityCol)).as("n_entities"))
+}

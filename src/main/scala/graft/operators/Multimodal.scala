@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media (image/audio/video) carried as
+  * opaque `binary` columns + typed metadata, decoded/transformed in
+  * batch per partition.
+  *
+  * The Spark-side plumbing — schema, partition-parallel batched
+  * processing, stable output shape — is real. The codec itself is a
+  * deterministic STUB (`FakeCodec`): this container has no image/audio
+  * libraries, and in production the stub body is the only thing that
+  * changes (swap in javacpp-ffmpeg / ImageIO / a JNI decoder). The
+  * batch shape mirrors Arrow-batched UDF execution: `mapPartitions`
+  * processes rows in partition-sized batches with one codec init per
+  * partition, which is the JVM analog of pandas_udf/mapInPandas in the
+  * reference's python runners (provider/scripts/spark/
+  * offline_store_spark_runner.py uses batched pandas transforms).
+  */
+object Multimodal {
+
+  /** One media row in: id + raw bytes + declared mime. */
+  final case class MediaRow(media_id: Long, content: Array[Byte], mime: String)
+
+  /** Extracted (fake-)decoded metadata out. */
+  final case class MediaMeta(
+      media_id: Long,
+      n_bytes: Int,
+      mime: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** Deterministic fake codec: "decodes" dimensions from the byte
+    * content. Stands in for a real image/audio decoder; deterministic so
+    * tests can assert exact values.
+    */
+  object FakeCodec {
+    def decode(bytes: Array[Byte], mime: String): (Int, Int, Int) = {
+      val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val frames = if (mime.startsWith("video")) 1 + math.floorMod(h >> 20, 300).toInt else 1
+      (w, ht, frames)
+    }
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(0L)((acc, b) => acc * 1000003L + (b & 0xff))
+  }
+
+  /** Build a media table from the documents corpus: text bytes stand in
+    * for media payloads (binary column + mime metadata).
+    */
+  def mediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      concat(
+        lit("image/"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp")).as("mime"))
+
+  /** Partition-parallel batched decode: one codec instance per
+    * partition, rows processed in a streaming iterator (never
+    * materializes a partition in memory).
+    */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // codec init per partition would happen here
+      rows.map { r =>
+        val (w, h, f) = FakeCodec.decode(r.content, r.mime)
+        MediaMeta(r.media_id, r.content.length, r.mime, w, h, f, FakeCodec.checksum(r.content))
+      }
+    }
+  }
+
+  /** Frame sampling plumbing for video-like payloads: emits one row per
+    * sampled frame index (every `stride`-th frame). Output is lazily
+    * flat-mapped — a 100TB video corpus streams through without
+    * buffering.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta
+      .flatMap(m => (0 until m.n_frames by stride).map(i => (m.media_id, i)))
+      .toDF("media_id", "frame_idx")
+  }
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Embedding-space operators — the embeddinghub query surface
+  * (reference: embeddinghub/embeddingstore/embedding_store.proto:
+  * Set/Get/MultiGet/NearestNeighbor/Download; index.h = HNSW over a
+  * cosine space) re-expressed for batch Spark.
+  *
+  * The reference answers NearestNeighbor from a single-node in-memory
+  * HNSW graph. At 100TB an index that must fit one heap is the wrong
+  * shape; the Spark-native paths are:
+  *  - brute-force: broadcast the (small) query set against a full scan —
+  *    one pass over the corpus, embarrassingly parallel, exact;
+  *  - IVF: k centroids (tiny, broadcast), assign corpus rows to cells
+  *    once, then probe only nProbe cells per query — the scan shrinks by
+  *    ~k/nProbe while staying a plain partitioned join.
+  */
+object Similarity {
+
+  /** MultiGet: key-list lookup. Keys are broadcast-joined (a key list is
+    * small by construction), so the corpus scan stays pruned + parallel.
+    */
+  def multiGet(space: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
+    space.where(col(keyCol).isin(keys: _*))
+
+  /** Exact top-k cosine neighbors for each query row.
+    * `queries` must be small (it is collected-equivalent via broadcast).
+    */
+  def knnBruteForce(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Centroid per group (k-means M-step / IVF codebook build). One
+    * shuffle on (group, dim) after posexplode; partial sums map-side.
+    */
+  def centroids(space: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    space
+      .select(col(groupCol).as("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("centroid_id"), transform(col("pc"), p => p.getField("c")).as("centroid"))
+
+  /** Assign every vector to its nearest centroid by cosine (IVF assign /
+    * k-means E-step). Centroids are broadcast; corpus streams through.
+    */
+  def nearestCentroid(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      cents: DataFrame
+  ): DataFrame = {
+    val scored = space
+      .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("v"), col("centroid")))
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id"))).as("assigned"))
+  }
+
+  /** Approximate top-k via IVF: probe only the nProbe nearest cells per
+    * query. Recall < 1 by design; the exactness gate is knnBruteForce.
+    */
+  def knnIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      groupColForCentroids: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val cents = centroids(corpus, groupColForCentroids, vecCol)
+    val assigned = nearestCentroid(corpus, keyCol, vecCol, cents)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("assigned", "cell")
+    val corpusCells = corpus
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(assigned, "neighbor_id")
+    // Per query: its nProbe nearest cells.
+    val q = queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qCells = q
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("q_vec"), col("centroid")))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
+    val scored = corpusCells
+      .join(broadcast(qCells), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id")))
+          .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Cosine similarity for aligned key pairs (a, b). */
+  def pairwiseCosine(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      pairs: DataFrame // columns: a, b
+  ): DataFrame = {
+    val va = space.select(col(keyCol).as("a"), col(vecCol).as("va"))
+    val vb = space.select(col(keyCol).as("b"), col(vecCol).as("vb"))
+    pairs
+      .join(va, "a")
+      .join(vb, "b")
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+  }
+
+  /** Norm distribution per group. */
+  def normStats(space: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    space
+      .select(col(groupCol).as("label"), l2Norm(col(vecCol)).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        round(avg(col("nrm")), 6).as("avg_norm"))
+}

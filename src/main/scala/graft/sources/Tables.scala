@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source registration — the graft analog of featureform's
+  * RegisterPrimaryFromSourceTable / GetPrimaryTable
+  * (reference: provider/offline.go:527-536). A "primary table" here is
+  * simply a named, schema-validated DataFrame; downstream operators are
+  * plain transformations over it, so Catalyst sees one end-to-end plan
+  * (filter/column pushdown reaches the parquet scan).
+  */
+object Tables {
+
+  val TestTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table of the driver-generated corpus.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
+    * only reads as a raw long (nanosAsLong); we normalize it to a
+    * microsecond TIMESTAMP here (integer `div` — the value exceeds
+    * double precision, so no float math) so every downstream operator
+    * sees a plain timestamp column.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Register a primary table from a parquet/csv/json path.
+    * `expectedSchema`, when given, is validated field-by-field (names +
+    * types) — featureform's schema check on source registration.
+    */
+  def registerPrimary(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      format: String = "parquet",
+      expectedSchema: Option[StructType] = None,
+      csvHeader: Boolean = true
+  ): DataFrame = {
+    val reader = spark.read
+    val df = format match {
+      case "parquet" => reader.parquet(path)
+      case "csv" =>
+        val r = reader.option("header", csvHeader.toString)
+        expectedSchema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+      case "json" =>
+        expectedSchema.fold(reader)(s => reader.schema(s)).json(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    expectedSchema.foreach { expected =>
+      val actual = df.schema
+      val diff = expected.fields.filterNot { f =>
+        actual.fields.exists(a => a.name == f.name && a.dataType == f.dataType)
+      }
+      require(
+        diff.isEmpty,
+        s"schema mismatch for $name: missing/mistyped ${diff.map(_.name).mkString(",")}")
+    }
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Partitioned sink (materialization export). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      format: String = "parquet"
+  ): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).format(format).save(path)
+}
