@@ -1,23 +1,39 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * Each query is forced through the `noop` sink (full evaluation of
+  * every output column — `.count()` would let Catalyst prune the
+  * projection and under-measure scan-heavy operators). A warmup pass
+  * at sf0.001 amortizes JIT/codegen startup out of the first timed
+  * query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(Some(s"local[$cpus]"), shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+
+    // Warmup on the tiny SF: JIT, codegen cache, parquet footer paths.
+    for (w <- Seq("q1_agg", "emb_get_multi", "fs_materialize_latest", "text_token_count"))
+      try force(w, "/root/testdata/sf0.001") catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(name, sfDir) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -29,8 +29,19 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity in [-1, 1], via the native codegen'd Catalyst
+    * expression (graft.plans.CosineSimilarity). The session must have
+    * called `GraftFunctions.register` first — every graft operator
+    * entry point does.
+    */
+  def cosine(a: Column, b: Column): Column =
+    call_function(graft.plans.GraftFunctions.CosineName, a, b)
+
+  /** Higher-order-function cosine: same sequential double accumulation,
+    * no codegen. Kept as the registration-free fallback and as the
+    * cross-check for the native expression in tests.
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column = {

@@ -26,26 +26,33 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature column: for each of `numHashes` seeded hash
-    * functions, the min over the doc's shingle set of
-    * xxhash64(seed || shingle). Built from higher-order functions, no
-    * UDF; one projection, no shuffle.
+  /** MinHash signature from a *materialized* shingle-hash array: for
+    * seed s, min over shingles of xxhash64(s || shingleHash). Keeping
+    * the shingle array in its own projection matters: higher-order
+    * lambdas re-evaluate captured expression trees per element, so an
+    * inlined shingle expression would be recomputed numHashes times
+    * per row (measured 10x slowdown).
     */
-  def minhashSignature(text: Column, shingleWidth: Int, numHashes: Int): Column = {
-    val sh = array_distinct(shingles(text, shingleWidth))
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
     val seeds = sequence(lit(0), lit(numHashes - 1))
     transform(
       seeds,
-      s =>
-        array_min(
-          transform(sh, t => xxhash64(concat(s.cast("string"), lit("|"), t)))))
+      s => array_min(transform(shingleHashes, h => xxhash64(s, h))))
   }
 
   /** MinHash + LSH banding: signature of `bands*rowsPerBand` hashes,
     * band hash = xxhash64 over its rows; docs sharing any band hash are
     * candidates. Returns distinct candidate pairs (a < b) with the
-    * number of matching bands. The pair join shuffles on the band hash,
-    * so cost is bounded by bucket sizes, not corpus size squared.
+    * number of matching bands.
+    *
+    * Shape: explode shingles once, then ONE groupBy(doc) carrying all
+    * numHashes `min(xxhash64(seed, sh))` aggregates — each is a plain
+    * codegen'd aggregate with map-side partial combine, and the
+    * aggregation is a real pipeline boundary (a projected signature
+    * array would be re-inlined into every consumer by CollapseProject
+    * and recompute the shingling numHashes times — measured 10x).
+    * The pair join shuffles on the band hash, so cost is bounded by
+    * bucket sizes, not corpus size squared.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -55,15 +62,20 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4
   ): DataFrame = {
-    val sig = minhashSignature(col(textCol), shingleWidth, bands * rowsPerBand)
-    val banded = docs
-      .select(col(idCol).as("doc_id"), sig.as("sig"))
+    val numHashes = bands * rowsPerBand
+    val shing = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
+    val sig = shing
+      .groupBy(col("doc_id"))
+      .agg(
+        array((0 until numHashes).map(i => min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+    val banded = sig
       .select(
         col("doc_id"),
         posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          array((0 until bands).map(b =>
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
         ).as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b"))
@@ -78,9 +90,10 @@ object Dedup {
     * hamming distance, blocked on 16-bit bands (a pair within hamming
     * distance 3 shares at least one of 4 bands exactly).
     */
-  def simhash(text: Column): Column = {
-    val toks = distinctTokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
+  /** SimHash bit-counter step over a materialized token-hash array (see
+    * minhashSignature for why the array must be pre-projected).
+    */
+  def simhashFromHashes(hashes: Column): Column = {
     // bit i of the simhash = 1 iff sum_t(bit_i(hash(t)) ? 1 : -1) > 0
     val bits: Seq[Column] = (0 until 64).map { i =>
       val bitSum = aggregate(
@@ -92,13 +105,31 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(distinctTokens(text), t => xxhash64(t)))
+
   def simhashNearDups(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    // Same explode->aggregate shape as minhashLsh: one codegen'd pass,
+    // 64 bit-counter sums with map-side combine.
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(distinctTokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sh = toks
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
     val banded = sh.select(
       col("doc_id"),
       col("sh"),
@@ -116,10 +147,22 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Exact word-set Jaccard over blocked pairs (block = e.g. language).
-    * Unnest-join-count shape: shuffles on (block, word), never
-    * materializes the full pair matrix, and the `a < b` triangle keeps
-    * each pair once.
+  /** Exact word-set Jaccard over blocked pairs (block = e.g. language)
+    * via a prefix-filtered similarity join (AllPairs/PPJoin family,
+    * Bayardo et al., WWW'07 — public algorithm):
+    *
+    *  1. canonical token order = ascending global frequency, so a
+    *     doc's prefix holds its rarest tokens;
+    *  2. candidate pairs must share a token in their first
+    *     `nw - ceil(t*nw) + 1` tokens — any pair with Jaccard >= t
+    *     provably does — plus pass the size-ratio filter
+    *     (t*|B| <= |A|, t*|A| <= |B|);
+    *  3. only candidates get an exact `array_intersect` verify.
+    *
+    * Shuffles are bounded by prefix-token buckets (rarest-first keeps
+    * them small on natural corpora), never the full |block|^2 pair
+    * matrix, and the verify join re-attaches token arrays by id so the
+    * candidate shuffle carries only (block, a, b) triples.
     */
   def jaccardWordPairs(
       docs: DataFrame,
@@ -128,21 +171,41 @@ object Dedup {
       blockCol: String,
       threshold: Double
   ): DataFrame = {
-    val words = docs.select(
+    val toks = docs.select(
       col(idCol).as("doc_id"),
       col(blockCol).as("block"),
-      explode(distinctTokens(col(textCol))).as("word"))
-    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val wa = words.select(col("block"), col("word"), col("doc_id").as("a"))
-    val wb = words.select(col("block"), col("word"), col("doc_id").as("b"))
-    val inter = wa
-      .join(wb, Seq("block", "word"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("nw", "nwa"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("nw", "nwb"), "b")
+      distinctTokens(col(textCol)).as("toks"))
+    val words = toks.select(
+      col("block"), col("doc_id"), size(col("toks")).as("nw"),
+      explode(col("toks")).as("word"))
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val sorted = words
+      .join(freq, "word")
+      .groupBy(col("block"), col("doc_id"), col("nw"))
+      .agg(array_sort(collect_list(struct(col("freq"), col("word")))).as("fw"))
+      .select(
+        col("block"), col("doc_id"), col("nw"),
+        transform(col("fw"), x => x.getField("word")).as("stoks"))
+    val prefix = sorted
+      .withColumn("p", (col("nw") - ceil(col("nw") * threshold) + 1).cast("int"))
+      .select(
+        col("block"), col("doc_id"), col("nw"),
+        explode(slice(col("stoks"), lit(1), col("p"))).as("pw"))
+    val pa = prefix.select(col("block"), col("pw"), col("doc_id").as("a"), col("nw").as("nwa"))
+    val pb = prefix.select(col("block"), col("pw"), col("doc_id").as("b"), col("nw").as("nwb"))
+    val cands = pa
+      .join(pb, Seq("block", "pw"))
+      .where(
+        col("a") < col("b") &&
+        col("nwa") >= col("nwb") * threshold && col("nwb") >= col("nwa") * threshold)
+      .select(col("a"), col("b"))
+      .distinct()
+    val ta = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("nw").as("nwa"))
+    val tb = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"), col("nw").as("nwb"))
+    cands
+      .join(ta, "a")
+      .join(tb, "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn(
         "jaccard",
         round(col("inter") / (col("nwa") + col("nwb") - col("inter")), 6))
@@ -160,6 +223,7 @@ object Dedup {
       blockCol: String,
       threshold: Double
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
     val s = space.select(
       col(blockCol).as("block"), col(keyCol).as("a"), col(vecCol).as("va"))
     val t = space.select(

@@ -38,6 +38,7 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(
       queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
     val scored = corpus
@@ -72,6 +73,7 @@ object Similarity {
       vecCol: String,
       cents: DataFrame
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
     val scored = space
       .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cents))
@@ -93,6 +95,7 @@ object Similarity {
       k: Int,
       nProbe: Int
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val cents = centroids(corpus, groupColForCentroids, vecCol)
     val assigned = nearestCentroid(corpus, keyCol, vecCol, cents)
       .withColumnRenamed("vec_id", "neighbor_id")
@@ -132,6 +135,7 @@ object Similarity {
       vecCol: String,
       pairs: DataFrame // columns: a, b
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
     val va = space.select(col(keyCol).as("a"), col(vecCol).as("va"))
     val vb = space.select(col(keyCol).as("b"), col(vecCol).as("vb"))
     pairs

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over
+  * `array<float>` / `array<double>` columns.
+  *
+  * This is the hot kernel of every embedding operator (knn, IVF
+  * assignment, near-dup): the higher-order-function formulation
+  * (`aggregate(zip_with(...))`) is interpreted per element, while this
+  * expression participates in whole-stage codegen — the generated loop
+  * is a tight primitive `for` over the two arrays. Accumulation is
+  * sequential double precision, bit-identical to the HOF version and
+  * the external double-precision oracle.
+  *
+  * (The reference's equivalent kernel is hnswlib's cosine space,
+  * reference: embeddinghub/embeddingstore/index.h — a SIMD C++ loop;
+  * codegen is the Spark-native analog.)
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case other =>
+        throw new IllegalArgumentException(s"graft_cosine: unsupported element type $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.$lGet($i);
+          double $yi = (double) $b.$rGet($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration of graft's native expressions into a session's
+  * function registry (the standalone-library analog of a
+  * SparkSessionExtensions injection — works on any already-built
+  * session, e.g. the driver's).
+  */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  def register(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineName,
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+  }
+}
