@@ -142,7 +142,7 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("sha").bitwiseXOR(col("shb")).as("x"))
       .distinct()
-      .withColumn("hamming", bit_count(col("x")))
+      .withColumn("hamming", bit_count(col("x")).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FeatureStore
+
+class FeatureStoreSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    // (entity, value, ts, event_id)
+    (1L, 10.0, ts("2024-01-01 00:00:00"), 1L),
+    (1L, 20.0, ts("2024-01-01 02:00:00"), 2L),
+    (1L, 30.0, ts("2024-01-01 01:00:00"), 3L),
+    (2L, 99.0, ts("2024-01-01 03:00:00"), 4L)
+  ).toDF("user_id", "value", "ts", "event_id")
+
+  test("materializeLatest keeps the latest value per entity") {
+    val out = FeatureStore
+      .materializeLatest(events, "user_id", "value", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 20.0, 2L -> 99.0))
+  }
+
+  test("materializeRange pages by entity order") {
+    val m = FeatureStore.materializeLatest(events, "user_id", "value", "ts", "event_id")
+    val page = FeatureStore.materializeRange(m, 1, 2).collect()
+    assert(page.length == 1 && page.head.getAs[Long]("entity") == 2L)
+  }
+
+  test("trainingSet is an inclusive as-of join with deterministic tiebreaks") {
+    val labels = Seq(
+      (1L, 1.0, ts("2024-01-01 01:00:00"), 100L), // exactly at feature f2's ts
+      (1L, 2.0, ts("2024-01-01 00:30:00"), 101L),
+      (2L, 3.0, ts("2024-01-01 00:00:00"), 102L)  // before any feature
+    ).toDF("user_id", "label_v", "ts", "event_id")
+    val feats = Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00")),
+      (1L, 30.0, ts("2024-01-01 01:00:00")),
+      (2L, 50.0, ts("2024-01-01 05:00:00"))
+    ).toDF("user_id", "fv", "fts")
+    val out = FeatureStore
+      .trainingSet(
+        labels, "user_id", "label_v", "ts", "event_id",
+        Seq(FeatureStore.FeatureDef("f1", feats, "user_id", "fv", "fts")))
+      .collect()
+      .map(r => (r.getAs[Double]("label"), Option(r.getAs[Any]("f1"))))
+      .toMap
+    // label 1.0 at 01:00 sees the 01:00 feature (inclusive); label 2.0 at
+    // 00:30 sees the 00:00 feature; label 3.0 precedes all features -> null
+    assert(out == Map(1.0 -> Some(30.0), 2.0 -> Some(10.0), 3.0 -> None))
+  }
+
+  test("lagged features shift visibility forward") {
+    val labels = Seq((1L, 1.0, ts("2024-01-01 01:30:00"), 1L))
+      .toDF("user_id", "label_v", "ts", "event_id")
+    val feats = Seq((1L, 10.0, ts("2024-01-01 01:00:00")))
+      .toDF("user_id", "fv", "fts")
+    def run(lag: String): Option[Any] =
+      FeatureStore
+        .trainingSet(
+          labels, "user_id", "label_v", "ts", "event_id",
+          Seq(FeatureStore.FeatureDef(
+            "f1", feats, "user_id", "fv", "fts", lag = Some(expr(s"INTERVAL $lag")))))
+        .collect().map(r => Option(r.getAs[Any]("f1"))).head
+    assert(run("10 MINUTES") == Some(10.0)) // visible from 01:10
+    assert(run("1 HOUR") == None)           // visible only from 02:00
+  }
+
+  test("batchFeatures pivots the latest value per (entity, feature)") {
+    val ev = Seq(
+      (1L, "click", 1.0, ts("2024-01-01 00:00:00"), 1L),
+      (1L, "click", 2.0, ts("2024-01-01 01:00:00"), 2L),
+      (1L, "view", 9.0, ts("2024-01-01 00:00:00"), 3L)
+    ).toDF("user_id", "event_type", "value", "ts", "event_id")
+    val row = FeatureStore
+      .batchFeatures(ev, "user_id", "event_type", "value", "ts", "event_id",
+        Seq("click", "view")).collect().head
+    assert(row.getAs[Double]("click") == 2.0 && row.getAs[Double]("view") == 9.0)
+  }
+
+  test("trainTestSplit is deterministic and entity-stable") {
+    val df = (0L until 1000L).toDF("entity")
+    val out = FeatureStore.trainTestSplit(df, "entity", 0.25)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 is uniform: 25% +- a few points
+    assert(counts("test") > 180 && counts("test") < 320)
+    val again = FeatureStore.trainTestSplit(df, "entity", 0.25)
+    assert(out.except(again).count() == 0)
+  }
+}

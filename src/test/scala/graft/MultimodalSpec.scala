@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("binary decode plumbing is deterministic and schema-stable") {
+    val docs = Seq((1L, "some payload", "en", "s", 12L), (2L, "other bytes", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocs(docs))
+    val rows = meta.collect().map(m => m.media_id -> m).toMap
+    assert(rows(1L).n_bytes == 12)
+    assert(rows(1L).mime == "image/jpeg") // doc_id 1 % 3 == 1
+    assert(rows(2L).mime == "image/webp")
+    // determinism: same input -> same fake-decoded dims + checksum
+    val again = Multimodal.decodeMeta(Multimodal.mediaFromDocs(docs))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(rows(1L) == again(1L) && rows(2L) == again(2L))
+    assert(rows(1L).width >= 64 && rows(1L).height >= 64)
+  }
+
+  test("frame sampling emits stride-spaced frame indices") {
+    val meta = Seq(Multimodal.MediaMeta(7L, 10, "video/mp4", 100, 100, 10, 0L)).toDS()
+    val frames = Multimodal.sampleFrames(meta, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.toSet == Set((7L, 0), (7L, 3), (7L, 6), (7L, 9)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingFeatures
+import graft.streaming.StreamingFeatures.FeatureEvent
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming latest-value state matches batch materialization semantics") {
+    val input = MemoryStream[FeatureEvent](spark)
+    val query = StreamingFeatures
+      .latestValueStream(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("latest_vals")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        FeatureEvent(1L, 10.0, ts("2024-01-01 00:00:00"), 1L),
+        FeatureEvent(2L, 5.0, ts("2024-01-01 00:00:00"), 2L))
+      query.processAllAvailable()
+      // second batch: entity 1 gets a NEWER value, entity 2 an OLDER one
+      input.addData(
+        FeatureEvent(1L, 20.0, ts("2024-01-01 02:00:00"), 3L),
+        FeatureEvent(2L, 99.0, ts("2023-12-31 00:00:00"), 4L))
+      query.processAllAvailable()
+      val state = spark.table("latest_vals")
+        .groupBy($"entity")
+        .agg(org.apache.spark.sql.functions.max_by($"value", $"ts").as("value"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // late event for entity 2 must NOT overwrite the newer state
+      assert(state == Map(1L -> 20.0, 2L -> 5.0))
+    } finally query.stop()
+  }
+
+  test("windowed streaming counts with watermark produce hourly buckets") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingFeatures
+      .windowedCountsStream(df, watermark = "1 hour", windowLen = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:40:00"), "click", 2.0),
+        (ts("2024-01-01 01:10:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type")) -> r.getAs[Long]("n"))
+        .toMap
+      assert(rows((ts("2024-01-01 00:00:00"), "click")) == 2L)
+      assert(rows((ts("2024-01-01 01:00:00"), "view")) == 1L)
+    } finally query.stop()
+  }
+}

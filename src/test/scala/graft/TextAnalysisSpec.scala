@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("token counts") {
+    val docs = Seq((1L, "a b b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Long]("n_chars") == 7L)
+  }
+
+  test("fingerprint is invariant to case, punctuation and extra spaces") {
+    val docs = Seq(
+      (1L, "Hello,  World! 42"),
+      (2L, "hello world 42"),
+      (3L, "different text")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId scores marker words with alphabetical tiebreak") {
+    val docs = Seq(
+      (1L, "the cat is on the mat and the dog"), // en markers
+      (2L, "le chat et la maison est grande les"), // fr markers
+      (3L, "xyzzy qwerty")                         // no markers -> tie -> 'de'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "de")
+  }
+
+  test("quality score favors diverse non-stopword text") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the the the the the the")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) > q(2L))
+  }
+}
