@@ -113,7 +113,15 @@ object SparkEntry {
         .trainTestSplit(materializedLatest(s, dir), "entity", 0.25)
         .select(col("entity"), col("split"))),
     "fs_feature_stats" -> ((s, dir) =>
-      FeatureStore.featureStats(t(s, dir, "events"), "event_type", "value", "user_id"))
+      FeatureStore.featureStats(t(s, dir, "events"), "event_type", "value", "user_id")),
+    // Online-serving parity: the feature vector a store would serve at
+    // time T == materialization over events with ts <= T.
+    "fs_features_asof" -> ((s, dir) =>
+      FeatureStore
+        .materializeLatest(
+          t(s, dir, "events").where(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp")),
+          "user_id", "value", "ts", "event_id")
+        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")))
   )
 
   private def fsOracles: Map[String, String] = Map(
@@ -199,7 +207,11 @@ object SparkEntry {
              min(value) AS min_value, max(value) AS max_value,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value,
              count(DISTINCT user_id) AS n_entities
-      FROM events GROUP BY event_type"""
+      FROM events GROUP BY event_type""",
+    "fs_features_asof" -> """
+      SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1"""
   )
 
   // ---------------------------------------------------------------- //
@@ -251,7 +263,14 @@ object SparkEntry {
           (col("assigned") === col("own_label")).cast("int").as("is_own"))
     }),
     "emb_norm_stats" -> ((s, dir) =>
-      Similarity.normStats(t(s, dir, "embeddings"), "label", "embedding"))
+      Similarity.normStats(t(s, dir, "embeddings"), "label", "embedding")),
+    // embeddinghub Download: full-space export (key, dims, payload
+    // checksum columns keep the compare cheap but scan everything).
+    "emb_download" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dims"),
+        element_at(col("embedding"), 1).as("e_first")))
   )
 
   private val centroidCte = """
@@ -314,7 +333,10 @@ object SparkEntry {
         GROUP BY vec_id, label)
       SELECT label, round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
              round(avg(nrm), 6) AS avg_norm
-      FROM n GROUP BY label"""
+      FROM n GROUP BY label""",
+    "emb_download" -> """
+      SELECT vec_id, label, len(embedding) AS dims, embedding[1] AS e_first
+      FROM embeddings"""
   )
 
   // ---------------------------------------------------------------- //
