@@ -171,10 +171,13 @@ object Dedup {
       blockCol: String,
       threshold: Double
   ): DataFrame = {
+    // Tokens are 64-bit-hashed up front: every downstream shuffle key,
+    // sort and intersect works on longs instead of strings (identical
+    // Jaccard modulo 64-bit collisions).
     val toks = docs.select(
       col(idCol).as("doc_id"),
       col(blockCol).as("block"),
-      distinctTokens(col(textCol)).as("toks"))
+      array_distinct(transform(distinctTokens(col(textCol)), t => xxhash64(t))).as("toks"))
     val words = toks.select(
       col("block"), col("doc_id"), size(col("toks")).as("nw"),
       explode(col("toks")).as("word"))

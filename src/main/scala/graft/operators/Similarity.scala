@@ -144,6 +144,47 @@ object Similarity {
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
   }
 
+  /** Batch ANN index construction: k-means codebook via Lloyd
+    * iterations built from the centroids/assign primitives — the
+    * Spark-batch analog of building the reference's ANN index
+    * (reference: embeddinghub/embeddingstore/index.cc builds an HNSW
+    * graph incrementally; at 100TB a codebook + cell assignment is the
+    * shape that parallelizes).
+    *
+    * Deterministic: seeds are the k smallest keys. Each iteration is
+    * one broadcast (centroids, k rows) + one scan + one (group, dim)
+    * aggregation — no iteration-over-collect on the driver beyond the
+    * k-row codebook itself.
+    */
+  def kmeansCodebook(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    val keyed = space.select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
+    val w = Window.orderBy(col("vec_id"))
+    var cents = keyed
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select((col("rn") - 1).cast("int").as("centroid_id"),
+        transform(col("v"), x => x.cast("double")).as("centroid"))
+    for (_ <- 0 until iterations) {
+      val assigned = nearestCentroid(keyed, "vec_id", "v", cents)
+      cents = keyed
+        .join(assigned, "vec_id")
+        .select(col("assigned").as("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("centroid_id"), transform(col("pc"), p => p.getField("c")).as("centroid"))
+    }
+    cents
+  }
+
   /** Norm distribution per group. */
   def normStats(space: DataFrame, groupCol: String, vecCol: String): DataFrame =
     space

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, Skew}
+
+class SkewKmeansSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join result") {
+    val big = (1L to 1000L).map(i => (if (i % 10 == 0) 1L else i, i))
+      .toDF("k", "payload") // key 1 is hot
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "payload", "name")
+    val salted = Skew.saltedJoin(big, small, "k", 8, col("payload"))
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
+  test("kmeans codebook separates well-separated clusters") {
+    // two tight clusters around (1,0) and (0,1); seeds 0,1 are one from each
+    val pts = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.04f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.95f, 0.0f)),
+      (4L, Array(0.0f, 0.9f)), (5L, Array(0.1f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCodebook(pts, "vec_id", "embedding", k = 2, iterations = 3)
+    val assign = Similarity.nearestCentroid(pts, "vec_id", "embedding", cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned")).toMap
+    assert(assign(0L) == assign(2L) && assign(2L) == assign(3L))
+    assert(assign(1L) == assign(4L) && assign(4L) == assign(5L))
+    assert(assign(0L) != assign(1L))
+  }
+}
