@@ -270,7 +270,16 @@ object SparkEntry {
       t(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
         size(col("embedding")).cast("long").as("dims"),
-        element_at(col("embedding"), 1).as("e_first")))
+        element_at(col("embedding"), 1).as("e_first"))),
+    // Batch ANN index build: deterministic k-means codebook (rows-only;
+    // iterative — not expressible as one SQL statement).
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity
+        .kmeansCodebook(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iterations = 3)
+        .select(
+          col("centroid_id").cast("long").as("centroid_id"),
+          size(col("centroid")).cast("long").as("dims"),
+          round(VectorFunctions.l2Norm(col("centroid")), 6).as("c_norm")))
   )
 
   private val centroidCte = """
@@ -472,7 +481,29 @@ object SparkEntry {
       Analytics.rollupBalances(
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
     "q_percentiles" -> ((s, dir) => Analytics.orderPercentiles(t(s, dir, "orders"))),
-    "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events")))
+    "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
+    // Salted-join correctness at query level: result must equal the
+    // plain equi-join (which IS the oracle).
+    "q_skew_salted_join" -> ((s, dir) =>
+      Skew
+        .saltedJoin(
+          t(s, dir, "events").select(col("user_id").as("c_custkey"), col("value")),
+          t(s, dir, "customer"), "c_custkey", salts = 8, saltBy = col("value"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+    // Source round-trip: register a CSV copy of a table and query it —
+    // the oracle reads the original parquet.
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_csv_nation"
+      t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
+      Tables
+        .registerPrimary(s, "nation_csv", tmp, "csv",
+          expectedSchema = Some(t(s, dir, "nation").schema))
+        .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+    })
   )
 
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,4)) * " +
@@ -561,7 +592,16 @@ object SparkEntry {
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-      FROM events GROUP BY event_type"""
+      FROM events GROUP BY event_type""",
+    "q_skew_salted_join" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment""",
+    "source_csv_roundtrip" -> """
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
+             min(n_name) AS first_name
+      FROM nation GROUP BY n_regionkey"""
   )
 
   // ---------------------------------------------------------------- //
