@@ -30,6 +30,11 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query row.
     * `queries` must be small (it is collected-equivalent via broadcast).
+    *
+    * The top-k is the bounded-heap aggregate (graft.plans.TopKByScore)
+    * with map-side partial combine — NOT a window sort, which would
+    * shuffle every scored candidate. Per query the exchange carries
+    * <= k rows per input partition.
     */
   def knnBruteForce(
       corpus: DataFrame,
@@ -45,12 +50,28 @@ object Similarity {
       .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }
+
+  /** Generic bounded-heap top-k per group (posexploded to ranks) —
+    * public: useful beyond knn wherever "k best per key" is needed.
+    */
+  def topKPerGroup(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(call_function(
+        graft.plans.GraftFunctions.TopKName, col(scoreCol), col(idCol), lit(k)).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("r", "e")))
+      .select(
+        col(groupCol),
+        col("e.id").as("neighbor_id"),
+        (col("r") + 1).cast("long").as("rank"))
 
   /** Centroid per group (k-means M-step / IVF codebook build). One
     * shuffle on (group, dim) after posexplode; partial sums map-side.
@@ -118,14 +139,7 @@ object Similarity {
       .join(broadcast(qCells), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-    scored
-      .withColumn(
-        "rank",
-        row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id")))
-          .cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }
 
   /** Cosine similarity for aligned key pairs (a, b). */

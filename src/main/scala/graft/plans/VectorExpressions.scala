@@ -89,12 +89,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val TopKName = "graft_topk"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val registry = classic.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
       CosineName,
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      TopKName,
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(s"graft_topk k must be an int literal, got $other")
+        }
+        TopKByScore(exprs(0), exprs(1), k)
+      },
       "built-in")
   }
 }
