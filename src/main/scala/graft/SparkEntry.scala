@@ -514,7 +514,7 @@ object SparkEntry {
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-             CAST(sum($disc) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
              CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
@@ -522,14 +522,14 @@ object SparkEntry {
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q3_join" -> s"""
       SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
-             CAST(sum($disc) AS DOUBLE) AS revenue
+             CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY l_orderkey, o_orderdate, o_orderpriority""",
     "q5_multijoin" -> s"""
-      SELECT n_name, CAST(sum($disc) AS DOUBLE) AS revenue
+      SELECT n_name, CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey

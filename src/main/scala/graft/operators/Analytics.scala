@@ -31,16 +31,21 @@ object Analytics {
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        // scale-8 sums can exceed 2^53 unscaled (cast-to-double then
+        // differs by 1 ulp between engines); reducing to scale 4 first
+        // keeps the double conversion exact.
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+          .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         (sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: revenue of open orders for one market segment.
-    * customer is small -> broadcast; orders⨝lineitem shuffles on the
-    * order key only.
+    * No broadcast hint on customer: at bench scale Catalyst broadcasts
+    * it from size stats anyway, and at warehouse scale (10^8+ rows)
+    * forcing a broadcast would be wrong — AQE picks the join side at
+    * runtime. The segment filter pushes to the customer scan either way.
     */
   def q3ShippingPriority(
       customer: DataFrame,
@@ -51,19 +56,21 @@ object Analytics {
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(
-        broadcast(customer.where(col("c_mktsegment") === segment)),
+        customer.where(col("c_mktsegment") === segment),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
       .select(
         col("l_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
         col("o_orderpriority"),
         col("revenue"))
 
-  /** TPC-H Q5-style: revenue per nation within one region. All dims
-    * broadcast; the only big shuffle is orders⨝lineitem.
+  /** TPC-H Q5-style: revenue per nation within one region. Broadcast
+    * hints only on the provably-tiny dims (region: 5 rows, nation: 25 at
+    * every SF); customer/supplier scale with the fact tables, so their
+    * join strategy is left to stats + AQE.
     */
   def q5LocalSupplier(
       spark: SparkSession,
@@ -78,15 +85,15 @@ object Analytics {
     val lineitem = Tables.load(spark, dir, "lineitem")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(
-        broadcast(supplier),
+        supplier,
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
   }
 
   /** Window functions: per-customer running spend + order rank. */
