@@ -35,7 +35,12 @@ object GraftSession {
     master.fold(b)(b.master)
   }
 
-  /** Local session for tests / bench on this container. */
-  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession =
-    builder(Some(s"local[$cores]"), shufflePartitions).getOrCreate()
+  /** Local session for tests / bench on this container, with graft's
+    * native expressions pre-registered.
+    */
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = builder(Some(s"local[$cores]"), shufflePartitions).getOrCreate()
+    graft.plans.GraftFunctions.register(s)
+    s
+  }
 }

@@ -179,11 +179,13 @@ object Similarity {
   ): DataFrame = {
     graft.plans.GraftFunctions.register(space.sparkSession)
     val keyed = space.select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
-    val w = Window.orderBy(col("vec_id"))
+    // Seeds = k smallest keys via sort+limit, which Spark executes as
+    // TakeOrdered (per-partition top-k then merge) — not a global sort.
     var cents = keyed
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select((col("rn") - 1).cast("int").as("centroid_id"),
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("centroid_id"),
         transform(col("v"), x => x.cast("double")).as("centroid"))
     for (_ <- 0 until iterations) {
       val assigned = nearestCentroid(keyed, "vec_id", "v", cents)

@@ -50,6 +50,60 @@ object StreamingFeatures {
       .agg(max_by(struct(col("value"), col("ts")), struct(col("ts"), col("event_id"))).as("l"))
       .select(col("entity"), col("l.value").as("value"), col("l.ts").as("ts"))
 
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class SessionAcc(start: Long, last: Long, n: Long)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Streaming sessionization with custom keyed state: a user's session
+    * closes `gapMinutes` after their last event, enforced by an
+    * event-time timeout against the watermark. Sessions are emitted
+    * exactly once, on close (mid-batch gap crossings emit immediately;
+    * the open tail emits when the watermark passes last + gap).
+    * State per user is O(1) — (start, last, count).
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes.toLong * 60000L
+    def toSession(uid: Long, a: SessionAcc): Session =
+      Session(uid, new Timestamp(a.start), new Timestamp(a.last), a.n)
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) { (uid, rows, state) =>
+        if (state.hasTimedOut) {
+          val done = state.get
+          state.remove()
+          Iterator.single(toSession(uid, done))
+        } else {
+          val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var acc = state.getOption
+          val completed = scala.collection.mutable.ListBuffer.empty[Session]
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            acc match {
+              case Some(a) if t - a.last > gapMs =>
+                completed += toSession(uid, a)
+                acc = Some(SessionAcc(t, t, 1))
+              case Some(a) =>
+                acc = Some(SessionAcc(a.start, math.max(a.last, t), a.n + 1))
+              case None =>
+                acc = Some(SessionAcc(t, t, 1))
+            }
+          }
+          acc.foreach { a =>
+            state.update(a)
+            state.setTimeoutTimestamp(a.last + gapMs)
+          }
+          completed.iterator
+        }
+      }
+  }
+
   /** Watermarked tumbling-window counts per event type (streaming). */
   def windowedCountsStream(events: DataFrame, watermark: String, windowLen: String): DataFrame =
     events

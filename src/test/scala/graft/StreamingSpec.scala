@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamingFeatures
-import graft.streaming.StreamingFeatures.FeatureEvent
+import graft.streaming.StreamingFeatures.{FeatureEvent, SessionEvent}
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
@@ -40,6 +40,36 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       // late event for entity 2 must NOT overwrite the newer state
       assert(state == Map(1L -> 20.0, 2L -> 5.0))
+    } finally query.stop()
+  }
+
+  test("streaming sessionization closes sessions via event-time timeout") {
+    val input = MemoryStream[SessionEvent](spark)
+    val query = StreamingFeatures
+      .sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // one session for user 1 (3 events within the gap)
+      input.addData(
+        SessionEvent(1L, ts("2024-01-01 00:00:00"), 1L),
+        SessionEvent(1L, ts("2024-01-01 00:10:00"), 2L),
+        SessionEvent(1L, ts("2024-01-01 00:20:00"), 3L))
+      query.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      // far-future event advances the watermark past 00:50 -> closes it
+      input.addData(SessionEvent(2L, ts("2024-01-01 06:00:00"), 4L))
+      query.processAllAvailable()
+      input.addData(SessionEvent(2L, ts("2024-01-01 12:00:00"), 5L))
+      query.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end")))
+      assert(rows.exists(_ == ((1L, 3L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00")))))
     } finally query.stop()
   }
 
