@@ -362,7 +362,14 @@ object SparkEntry {
     "dedup_jaccard_words" -> ((s, dir) =>
       Dedup.jaccardWordPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.9)),
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3))
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)),
+    "dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Dedup
+        .jaccardWordPairs(docs, "doc_id", "text", "lang", 0.9)
+        .select(col("a"), col("b"))
+      Dedup.connectedComponents(edges, docs, "doc_id")
+    })
   )
 
   private def dedupOracles: Map[String, String] = Map(
@@ -389,7 +396,27 @@ object SparkEntry {
                    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id) GROUP BY a, b))
-      WHERE cos_sim > 0.3"""
+      WHERE cos_sim > 0.3""",
+    "dedup_components" -> """
+      WITH RECURSIVE w AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
+               len(list_distinct(string_split(text, ' '))) AS nw
+        FROM documents),
+      i AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
+               any_value(a.nw) AS nwa, any_value(b.nw) AS nwb
+        FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      edges AS (
+        SELECT a, b FROM i WHERE round(inter / (nwa + nwb - inter), 6) >= 0.9),
+      sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges),
+      cc(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, cc.lbl FROM cc JOIN sym s ON s.src = cc.node AND cc.lbl < s.dst)
+      SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node"""
   )
 
   // ---------------------------------------------------------------- //
@@ -404,7 +431,13 @@ object SparkEntry {
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    "text_ngram_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.shingles(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5))
   )
 
   private val stopwordList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -456,7 +489,12 @@ object SparkEntry {
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
         FROM documents)
-      SELECT doc_id, md5(norm) AS fp, length(norm) AS n_norm_chars FROM n"""
+      SELECT doc_id, md5(norm) AS fp, length(norm) AS n_norm_chars FROM n""",
+    "text_ngram_freq" -> """
+      SELECT ngram, count(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents))
+      GROUP BY ngram HAVING count(*) >= 5"""
   )
 
   // ---------------------------------------------------------------- //
@@ -482,6 +520,8 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
     "q_percentiles" -> ((s, dir) => Analytics.orderPercentiles(t(s, dir, "orders"))),
     "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
+    "q_anti_semi_join" -> ((s, dir) =>
+      Analytics.antiSemiCounts(t(s, dir, "customer"), t(s, dir, "orders"))),
     // Salted-join correctness at query level: result must equal the
     // plain equi-join (which IS the oracle).
     "q_skew_salted_join" -> ((s, dir) =>
@@ -593,6 +633,13 @@ object SparkEntry {
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type""",
+    "q_anti_semi_join" -> """
+      SELECT c_mktsegment,
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_no_orders,
+             count(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders
+      FROM customer GROUP BY c_mktsegment""",
     "q_skew_salted_join" -> """
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

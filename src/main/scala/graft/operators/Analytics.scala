@@ -181,6 +181,25 @@ object Analytics {
         round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
         count(lit(1)).as("n"))
 
+  /** Anti/semi-join surface (NOT EXISTS / EXISTS): customers without
+    * and with orders per segment, using Spark's dedicated left_anti /
+    * left_semi joins (no row multiplication, build side prunable).
+    */
+  def antiSemiCounts(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val anti = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_no_orders"))
+    val semi = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    anti
+      .join(semi, Seq("c_mktsegment"), "full_outer")
+      .select(
+        col("c_mktsegment"),
+        coalesce(col("n_no_orders"), lit(0L)).as("n_no_orders"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"))
+  }
+
   /** JSON property extraction from the events `props` column. */
   def jsonExtract(events: DataFrame): DataFrame =
     events

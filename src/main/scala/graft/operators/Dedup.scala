@@ -216,6 +216,42 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Dedup cluster resolution: connected components over a near-dup
+    * pair graph by iterative min-label propagation — each doc ends up
+    * labeled with the smallest doc id reachable through near-dup edges
+    * (the cluster canonical). Converges in O(graph diameter)
+    * iterations; labels are localCheckpoint'ed each round so lineage
+    * stays flat. At warehouse scale the same loop runs with
+    * `checkpoint` to durable storage (or large-star/small-star
+    * path-doubling for skewed graphs); near-dup graphs are
+    * shallow-diameter by construction, so the iteration count is small.
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+    val sym = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lbl"))
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = sym
+        .join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels
+        .unionByName(viaNeighbor)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "node")
+        .where(col("lbl") =!= col("old"))
+        .count()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
   /** Embedding-cosine near-dups, blocked (label, LSH cell, ...) so the
     * pair count is sum of per-block squares, not corpus squared.
     */
