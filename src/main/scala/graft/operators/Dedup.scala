@@ -227,28 +227,35 @@ object Dedup {
     * shallow-diameter by construction, so the iteration count is small.
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
-    val sym = pairs
+    // Materialize the edge list ONCE: both symmetric branches would
+    // otherwise re-evaluate the (possibly expensive) pair-producing
+    // subtree, and the loop would re-evaluate it every iteration.
+    val edges = pairs.select(col("a"), col("b")).localCheckpoint()
+    val sym = edges
       .select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lbl"))
-    var changed = 1L
-    while (changed > 0) {
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lbl")).localCheckpoint()
+    // Convergence via the label-sum invariant: the per-node min-label
+    // is monotonically non-increasing, so the sum is strictly
+    // decreasing until the fixpoint — one cheap aggregate over the
+    // checkpointed labels instead of a change-count join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val viaNeighbor = sym
         .join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels
+      labels = labels
         .unionByName(viaNeighbor)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "node")
-        .where(col("lbl") =!= col("old"))
-        .count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
     }
-    sym.unpersist()
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
   }
 

@@ -47,6 +47,14 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keys.exists(p => p._1 == 5L || p._2 == 5L)) // fr block alone
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val out = Dedup.connectedComponents(edges, nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("embedding near-dups finds only the high-cosine pair within a block") {
     val space = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
