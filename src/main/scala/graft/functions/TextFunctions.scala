@@ -22,12 +22,23 @@ object TextFunctions {
   /** Document fingerprint = md5 of the canonical form. */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
-  /** Word n-gram shingles as strings ("w1 w2 ... wn"). */
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"). Bigrams get a
+    * zip_with fast path (no per-position array slice): `concat` of a
+    * null pad yields null, which the filter drops — same output as the
+    * general path.
+    */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    filter(
-      transform(t, (_, i) => concat_ws(" ", slice(t, i + lit(1), lit(n)))),
-      (_, i) => i <= size(t) - n)
+    if (n == 2) {
+      filter(
+        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)
+    } else {
+      filter(
+        transform(t, (_, i) => concat_ws(" ", slice(t, i + lit(1), lit(n)))),
+        (_, i) => i <= size(t) - n)
+    }
   }
 
   /** Count of tokens that appear in a fixed marker set. */
