@@ -237,6 +237,13 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", "label",
         k = 5, nProbe = 3)
     }),
+    // End-to-end ANN: k-means index build + probe (rows-only: iterative).
+    "emb_knn_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvfKmeans(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nProbe = 4, nCells = 8)
+    }),
     "emb_pairwise_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val pairs = emb

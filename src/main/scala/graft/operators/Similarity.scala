@@ -142,6 +142,48 @@ object Similarity {
     topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }
 
+  /** Full ANN pipeline: build an IVF index with a k-means codebook,
+    * then probe it — the batch analog of "build the index, then query
+    * it" against the reference's HNSW store. Same probe mechanics as
+    * `knnIvf` but cells come from the learned codebook instead of a
+    * pre-existing partition column.
+    */
+  def knnIvfKmeans(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      nCells: Int,
+      kmeansIterations: Int = 3
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val cents = kmeansCodebook(corpus, keyCol, vecCol, nCells, kmeansIterations)
+      .localCheckpoint() // index build artifact; don't re-iterate per probe
+    val assigned = nearestCentroid(corpus, keyCol, vecCol, cents)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("assigned", "cell")
+    val corpusCells = corpus
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(assigned, "neighbor_id")
+    val q = queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qCells = q
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("q_vec"), col("centroid")))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
+    val scored = corpusCells
+      .join(broadcast(qCells), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
+  }
+
   /** Cosine similarity for aligned key pairs (a, b). */
   def pairwiseCosine(
       space: DataFrame,

@@ -56,6 +56,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("kmeans-IVF with all cells probed matches brute force") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 3)
+    val brute = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity
+      .knnIvfKmeans(emb, q, "vec_id", "embedding", k = 3, nProbe = 8, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
   test("multiGet returns exactly the requested keys") {
     val keys = Similarity.multiGet(tiny, "vec_id", Seq(1L, 3L))
       .collect().map(_.getAs[Long]("vec_id")).toSet
