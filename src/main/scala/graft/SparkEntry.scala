@@ -529,6 +529,17 @@ object SparkEntry {
     "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
     "q_anti_semi_join" -> ((s, dir) =>
       Analytics.antiSemiCounts(t(s, dir, "customer"), t(s, dir, "orders"))),
+    // Set operations: nations having suppliers INTERSECT/EXCEPT nations
+    // having customers (DataFrame intersect/except == SQL INTERSECT/EXCEPT).
+    "q_set_ops" -> ((s, dir) => {
+      val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val both = suppNations.intersect(custNations)
+        .select(col("nationkey"), lit("both").as("which"))
+      val custOnly = custNations.except(suppNations)
+        .select(col("nationkey"), lit("cust_only").as("which"))
+      both.unionByName(custOnly)
+    }),
     // Salted-join correctness at query level: result must equal the
     // plain equi-join (which IS the oracle).
     "q_skew_salted_join" -> ((s, dir) =>
@@ -647,6 +658,16 @@ object SparkEntry {
              count(*) FILTER (WHERE EXISTS (
                SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders
       FROM customer GROUP BY c_mktsegment""",
+    "q_set_ops" -> """
+      SELECT nationkey, 'both' AS which FROM (
+        SELECT s_nationkey AS nationkey FROM supplier
+        INTERSECT
+        SELECT c_nationkey FROM customer)
+      UNION ALL
+      SELECT nationkey, 'cust_only' AS which FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)""",
     "q_skew_salted_join" -> """
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
