@@ -50,6 +50,46 @@ object StreamingFeatures {
       .agg(max_by(struct(col("value"), col("ts")), struct(col("ts"), col("event_id"))).as("l"))
       .select(col("entity"), col("l.value").as("value"), col("l.ts").as("ts"))
 
+  /** A label or feature observation on the shared entity timeline. */
+  final case class TaggedEvent(
+      entity: Long, ts: Timestamp, event_id: Long, is_label: Boolean, value: Double)
+  final case class EnrichedLabel(
+      entity: Long, label_ts: Timestamp, label: Double, feature: Option[Double])
+
+  /** Streaming point-in-time training set: each label row is emitted
+    * enriched with the latest feature value whose ts <= label.ts —
+    * the streaming counterpart of FeatureStore.trainingSet for a
+    * single feature. Within a micro-batch, events are applied in
+    * event-time order (ts, then feature-before-label, then event_id),
+    * so a feature and label with equal ts resolve inclusively, exactly
+    * like the batch as-of join. State per entity is O(1): the current
+    * (value, ts) winner; monotonically-late feature arrivals that are
+    * older than the state are ignored (they can no longer win any
+    * future as-of).
+    */
+  def streamingTrainingSet(events: Dataset[TaggedEvent]): Dataset[EnrichedLabel] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState[LatestValue, EnrichedLabel](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (entity, rows, state) =>
+        val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.is_label, e.event_id))
+        val out = scala.collection.mutable.ListBuffer.empty[EnrichedLabel]
+        var cur = state.getOption
+        ordered.foreach { e =>
+          if (e.is_label) {
+            out += EnrichedLabel(entity, e.ts, e.value, cur.map(_.value))
+          } else if (cur.forall(c => !c.ts.after(e.ts))) {
+            cur = Some(LatestValue(entity, e.value, e.ts))
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionAcc(start: Long, last: Long, n: Long)
   final case class Session(

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamingFeatures
-import graft.streaming.StreamingFeatures.{FeatureEvent, SessionEvent}
+import graft.streaming.StreamingFeatures.{FeatureEvent, SessionEvent, TaggedEvent}
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
@@ -40,6 +40,54 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       // late event for entity 2 must NOT overwrite the newer state
       assert(state == Map(1L -> 20.0, 2L -> 5.0))
+    } finally query.stop()
+  }
+
+  test("streaming training set matches batch point-in-time join semantics") {
+    val input = MemoryStream[TaggedEvent](spark)
+    val query = StreamingFeatures
+      .streamingTrainingSet(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("stream_ts")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: feature @00:00, label @00:30 (sees 10.0), feature @01:00
+      input.addData(
+        TaggedEvent(1L, ts("2024-01-01 00:00:00"), 1L, is_label = false, 10.0),
+        TaggedEvent(1L, ts("2024-01-01 00:30:00"), 2L, is_label = true, 111.0),
+        TaggedEvent(1L, ts("2024-01-01 01:00:00"), 3L, is_label = false, 20.0))
+      query.processAllAvailable()
+      // batch 2: label after the 01:00 feature (state carries across
+      // batches -> sees 20.0); label for an entity with no features
+      input.addData(
+        TaggedEvent(1L, ts("2024-01-01 02:00:00"), 4L, is_label = true, 222.0),
+        TaggedEvent(2L, ts("2024-01-01 02:00:00"), 5L, is_label = true, 333.0))
+      query.processAllAvailable()
+      val rows = spark.table("stream_ts").collect()
+        .map(r => r.getAs[Double]("label") ->
+          Option(r.getAs[Any]("feature")).map(_.asInstanceOf[Double]))
+        .toMap
+      assert(rows == Map(111.0 -> Some(10.0), 222.0 -> Some(20.0), 333.0 -> None))
+      // cross-check against the batch as-of join on the same data
+      val all = Seq(
+        (1L, 10.0, ts("2024-01-01 00:00:00"), 1L, false),
+        (1L, 111.0, ts("2024-01-01 00:30:00"), 2L, true),
+        (1L, 20.0, ts("2024-01-01 01:00:00"), 3L, false),
+        (1L, 222.0, ts("2024-01-01 02:00:00"), 4L, true),
+        (2L, 333.0, ts("2024-01-01 02:00:00"), 5L, true)
+      ).toDF("user_id", "value", "ts", "event_id", "is_label")
+      val batch = graft.operators.FeatureStore
+        .trainingSet(
+          all.where($"is_label"), "user_id", "value", "ts", "event_id",
+          Seq(graft.operators.FeatureStore.FeatureDef(
+            "f", all.where(!$"is_label"), "user_id", "value", "ts")))
+        .collect()
+        .map(r => r.getAs[Double]("label") ->
+          Option(r.getAs[Any]("f")).map(_.asInstanceOf[Double]))
+        .toMap
+      assert(batch == rows)
     } finally query.stop()
   }
 
