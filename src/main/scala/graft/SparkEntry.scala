@@ -515,6 +515,12 @@ object SparkEntry {
       Analytics.q3ShippingPriority(
         t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), "BUILDING")),
     "q5_multijoin" -> ((s, dir) => Analytics.q5LocalSupplier(s, dir, "ASIA")),
+    "q10_returned" -> ((s, dir) =>
+      Analytics.q10ReturnedItems(
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"),
+        t(s, dir, "nation"), topN = 20)),
+    "q12_case_agg" -> ((s, dir) =>
+      Analytics.q12PriorityClasses(t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "q_window" -> ((s, dir) => Analytics.runningSpend(t(s, dir, "orders"))),
     "q_topk_per_group" -> ((s, dir) => Analytics.topKPerGroup(t(s, dir, "orders"), 3)),
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
@@ -596,6 +602,25 @@ object SparkEntry {
       JOIN region ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
       GROUP BY n_name""",
+    "q10_returned" -> s"""
+      SELECT c_custkey, c_name, n_name,
+             CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+    "q12_case_agg" -> """
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_linestatus""",
     "q_window" -> """
       SELECT o_custkey, o_orderkey,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (

@@ -181,6 +181,41 @@ object Analytics {
         round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q10-style: top customers by returned-item revenue. Ordered
+    * top-N via sort+limit (TakeOrdered — per-partition top-N, no global
+    * sort shuffle).
+    */
+  def q10ReturnedItems(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      nation: DataFrame,
+      topN: Int
+  ): DataFrame =
+    lineitem
+      .where(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topN)
+
+  /** TPC-H Q12-style: conditional CASE aggregation — line counts per
+    * order-priority class (high vs low) by line status.
+    */
+  def q12PriorityClasses(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .cast("long").as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .cast("long").as("low_line_count"))
+
   /** Anti/semi-join surface (NOT EXISTS / EXISTS): customers without
     * and with orders per segment, using Spark's dedicated left_anti /
     * left_semi joins (no row multiplication, build side prunable).

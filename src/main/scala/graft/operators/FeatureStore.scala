@@ -93,6 +93,10 @@ object FeatureStore {
       features: Seq[FeatureDef]
   ): DataFrame = {
     val featCols = features.map(_.name)
+    // Features keep their own value types (featureform features may be
+    // string/bool/int, not just double — provider/offline.go TableSchema).
+    val featType: Map[String, org.apache.spark.sql.types.DataType] =
+      features.map(f => f.name -> f.df.schema(f.valueCol).dataType).toMap
     // kind=1 marks label rows; features sort first at an equal ts so the
     // as-of boundary is inclusive, matching the reference's `ts <= t0.ts`.
     val labelSide = labels.select(
@@ -102,7 +106,7 @@ object FeatureStore {
         lit(1).as("kind"),
         col(labelTiebreak).cast("long").as("tb"),
         col(labelValue).as("label")
-      ) ++ featCols.map(n => lit(null).cast("double").as(n)): _*)
+      ) ++ featCols.map(n => lit(null).cast(featType(n)).as(n)): _*)
     val featureSides = features.map { f =>
       // A lag shifts the feature's visibility forward: value as of
       // (label.ts - lag) <=> (feature.ts + lag) <= label.ts.
@@ -113,10 +117,10 @@ object FeatureStore {
           effTs.as("ts"),
           lit(0).as("kind"),
           lit(0L).as("tb"),
-          lit(null).cast("double").as("label")
+          lit(null).cast(labels.schema(labelValue).dataType).as("label")
         ) ++ featCols.map(n =>
-          (if (n == f.name) col(f.valueCol).cast("double")
-           else lit(null).cast("double")).as(n)): _*)
+          (if (n == f.name) col(f.valueCol)
+           else lit(null).cast(featType(n))).as(n)): _*)
     }
     val unioned = featureSides.foldLeft(labelSide)(_.unionByName(_))
     val w = Window

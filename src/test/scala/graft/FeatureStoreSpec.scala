@@ -57,6 +57,24 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out == Map(1.0 -> Some(30.0), 2.0 -> Some(10.0), 3.0 -> None))
   }
 
+  test("trainingSet carries non-numeric feature types through the as-of join") {
+    val labels = Seq((1L, 1.0, ts("2024-01-01 01:00:00"), 1L))
+      .toDF("user_id", "label_v", "ts", "event_id")
+    val sFeat = Seq((1L, "gold", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "tier", "fts")
+    val bFeat = Seq((1L, true, ts("2024-01-01 00:30:00")))
+      .toDF("user_id", "active", "fts")
+    val row = FeatureStore
+      .trainingSet(
+        labels, "user_id", "label_v", "ts", "event_id",
+        Seq(
+          FeatureStore.FeatureDef("tier", sFeat, "user_id", "tier", "fts"),
+          FeatureStore.FeatureDef("active", bFeat, "user_id", "active", "fts")))
+      .collect().head
+    assert(row.getAs[String]("tier") == "gold")
+    assert(row.getAs[Boolean]("active"))
+  }
+
   test("lagged features shift visibility forward") {
     val labels = Seq((1L, 1.0, ts("2024-01-01 01:30:00"), 1L))
       .toDF("user_id", "label_v", "ts", "event_id")
