@@ -521,6 +521,8 @@ object SparkEntry {
         t(s, dir, "nation"), topN = 20)),
     "q12_case_agg" -> ((s, dir) =>
       Analytics.q12PriorityClasses(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q_corr_subquery" -> ((s, dir) =>
+      Analytics.ordersAboveCustomerAvg(t(s, dir, "orders"))),
     "q_window" -> ((s, dir) => Analytics.runningSpend(t(s, dir, "orders"))),
     "q_topk_per_group" -> ((s, dir) => Analytics.topKPerGroup(t(s, dir, "orders"), 3)),
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
@@ -621,6 +623,12 @@ object SparkEntry {
                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_linestatus""",
+    "q_corr_subquery" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)""",
     "q_window" -> """
       SELECT o_custkey, o_orderkey,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (

@@ -235,6 +235,22 @@ object Analytics {
         coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"))
   }
 
+  /** Correlated-subquery semantics, decorrelated: orders costing more
+    * than 2x their customer's average order value. Expressed as
+    * aggregate + re-join (what Catalyst's decorrelation produces for
+    * the equivalent correlated SQL), so the shuffle is on o_custkey
+    * once for the aggregate and once for the join.
+    */
+  def ordersAboveCustomerAvg(orders: DataFrame): DataFrame = {
+    val custAvg = orders
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+    orders
+      .join(custAvg, "o_custkey")
+      .where(col("o_totalprice") > col("avg_price") * 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
   /** JSON property extraction from the events `props` column. */
   def jsonExtract(events: DataFrame): DataFrame =
     events
