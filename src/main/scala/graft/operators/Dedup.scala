@@ -235,26 +235,28 @@ object Dedup {
       .select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lbl")).localCheckpoint()
-    // Convergence via the label-sum invariant: the per-node min-label
-    // is monotonically non-increasing, so the sum is strictly
-    // decreasing until the fixpoint — one cheap aggregate over the
-    // checkpointed labels instead of a change-count join.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    while (!converged) {
-      val viaNeighbor = sym
-        .join(labels, col("src") === col("node"))
+    // Delta iteration: only nodes whose label improved last round send
+    // messages, so the per-round edge join shrinks with the frontier —
+    // on a near-dup graph most labels finalize in round one and later
+    // rounds touch a sliver of the edge set. Fixpoint = empty frontier.
+    var frontier = labels
+    var frontierSize = Long.MaxValue
+    while (frontierSize > 0) {
+      val messages = sym
+        .join(frontier, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
-      labels = labels
-        .unionByName(viaNeighbor)
+      val next = labels
+        .unionByName(messages)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      frontier = next
+        .join(labels.withColumnRenamed("lbl", "old"), "node")
+        .where(col("lbl") < col("old"))
+        .select(col("node"), col("lbl"))
+        .localCheckpoint()
+      frontierSize = frontier.count()
+      labels = next
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
   }
