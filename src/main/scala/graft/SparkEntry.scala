@@ -244,6 +244,14 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nProbe = 4, nCells = 8)
     }),
+    // ANN acceptance gate: per-query recall of the IVF config vs brute.
+    "emb_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.recall(
+        Similarity.knnIvf(emb, q, "vec_id", "embedding", "label", k = 5, nProbe = 3),
+        Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5))
+    }),
     "emb_pairwise_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val pairs = emb
@@ -444,7 +452,25 @@ object SparkEntry {
         .select(explode(TextFunctions.shingles(col("text"), 2)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n"))
-        .where(col("n") >= 5))
+        .where(col("n") >= 5)),
+    // End-to-end corpus prep: fingerprint-dedup (keep min doc per
+    // canonical form) -> quality floor -> per-language profile. One
+    // Catalyst plan composing three operators.
+    "text_prep_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = TextAnalysis.fingerprints(docs, "doc_id", "text")
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .join(docs, "doc_id")
+      val scored = deduped.join(TextAnalysis.qualityScore(deduped, "doc_id", "text"), "doc_id")
+      scored
+        .where(col("quality") >= 0.6)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("avg_quality"),
+          sum(col("n_chars")).as("total_chars"))
+    })
   )
 
   private val stopwordList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -501,7 +527,33 @@ object SparkEntry {
       SELECT ngram, count(*) AS n FROM (
         SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
         FROM (SELECT string_split(text, ' ') AS t FROM documents))
-      GROUP BY ngram HAVING count(*) >= 5"""
+      GROUP BY ngram HAVING count(*) >= 5""",
+    "text_prep_pipeline" -> s"""
+      WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        FROM documents),
+      kept AS (
+        SELECT d.doc_id, d.lang, d.text, d.n_chars
+        FROM (SELECT fp, min(doc_id) AS doc_id FROM norm GROUP BY fp) k
+        JOIN documents d ON d.doc_id = k.doc_id),
+      q AS (
+        SELECT doc_id, lang, n_chars,
+               (n_dis / n_tok) * 0.5 + (1.0 - stop / n_tok) * 0.3 +
+               (1.0 - punct / n_chr) * 0.1 + (1.0 - upper / n_chr) * 0.1 AS quality
+        FROM (
+          SELECT doc_id, lang, n_chars,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+                 CAST(length(text) AS DOUBLE) AS n_chr,
+                 CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+                 CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS upper,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopwordList))) AS DOUBLE) AS stop
+          FROM kept))
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM q WHERE round(quality, 6) >= 0.6 GROUP BY lang"""
   )
 
   // ---------------------------------------------------------------- //

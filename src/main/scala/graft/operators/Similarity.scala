@@ -184,6 +184,26 @@ object Similarity {
     topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }
 
+  /** ANN quality evaluation: per-query recall of an approximate result
+    * against the exact brute-force top-k (both in (query_id,
+    * neighbor_id, rank) shape). The standard acceptance gate for an
+    * IVF/LSH configuration before it replaces brute force.
+    */
+  def recall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = approx
+      .select(col("query_id"), col("neighbor_id"))
+      .join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    e.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(
+        col("query_id"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("k"), 4).as("recall"))
+  }
+
   /** Cosine similarity for aligned key pairs (a, b). */
   def pairwiseCosine(
       space: DataFrame,
