@@ -41,6 +41,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == "de")
   }
 
+  test("bigram fast path equals the general shingle construction") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val docs = Seq("a b c d", "single", "x y", "repeat repeat repeat")
+      .toDF("text")
+    // general path: same construction shingles() uses for n != 2
+    val general = transform(split(col("text"), " "),
+      (_, i) => concat_ws(" ", slice(split(col("text"), " "), i + lit(1), lit(2))))
+    val rows = docs.select(
+      TextFunctions.shingles(col("text"), 2).as("fast"),
+      filter(general, (_, i) => i <= size(split(col("text"), " ")) - 2).as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("quality score favors diverse non-stopword text") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
