@@ -114,6 +114,19 @@ object SparkEntry {
         .select(col("entity"), col("split"))),
     "fs_feature_stats" -> ((s, dir) =>
       FeatureStore.featureStats(t(s, dir, "events"), "event_type", "value", "user_id")),
+    // UpdateMaterialization parity: materialize the first half of the
+    // stream, incrementally merge the second half — must equal the
+    // full recompute (which is exactly what the oracle computes).
+    "fs_materialize_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val existing = FeatureStore.materializeLatest(
+        ev.where(col("ts") <= cut), "user_id", "value", "ts", "event_id")
+      FeatureStore
+        .materializeIncremental(
+          existing, ev.where(col("ts") > cut), "user_id", "value", "ts", "event_id")
+        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    }),
     // Online-serving parity: the feature vector a store would serve at
     // time T == materialization over events with ts <= T.
     "fs_features_asof" -> ((s, dir) =>
@@ -211,7 +224,11 @@ object SparkEntry {
     "fs_features_asof" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1"""
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1""",
+    "fs_materialize_incremental" -> """
+      SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1"""
   )
 
   // ---------------------------------------------------------------- //
@@ -576,6 +593,19 @@ object SparkEntry {
     "q_corr_subquery" -> ((s, dir) =>
       Analytics.ordersAboveCustomerAvg(t(s, dir, "orders"))),
     "q_window" -> ((s, dir) => Analytics.runningSpend(t(s, dir, "orders"))),
+    // Window-function breadth: lead/lag/ntile/first over one
+    // entity-partitioned sort.
+    "q_window_suite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+    }),
     "q_topk_per_group" -> ((s, dir) => Analytics.topKPerGroup(t(s, dir, "orders"), 3)),
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
     "q_events_pivot" -> ((s, dir) =>
@@ -689,6 +719,15 @@ object SparkEntry {
              row_number() OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
       FROM orders""",
+    "q_window_suite" -> """
+      SELECT o_custkey, o_orderkey,
+             lag(o_orderkey, 1) OVER w AS prev_order,
+             lead(o_orderkey, 1) OVER w AS next_order,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "q_topk_per_group" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,

@@ -74,6 +74,29 @@ object FeatureStore {
       .where(col("row_number") > startExclusive && col("row_number") <= endInclusive)
   }
 
+  /** Incremental materialization (the reference's UpdateMaterialization,
+    * provider/offline.go:544): merge an existing materialization with a
+    * delta of new events and keep the per-entity winner. Equivalent to
+    * re-materializing from scratch, but touches only |old| + |delta|
+    * rows — the 100TB path processes the day's delta, not the log.
+    */
+  def materializeIncremental(
+      existing: DataFrame, // (entity, value, ts) from a prior materialization
+      delta: DataFrame,
+      entityCol: String,
+      valueCol: String,
+      tsCol: String,
+      tiebreakCol: String
+  ): DataFrame = {
+    val deltaLatest = materializeLatest(delta, entityCol, valueCol, tsCol, tiebreakCol)
+    existing
+      .select(col("entity"), col("value"), col("ts"))
+      .unionByName(deltaLatest)
+      .groupBy(col("entity"))
+      .agg(max_by(struct(col("value"), col("ts")), col("ts")).as("latest"))
+      .select(col("entity"), col("latest.value").as("value"), col("latest.ts").as("ts"))
+  }
+
   /** Point-in-time training set.
     *
     * For each label row, each feature's value as of (label.ts - lag),
