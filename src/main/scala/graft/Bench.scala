@@ -28,13 +28,18 @@ object Bench {
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try force(name, sfDir) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Failures are reported distinctly (negative time + errors list) so
+    // a hard-failing query never shows up as a suspiciously fast pass.
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -112,6 +112,39 @@ object SparkEntry {
       FeatureStore
         .trainTestSplit(materializedLatest(s, dir), "entity", 0.25)
         .select(col("entity"), col("split"))),
+    // TrainTestSplitDef parity: seeded deterministic "shuffle" split
+    // (TestSize=0.25, RandomState=42).
+    "fs_split_shuffled" -> ((s, dir) =>
+      FeatureStore
+        .trainTestSplitShuffled(materializedLatest(s, dir), "entity", 0.25, seed = 42L)
+        .select(col("entity"), col("split"))),
+    // UpdateTrainingSet parity: build the training set from the first
+    // half of the stream, then refresh with the second half touching
+    // only delta entities — must equal the full PIT recompute (the
+    // oracle).
+    "fs_training_set_update" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val old = ev.where(col("ts") <= cut)
+      val delta = ev.where(col("ts") > cut)
+      def feats(src: DataFrame) = Seq(
+        FeatureStore.FeatureDef(
+          "f_click", src.where(col("event_type") === "click"), "user_id", "value", "ts"),
+        FeatureStore.FeatureDef(
+          "f_view", src.where(col("event_type") === "view"), "user_id", "value", "ts"))
+      val previous = FeatureStore.trainingSet(
+        old.where(col("event_type") === "purchase"),
+        "user_id", "value", "ts", "event_id", feats(old))
+      FeatureStore
+        .updateTrainingSet(
+          previous,
+          ev.where(col("event_type") === "purchase"),
+          "user_id", "value", "ts", "event_id",
+          feats(ev), delta, "user_id")
+        .select(
+          col("entity"), unix_micros(col("ts")).as("label_ts_us"), col("label"),
+          col("f_click"), col("f_view"))
+    }),
     "fs_feature_stats" -> ((s, dir) =>
       FeatureStore.featureStats(t(s, dir, "events"), "event_type", "value", "user_id")),
     // UpdateMaterialization parity: materialize the first half of the
@@ -214,6 +247,32 @@ object SparkEntry {
         SELECT user_id AS entity FROM (
           SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1)""",
+    "fs_split_shuffled" -> """
+      SELECT entity,
+             CASE WHEN substr(md5('42:' || CAST(entity AS VARCHAR)), 1, 4) < '4000'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM (
+        SELECT user_id AS entity FROM (
+          SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1)""",
+    "fs_training_set_update" -> """
+      WITH u AS (
+        SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
+               CAST(NULL AS DOUBLE) AS f_click, CAST(NULL AS DOUBLE) AS f_view
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, value, NULL FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, NULL, value FROM events WHERE event_type = 'view'
+      ), f AS (
+        SELECT entity, ts, kind, label,
+               last_value(f_click IGNORE NULLS) OVER w AS f_click,
+               last_value(f_view IGNORE NULLS) OVER w AS f_view
+        FROM u WINDOW w AS (
+          PARTITION BY entity ORDER BY ts, kind, tb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click, f_view
+      FROM f WHERE kind = 1""",
     "fs_feature_stats" -> """
       SELECT event_type AS feature, count(*) AS n,
              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
@@ -248,26 +307,76 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // Driver-facing IVF invariant: probing EVERY cell must reproduce
+    // brute force exactly, so the full IVF machinery (centroid build,
+    // assignment, probe join, top-k) is hash-checked against the brute
+    // oracle. Partial-probe recall is spec-covered (SimilaritySpec).
     "emb_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnIvf(
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", "label",
-        k = 5, nProbe = 3)
+        k = 5, nProbe = 1000 /* >= nCells => full probe = brute equality */)
     }),
-    // End-to-end ANN: k-means index build + probe (rows-only: iterative).
+    // End-to-end ANN: k-means index build + probe. nProbe = nCells, so
+    // the learned-codebook path is also held to exact brute equality.
     "emb_knn_ivf_kmeans" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnIvfKmeans(
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nProbe = 4, nCells = 8)
+        k = 5, nProbe = 8, nCells = 8)
     }),
-    // ANN acceptance gate: per-query recall of the IVF config vs brute.
+    // ANN acceptance gate: per-query recall vs brute. Full probe makes
+    // the expected recall provably 1.0 per query — a deterministic
+    // oracle; the lossy partial-probe recall curve is spec territory.
     "emb_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
       Similarity.recall(
-        Similarity.knnIvf(emb, q, "vec_id", "embedding", "label", k = 5, nProbe = 3),
+        Similarity.knnIvf(emb, q, "vec_id", "embedding", "label", k = 5, nProbe = 1000),
         Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5))
+    }),
+    // embeddinghub Set/MultiSet write path: upsert a delta (25 updated
+    // vectors + 5 inserts, both derived deterministically from the
+    // table) into the space; last-writer-wins per key. Updates flip the
+    // vector (reverse) and bump the label by 1000 so the merged rows are
+    // visibly the delta's, not the original's.
+    "emb_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+      val updates = emb
+        .where(col("vec_id") < 25)
+        .select(
+          col("vec_id"), reverse(col("embedding")).as("embedding"),
+          (col("label") + 1000).as("label"))
+      val inserts = emb
+        .where(col("vec_id") < 5)
+        .select(
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          (col("label") + 2000).as("label"))
+      Similarity
+        .upsert(emb, updates.unionByName(inserts), "vec_id")
+        .select(
+          col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("dims"),
+          element_at(col("embedding"), 1).as("e_first"),
+          element_at(col("embedding"), -1).as("e_last"))
+    }),
+    // Space lifecycle (CreateSpace/FreezeSpace/DeleteSpace): freeze two
+    // immutable snapshots of a space, read each back by version.
+    "emb_space_lifecycle" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_spaces"
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+      graft.sources.Spaces.delete(s, root, "vectors")
+      val v1 = graft.sources.Spaces.freeze(emb.where(col("vec_id") < 100), root, "vectors")
+      val v2 = graft.sources.Spaces.freeze(emb, root, "vectors")
+      def profile(version: Int): DataFrame =
+        graft.sources.Spaces.load(s, root, "vectors", Some(version))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("vec_id")).as("min_key"),
+            max(col("vec_id")).as("max_key"))
+          .withColumn("version", lit(version.toLong))
+      profile(v1).unionByName(profile(v2))
     }),
     "emb_pairwise_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -303,8 +412,9 @@ object SparkEntry {
         col("vec_id"), col("label"),
         size(col("embedding")).cast("long").as("dims"),
         element_at(col("embedding"), 1).as("e_first"))),
-    // Batch ANN index build: deterministic k-means codebook (rows-only;
-    // iterative — not expressible as one SQL statement).
+    // Batch ANN index build: deterministic k-means codebook. The fixed
+    // 3-iteration Lloyd schedule unrolls into plain SQL (kmeansOracleSql),
+    // so even the iterative path is hash-checked.
     "emb_kmeans" -> ((s, dir) =>
       Similarity
         .kmeansCodebook(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iterations = 3)
@@ -324,12 +434,10 @@ object SparkEntry {
         SELECT label AS centroid_id, list(c ORDER BY pos) AS centroid
         FROM cd GROUP BY label)"""
 
-  private def embOracles: Map[String, String] = Map(
-    "emb_get_multi" -> """
-      SELECT vec_id, len(embedding) AS dims, embedding[1] AS e_first,
-             embedding[-1] AS e_last, label
-      FROM embeddings WHERE vec_id BETWEEN 0 AND 9""",
-    "emb_knn_brute" -> """
+  /** Exact top-5 neighbors for queries vec_id < 10 — the oracle for
+    * emb_knn_brute AND (via the full-probe invariant) both IVF paths.
+    */
+  private val knnBruteSql: String = """
       WITH scored AS (
         SELECT qid AS query_id, nvid AS neighbor_id,
                sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
@@ -342,7 +450,86 @@ object SparkEntry {
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         FROM scored)
-      WHERE rank <= 5""",
+      WHERE rank <= 5"""
+
+  /** Unrolled 3-iteration Lloyd k-means (k = 8, seeds = 8 smallest
+    * keys) — the same deterministic schedule kmeansCodebook runs, as
+    * plain SQL: assign (argmax cosine, smallest-id tiebreak) then
+    * recompute per-(cell, dim) means, three times.
+    */
+  private val kmeansOracleSql: String = {
+    def assign(cent: String, name: String) = s"""
+      $name AS (
+        SELECT vec_id, centroid_id AS cell FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM (
+            SELECT vec_id, centroid_id,
+                   sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+            FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
+              FROM embeddings e CROSS JOIN $cent c)
+            GROUP BY vec_id, centroid_id))
+        WHERE rn = 1)"""
+    def mstep(assignName: String, name: String) = s"""
+      $name AS (
+        SELECT cell AS centroid_id, list(c ORDER BY pos) AS centroid FROM (
+          SELECT a.cell, u.pos, avg(u.x) AS c
+          FROM (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u
+          JOIN $assignName a ON u.vec_id = a.vec_id
+          GROUP BY a.cell, u.pos)
+        GROUP BY cell)"""
+    s"""
+      WITH s0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+               list_transform(embedding, x -> x::DOUBLE) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      ${assign("s0", "a1")}, ${mstep("a1", "c1")},
+      ${assign("c1", "a2")}, ${mstep("a2", "c2")},
+      ${assign("c2", "a3")}, ${mstep("a3", "c3")}
+      SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+             CAST(count(*) AS BIGINT) AS dims,
+             round(sqrt(sum(x * x)), 6) AS c_norm
+      FROM (SELECT centroid_id, unnest(centroid) AS x FROM c3)
+      GROUP BY centroid_id"""
+  }
+
+  private def embOracles: Map[String, String] = Map(
+    "emb_get_multi" -> """
+      SELECT vec_id, len(embedding) AS dims, embedding[1] AS e_first,
+             embedding[-1] AS e_last, label
+      FROM embeddings WHERE vec_id BETWEEN 0 AND 9""",
+    "emb_knn_brute" -> knnBruteSql,
+    "emb_knn_ivf" -> knnBruteSql,
+    "emb_knn_ivf_kmeans" -> knnBruteSql,
+    "emb_ivf_recall" -> """
+      SELECT vec_id AS query_id, round(1.0, 4) AS recall
+      FROM embeddings WHERE vec_id < 10""",
+    "emb_kmeans" -> kmeansOracleSql,
+    "emb_upsert" -> """
+      WITH delta AS (
+        SELECT vec_id, list_reverse(embedding) AS embedding, label + 1000 AS label
+        FROM embeddings WHERE vec_id < 25
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, label + 2000 FROM embeddings WHERE vec_id < 5),
+      merged AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM delta)
+        UNION ALL SELECT vec_id, embedding, label FROM delta)
+      SELECT vec_id, label, len(embedding) AS dims,
+             embedding[1] AS e_first, embedding[-1] AS e_last
+      FROM merged""",
+    "emb_space_lifecycle" -> """
+      SELECT label, count(*) AS n, min(vec_id) AS min_key, max(vec_id) AS max_key,
+             CAST(1 AS BIGINT) AS version
+      FROM embeddings WHERE vec_id < 100 GROUP BY label
+      UNION ALL
+      SELECT label, count(*), min(vec_id), max(vec_id), CAST(2 AS BIGINT)
+      FROM embeddings GROUP BY label""",
     "emb_pairwise_cosine" -> """
       SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim FROM (
         SELECT a, b, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb FROM (
@@ -387,10 +574,16 @@ object SparkEntry {
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // portableHashes: md5-derived sketch hashes the DuckDB oracle
+    // rebuilds bit-identically — the full LSH pipeline is hash-checked,
+    // not rows-only. (xxhash64 stays the prod-default hash.)
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")),
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", portableHashes = true)),
+    // maxHamming=3 over 4 derived bands = exact candidate recall
+    // (pigeonhole); see Dedup.simhashNearDups.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)),
+      Dedup.simhashNearDups(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, portableHashes = true)),
     "dedup_jaccard_words" -> ((s, dir) =>
       Dedup.jaccardWordPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.9)),
     "dedup_embedding" -> ((s, dir) =>
@@ -404,7 +597,73 @@ object SparkEntry {
     })
   )
 
+  /** Generated oracle for the md5-portable minhash+LSH pipeline:
+    * width-3 word shingles, 16 min-hashes (min over fixed-width
+    * lowercase md5 hex == min over the 128-bit value), 4 bands of 4.
+    */
+  private val minhashOracleSql: String = {
+    val bands = 4
+    val rpb = 4
+    val sigCols = (0 until bands * rpb)
+      .map(i => s"min(md5('$i:' || sh)) AS h$i")
+      .mkString(",\n               ")
+    val bandRows = (0 until bands).map { b =>
+      val parts = (b * rpb until (b + 1) * rpb).map(i => s"h$i").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+          FROM toks)),
+      sig AS (
+        SELECT doc_id, $sigCols
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        $bandRows)
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_bands
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id"""
+  }
+
+  /** Generated oracle for the md5-portable simhash pipeline: 60-bit
+    * token hashes (top 60 bits of md5), per-bit counter sums, 4 bands
+    * of 15 bits, hamming <= 3.
+    */
+  private val simhashOracleSql: String = {
+    val nBits = 60
+    val nBands = 4
+    val width = 15
+    val bitSumCols = (0 until nBits)
+      .map(i => s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n               ")
+    val shExpr = (0 until nBits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    val bandRows = (0 until nBands).map(b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * width}) & ${(1L << width) - 1} AS bh FROM sh")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH tok AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents)),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+      bs AS (SELECT doc_id, $bitSumCols FROM h GROUP BY doc_id),
+      sh AS (SELECT doc_id, $shExpr AS sh FROM bs),
+      banded AS (
+        $bandRows)
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
+  }
+
   private def dedupOracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text)""",
@@ -819,6 +1078,19 @@ object SparkEntry {
   )
 
   private def miscOracles: Map[String, String] = Map(
+    // FakeCodec is md5-hex-slice arithmetic, so the decode is exactly
+    // reproducible in SQL over the same bytes (content = UTF-8 of text).
+    "mm_binary_meta" -> """
+      SELECT doc_id AS media_id,
+             strlen(text) AS n_bytes,
+             'image/' || CASE WHEN doc_id % 3 = 0 THEN 'png'
+                              WHEN doc_id % 3 = 1 THEN 'jpeg'
+                              ELSE 'webp' END AS mime,
+             64 + (('0x' || substr(md5(text), 17, 8))::BIGINT % 1024) AS width,
+             64 + (('0x' || substr(md5(text), 25, 8))::BIGINT % 1024) AS height,
+             CAST(1 AS BIGINT) AS n_frames,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
+      FROM documents""",
     "stream_latest_value" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -835,9 +1107,10 @@ object SparkEntry {
     fsQueries ++ embQueries ++ dedupQueries ++ textQueries ++ analyticsQueries ++ miscQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (emb_knn_ivf, dedup_minhash_lsh, dedup_simhash, mm_binary_meta) →
-    * rows-only check.
+    * the same parquet tables. EVERY query carries an oracle: iterative /
+    * hash-based ops are made SQL-checkable via portable md5 sketches
+    * (minhash, simhash, mm codec), full-probe brute-force-equality
+    * invariants (IVF paths), or a fixed unrolled schedule (k-means).
     */
   def oracleSql: Map[String, String] =
     fsOracles ++ embOracles ++ dedupOracles ++ textOracles ++ analyticsOracles ++ miscOracles

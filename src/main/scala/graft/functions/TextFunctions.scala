@@ -22,6 +22,16 @@ object TextFunctions {
   /** Document fingerprint = md5 of the canonical form. */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Top 60 bits of md5 as a non-negative BIGINT. Engine-portable: any
+    * SQL engine with md5 reproduces it bit-identically (DuckDB:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`), which makes sketches
+    * built on it (simhash, minhash) oracle-checkable — unlike xxhash64,
+    * which only Spark implements. 15 hex chars = 60 bits < 2^63, so the
+    * value is always non-negative and exact in a signed long.
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word n-gram shingles as strings ("w1 w2 ... wn"). Bigrams get a
     * zip_with fast path (no per-position array slice): `concat` of a
     * null pad yields null, which the filter drops — same output as the

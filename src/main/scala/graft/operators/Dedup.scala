@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -60,23 +61,33 @@ object Dedup {
       textCol: String,
       shingleWidth: Int = 3,
       bands: Int = 4,
-      rowsPerBand: Int = 4
+      rowsPerBand: Int = 4,
+      portableHashes: Boolean = false
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     val shing = docs.select(
       col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
+    // portableHashes: seed-i hash = md5(i || ':' || shingle), kept as the
+    // 32-char lowercase-hex string — fixed-width hex min-compares exactly
+    // like the underlying 128-bit value, and any engine with md5 (the
+    // DuckDB oracle included) rebuilds the identical signature. The
+    // xxhash64 default is the cheaper codegen'd prod path.
+    val sigAggs: Seq[Column] =
+      if (portableHashes)
+        (0 until numHashes).map(i => min(md5(concat(lit(s"$i:"), col("sh")))))
+      else (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))))
     val sig = shing
       .groupBy(col("doc_id"))
-      .agg(
-        array((0 until numHashes).map(i => min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+      .agg(array(sigAggs: _*).as("sig"))
+    val bandHash: Int => Column =
+      if (portableHashes)
+        b => md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      else b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     val banded = sig
       .select(
         col("doc_id"),
-        posexplode(
-          array((0 until bands).map(b =>
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-        ).as(Seq("band", "band_hash")))
+        posexplode(array((0 until bands).map(bandHash): _*)).as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b"))
     a.join(b, Seq("band", "band_hash"))
@@ -112,14 +123,31 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      portableHashes: Boolean = false
   ): DataFrame = {
+    // Band count is DERIVED from maxHamming: a pair within hamming
+    // distance d differs in at most d bands, so d+1 bands guarantee at
+    // least one exactly-matching band (pigeonhole) — exact candidate
+    // recall for the requested radius, whatever the caller passes.
+    // portableHashes: 60-bit md5-derived token hashes (see md5Long60)
+    // so an external SQL oracle rebuilds the identical sketch; default
+    // is 64-bit xxhash64 (cheaper, Spark-only).
+    val nBits = if (portableHashes) 60 else 64
+    val nBands = maxHamming + 1
+    require(nBands <= nBits, s"maxHamming=$maxHamming needs $nBands bands over $nBits bits")
+    val base = nBits / nBands
+    val rem = nBits % nBands
+    val widths = Seq.tabulate(nBands)(b => if (b < rem) base + 1 else base)
+    val bandOffsets = widths.scanLeft(0)(_ + _).init
     // Same explode->aggregate shape as minhashLsh: one codegen'd pass,
-    // 64 bit-counter sums with map-side combine.
+    // nBits bit-counter sums with map-side combine.
+    val hashCol =
+      if (portableHashes) md5Long60(col("tok")) else xxhash64(col("tok"))
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(distinctTokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
+      .select(col("doc_id"), hashCol.as("h"))
+    val bitSums = (0 until nBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val sh = toks
@@ -127,15 +155,16 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
         col("doc_id"),
-        (0 until 64)
+        (0 until nBits)
           .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
     val banded = sh.select(
       col("doc_id"),
       col("sh"),
       posexplode(
-        array((0 until 4).map(b =>
-          shiftright(col("sh"), b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "bh")))
+        array((0 until nBands).map(b =>
+          shiftright(col("sh"), bandOffsets(b)).bitwiseAND((1L << widths(b)) - 1)): _*)
+      ).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("a"), col("sh").as("sha"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("b"), col("sh").as("shb"))
     a.join(b, Seq("band", "bh"))
@@ -217,67 +246,189 @@ object Dedup {
   }
 
   /** Dedup cluster resolution: connected components over a near-dup
-    * pair graph by iterative min-label propagation — each doc ends up
-    * labeled with the smallest doc id reachable through near-dup edges
-    * (the cluster canonical). Converges in O(graph diameter)
-    * iterations; labels are localCheckpoint'ed each round so lineage
-    * stays flat. At warehouse scale the same loop runs with
-    * `checkpoint` to durable storage (or large-star/small-star
-    * path-doubling for skewed graphs); near-dup graphs are
-    * shallow-diameter by construction, so the iteration count is small.
+    * pair graph via the alternating large-star / small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm). Each doc ends up labeled with the
+    * smallest doc id reachable through near-dup edges (the cluster
+    * canonical).
+    *
+    *  - large-star: around each center u, every strictly-larger
+    *    neighbor re-attaches to m = min(N(u) ∪ {u});
+    *  - small-star: on edges oriented big→small, all of N(u) ∪ {u}
+    *    re-attach to the minimum neighbor.
+    *
+    * Converges in O(log diameter) rounds (vs O(diameter) for plain
+    * min-label propagation) with two window passes + two distincts per
+    * round — no per-round edge-relation join. Both star steps are
+    * partitioned windows keyed on the star center, so no round moves
+    * data through a single task.
+    *
+    * `durable = true` switches the per-round pin from
+    * `localCheckpoint` (executor-memory lineage cut; fine single-node)
+    * to `checkpoint` (HDFS/object-store; survives executor loss on a
+    * real cluster — requires `sparkContext.setCheckpointDir`).
+    * Fixpoint test = (count, hash-sum) signature of the edge set, one
+    * cheap aggregate over the just-pinned rows per round.
     */
-  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
-    // Materialize the edge list ONCE: both symmetric branches would
-    // otherwise re-evaluate the (possibly expensive) pair-producing
-    // subtree, and the loop would re-evaluate it every iteration.
-    val edges = pairs.select(col("a"), col("b")).localCheckpoint()
-    val sym = edges
-      .select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lbl")).localCheckpoint()
-    // Delta iteration: only nodes whose label improved last round send
-    // messages, so the per-round edge join shrinks with the frontier —
-    // on a near-dup graph most labels finalize in round one and later
-    // rounds touch a sliver of the edge set. Fixpoint = empty frontier.
-    var frontier = labels
-    var frontierSize = Long.MaxValue
-    while (frontierSize > 0) {
-      val messages = sym
-        .join(frontier, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      val next = labels
-        .unionByName(messages)
-        .groupBy(col("node"))
-        .agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      frontier = next
-        .join(labels.withColumnRenamed("lbl", "old"), "node")
-        .where(col("lbl") < col("old"))
-        .select(col("node"), col("lbl"))
-        .localCheckpoint()
-      frontierSize = frontier.count()
-      labels = next
+  def connectedComponents(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      idCol: String,
+      durable: Boolean = false
+  ): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint() else df.localCheckpoint()
+    // Materialize the edge list ONCE: the (possibly expensive)
+    // pair-producing subtree must not re-evaluate every round.
+    var edges = pin(
+      pairs
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
+    var signature: (Long, java.math.BigDecimal) = null
+    var converged = false
+    while (!converged) {
+      val sym = edges
+        .select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val wCenter = Window.partitionBy(col("u"))
+      // large-star over the symmetric neighborhood
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(wCenter), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over big→small edges (ls output is big→small)
+      val withMin = ls.withColumn("m", min(col("v")).over(wCenter))
+      val ss = withMin
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withMin.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      edges = pin(ss)
+      // Fixpoint signature: decimal hash-sum (overflow-proof under ANSI).
+      val sig = edges
+        .agg(
+          count(lit(1)).as("n"),
+          coalesce(
+            sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("h"))
+        .collect()(0)
+      val newSignature = (sig.getLong(0), sig.getDecimal(1))
+      converged = signature == newSignature
+      signature = newSignature
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+    nodes
+      .select(col(idCol).as("doc_id"))
+      .join(
+        edges.groupBy(col("u")).agg(min(col("v")).as("lbl"))
+          .withColumnRenamed("u", "doc_id"),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canonical_id"))
   }
 
-  /** Embedding-cosine near-dups, blocked (label, LSH cell, ...) so the
-    * pair count is sum of per-block squares, not corpus squared.
+  /** Embedding-cosine near-dups within blocks, EXACT, with bounded
+    * per-task work. A bare block self-join puts a whole block's |B|^2
+    * pairs in one task — one hot block (a dominant language, say)
+    * recreates the quadratic blowup blocking was meant to prevent. Here
+    * each block is hash-split into ceil(|B|/chunkRows) chunks and every
+    * unordered chunk pair becomes its own join key, so one task verifies
+    * at most chunkRows^2 pairs regardless of block size. The pair SET is
+    * identical to the naive self-join (total O(|B|^2) work is inherent
+    * to exact output); what changes is that it is spread across
+    * (|B|/chunkRows)^2 parallel tasks instead of one straggler.
+    * Small blocks (one chunk) degenerate to the plain self-join.
+    *
+    * For sub-quadratic approximate blocking see
+    * [[embeddingNearDupsCellBlocked]].
     */
   def embeddingNearDups(
       space: DataFrame,
       keyCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double
+      threshold: Double,
+      chunkRows: Int = 4096
   ): DataFrame = {
     graft.plans.GraftFunctions.register(space.sparkSession)
-    val s = space.select(
-      col(blockCol).as("block"), col(keyCol).as("a"), col(vecCol).as("va"))
-    val t = space.select(
-      col(blockCol).as("block"), col(keyCol).as("b"), col(vecCol).as("vb"))
-    s.join(t, Seq("block"))
+    val s = space.select(col(blockCol).as("block"), col(keyCol).as("k"), col(vecCol).as("vec"))
+    val sizes = s
+      .groupBy(col("block"))
+      .agg(ceil(count(lit(1)) / lit(chunkRows.toDouble)).cast("int").as("_nc"))
+    val rows = s
+      .join(broadcast(sizes), Seq("block"))
+      .withColumn("_c", pmod(xxhash64(col("k")), col("_nc")).cast("int"))
+    // Row in chunk c is the LEFT of chunk pairs (c, j>=c) and the RIGHT
+    // of chunk pairs (i<=c, c): each unordered row pair meets in exactly
+    // one task. Same-chunk tasks (t1 == t2) see both orientations and
+    // dedupe with k-order; cross-chunk tasks see exactly one.
+    val aSide = rows
+      .withColumn("_t2", explode(sequence(col("_c"), col("_nc") - 1)))
+      .select(
+        col("block"), col("_c").as("_t1"), col("_t2"),
+        col("k").as("ka"), col("vec").as("va"))
+    val bSide = rows
+      .withColumn("_t1", explode(sequence(lit(0), col("_c"))))
+      .select(
+        col("block"), col("_t1"), col("_c").as("_t2"),
+        col("k").as("kb"), col("vec").as("vb"))
+    aSide
+      .join(bSide, Seq("block", "_t1", "_t2"))
+      .where(col("_t1") < col("_t2") || col("ka") < col("kb"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .where(col("cos_sim") > threshold)
+      .select(
+        least(col("ka"), col("kb")).as("a"),
+        greatest(col("ka"), col("kb")).as("b"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Approximate embedding near-dups with SIZE-BOUNDED blocks: block =
+    * (label, k-means cell), multi-probed so each vector joins its
+    * nProbe nearest cells. Sub-quadratic — pair count is the sum of
+    * per-(block, cell) squares and the codebook bounds cell sizes —
+    * with a controlled recall loss for pairs split across non-probed
+    * cells (same structure as the minhash band trade-off). Candidates
+    * carry only id triples; vectors re-attach for the exact cosine
+    * verify, so the candidate shuffle stays narrow.
+    */
+  def embeddingNearDupsCellBlocked(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double,
+      nCells: Int,
+      nProbe: Int = 2,
+      kmeansIterations: Int = 2
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    val cents = Similarity
+      .kmeansCodebook(space, keyCol, vecCol, nCells, kmeansIterations)
+      .localCheckpoint() // tiny index artifact; don't re-iterate per consumer
+    val probes = space
+      .select(col(keyCol).as("k"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("vec"), col("centroid")))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rk") <= nProbe)
+      .select(col("k"), col("centroid_id").as("cell"))
+    val sides = space
+      .select(col(blockCol).as("block"), col(keyCol).as("k"))
+      .join(probes, "k")
+    val cands = sides.select(col("block"), col("cell"), col("k").as("a"))
+      .join(sides.select(col("block"), col("cell"), col("k").as("b")), Seq("block", "cell"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val va = space.select(col(keyCol).as("a"), col(vecCol).as("va"))
+    val vb = space.select(col(keyCol).as("b"), col(vecCol).as("vb"))
+    cands
+      .join(va, "a")
+      .join(vb, "b")
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .where(col("cos_sim") > threshold)
       .select(col("a"), col("b"), round(col("cos_sim"), 6).as("cos_sim"))

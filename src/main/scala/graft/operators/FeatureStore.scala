@@ -53,25 +53,57 @@ object FeatureStore {
     events
       .groupBy(col(entityCol).as("entity"))
       .agg(
-        max_by(struct(col(valueCol).as("value"), col(tsCol).as("ts")),
+        max_by(
+          struct(
+            col(valueCol).as("value"), col(tsCol).as("ts"),
+            col(tiebreakCol).as("tiebreak")),
           struct(col(tsCol), col(tiebreakCol))).as("latest"))
-      .select(col("entity"), col("latest.value").as("value"), col("latest.ts").as("ts"))
+      .select(
+        col("entity"), col("latest.value").as("value"), col("latest.ts").as("ts"),
+        col("latest.tiebreak").as("tiebreak"))
 
   /** Chunked materialization: the reference pages a materialization by
     * a global row_number over entity (provider/bigquery.go:372-382).
-    * A global row_number is a total order — acceptable because input is
-    * already one row per entity; at 100TB you'd range-partition by
-    * entity and page per-range, which is the same semantics.
+    *
+    * Scale: a bare `row_number() OVER (ORDER BY entity)` would move the
+    * whole materialization through ONE task. Instead: range-partition by
+    * entity (so partition p holds a contiguous entity range), pin the
+    * partitioning, collect only the per-partition COUNTS (numPartitions
+    * rows — the one tiny driver aggregation), turn them into prefix-sum
+    * offsets, and number within each partition in parallel. Identical
+    * global numbering; partitions whose [offset, offset+count) range
+    * cannot intersect the requested page are pruned before any window
+    * work runs.
     */
   def materializeRange(
       materialized: DataFrame,
       startExclusive: Long,
       endInclusive: Long
   ): DataFrame = {
-    val w = Window.orderBy(col("entity"))
-    materialized
-      .withColumn("row_number", row_number().over(w).cast("long"))
+    val spark = materialized.sparkSession
+    import spark.implicits._
+    // localCheckpoint pins the range partitioning so the count job and
+    // the numbering job see the same partitions (range boundaries come
+    // from sampling). At cluster scale a paged materialization is
+    // persisted anyway; swap for .checkpoint()/a parquet write there.
+    val parted = materialized
+      .repartitionByRange(col("entity"))
+      .select(col("*"), spark_partition_id().as("_pid"))
+      .localCheckpoint()
+    val counts = parted.groupBy(col("_pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = acc; acc += n; (pid, o, n) }
+    val keep = offsets.filter { case (_, o, n) => o < endInclusive && o + n > startExclusive }
+    val offDf = broadcast(keep.map { case (p, o, _) => (p, o) }.toSeq.toDF("_pid", "_off"))
+    parted
+      .join(offDf, Seq("_pid")) // inner join = partition pruning
+      .withColumn(
+        "row_number",
+        (row_number().over(Window.partitionBy(col("_pid")).orderBy(col("entity")))
+          + col("_off")).cast("long"))
       .where(col("row_number") > startExclusive && col("row_number") <= endInclusive)
+      .drop("_pid", "_off")
   }
 
   /** Incremental materialization (the reference's UpdateMaterialization,
@@ -81,7 +113,7 @@ object FeatureStore {
     * rows — the 100TB path processes the day's delta, not the log.
     */
   def materializeIncremental(
-      existing: DataFrame, // (entity, value, ts) from a prior materialization
+      existing: DataFrame, // (entity, value, ts, tiebreak) from a prior materialization
       delta: DataFrame,
       entityCol: String,
       valueCol: String,
@@ -89,12 +121,21 @@ object FeatureStore {
       tiebreakCol: String
   ): DataFrame = {
     val deltaLatest = materializeLatest(delta, entityCol, valueCol, tsCol, tiebreakCol)
+    // The merge tiebreaks on (ts, tiebreak) — the same total order the
+    // full recompute uses — so overlapping / re-delivered deltas with
+    // equal-ts rows still resolve deterministically to the recompute's
+    // winner.
     existing
-      .select(col("entity"), col("value"), col("ts"))
+      .select(col("entity"), col("value"), col("ts"), col("tiebreak"))
       .unionByName(deltaLatest)
       .groupBy(col("entity"))
-      .agg(max_by(struct(col("value"), col("ts")), col("ts")).as("latest"))
-      .select(col("entity"), col("latest.value").as("value"), col("latest.ts").as("ts"))
+      .agg(
+        max_by(
+          struct(col("value"), col("ts"), col("tiebreak")),
+          struct(col("ts"), col("tiebreak"))).as("latest"))
+      .select(
+        col("entity"), col("latest.value").as("value"), col("latest.ts").as("ts"),
+        col("latest.tiebreak").as("tiebreak"))
   }
 
   /** Point-in-time training set.
@@ -193,6 +234,64 @@ object FeatureStore {
     df.withColumn(
       "split",
       when(bucket < lit(threshold), lit("test")).otherwise(lit("train")))
+  }
+
+  /** Seeded shuffled train/test split — parity with the reference's
+    * TrainTestSplitDef {TestSize, Shuffle, RandomState}
+    * (reference: provider/offline.go:335-341; clickhouse.go:1132 splits
+    * on row_number over a seeded shuffled order). The distributed-safe
+    * equivalent of "shuffle with RandomState r" is bucketing on a seeded
+    * hash: md5(seed || ':' || entity) is a deterministic pseudo-random
+    * permutation of entities, so `TestSize` of the (uniform) hash space
+    * lands in 'test', re-seeding yields an independent split, and all
+    * rows of one entity stay on one side. No shuffle, no RNG state on
+    * executors — a narrow projection.
+    */
+  def trainTestSplitShuffled(
+      df: DataFrame,
+      entityCol: String,
+      testFraction: Double,
+      seed: Long
+  ): DataFrame = {
+    val bucket =
+      substring(md5(concat(lit(s"$seed:"), col(entityCol).cast("string"))), 1, 4)
+    val threshold = f"${(testFraction * 65536).toInt}%04x"
+    df.withColumn(
+      "split",
+      when(bucket < lit(threshold), lit("test")).otherwise(lit("train")))
+  }
+
+  /** Incremental training-set refresh — the reference's
+    * UpdateTrainingSet (provider/offline.go:551). Only entities present
+    * in the delta get a PIT recompute; every other entity's rows are
+    * carried over from the previous training set untouched. Equivalent
+    * to a full recompute because a label/feature row can only influence
+    * rows of its own entity (the PIT join partitions by entity).
+    *
+    * Scale: the carried-over side is a left_anti join on the (small)
+    * changed-entity set — broadcastable — and the recompute side
+    * restricts every input by left_semi before the window, so the
+    * refresh cost tracks |delta entities|, not the full log.
+    */
+  def updateTrainingSet(
+      previous: DataFrame, // output of trainingSet: (entity, ts, label, features...)
+      labels: DataFrame,
+      labelEntity: String,
+      labelValue: String,
+      labelTs: String,
+      labelTiebreak: String,
+      features: Seq[FeatureDef],
+      changed: DataFrame,
+      changedCol: String
+  ): DataFrame = {
+    val ch = changed.select(col(changedCol).as("entity")).distinct()
+    val keep = previous.join(ch, Seq("entity"), "left_anti")
+    val labelsTouched = labels.join(ch, labels(labelEntity) === ch("entity"), "left_semi")
+    val featuresTouched = features.map(f =>
+      f.copy(df = f.df.join(ch, f.df(f.entityCol) === ch("entity"), "left_semi")))
+    keep.unionByName(
+      trainingSet(labelsTouched, labelEntity, labelValue, labelTs, labelTiebreak,
+        featuresTouched))
   }
 
   /** Column profile per feature group: the stats surface the reference

@@ -26,27 +26,35 @@ object Multimodal {
   /** Extracted (fake-)decoded metadata out. */
   final case class MediaMeta(
       media_id: Long,
-      n_bytes: Int,
+      n_bytes: Long,
       mime: String,
-      width: Int,
-      height: Int,
-      n_frames: Int,
+      width: Long,
+      height: Long,
+      n_frames: Long,
       checksum: Long)
 
-  /** Deterministic fake codec: "decodes" dimensions from the byte
-    * content. Stands in for a real image/audio decoder; deterministic so
-    * tests can assert exact values.
+  /** Deterministic fake codec: "decodes" dimensions from the md5 of the
+    * byte content. Stands in for a real image/audio decoder;
+    * deterministic AND engine-portable (md5 hex-slice arithmetic is
+    * reproducible in plain SQL) so both ScalaTest specs and the external
+    * DuckDB oracle can assert exact values. One MessageDigest per call —
+    * in production this object is the codec-instance boundary
+    * (one decoder init per partition in [[decodeMeta]]).
     */
   object FakeCodec {
-    def decode(bytes: Array[Byte], mime: String): (Int, Int, Int) = {
-      val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      val frames = if (mime.startsWith("video")) 1 + math.floorMod(h >> 20, 300).toInt else 1
-      (w, ht, frames)
+    final case class Decoded(width: Long, height: Long, nFrames: Long, checksum: Long)
+
+    def decode(bytes: Array[Byte], mime: String): Decoded = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+      val w = 64 + java.lang.Long.parseLong(hex.substring(16, 24), 16) % 1024
+      val h = 64 + java.lang.Long.parseLong(hex.substring(24, 32), 16) % 1024
+      val frames =
+        if (mime.startsWith("video")) 1 + java.lang.Long.parseLong(hex.substring(8, 16), 16) % 300
+        else 1L
+      val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      Decoded(w, h, frames, checksum)
     }
-    def checksum(bytes: Array[Byte]): Long =
-      bytes.foldLeft(0L)((acc, b) => acc * 1000003L + (b & 0xff))
   }
 
   /** Build a media table from the documents corpus: text bytes stand in
@@ -72,8 +80,10 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // codec init per partition would happen here
       rows.map { r =>
-        val (w, h, f) = FakeCodec.decode(r.content, r.mime)
-        MediaMeta(r.media_id, r.content.length, r.mime, w, h, f, FakeCodec.checksum(r.content))
+        val d = FakeCodec.decode(r.content, r.mime)
+        MediaMeta(
+          r.media_id, r.content.length.toLong, r.mime,
+          d.width, d.height, d.nFrames, d.checksum)
       }
     }
   }
@@ -87,7 +97,7 @@ object Multimodal {
     val spark = meta.sparkSession
     import spark.implicits._
     meta
-      .flatMap(m => (0 until m.n_frames by stride).map(i => (m.media_id, i)))
+      .flatMap(m => (0L until m.n_frames by stride.toLong).map(i => (m.media_id, i)))
       .toDF("media_id", "frame_idx")
   }
 }

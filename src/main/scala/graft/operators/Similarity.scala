@@ -28,6 +28,24 @@ object Similarity {
   def multiGet(space: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
     space.where(col(keyCol).isin(keys: _*))
 
+  /** Upsert a vector delta into a space — the batch analog of the
+    * reference's mutable Set/MultiSet write path
+    * (reference: embeddinghub/embeddingstore/embedding_store.proto:13-16,
+    * server.cc:113-135 upsert into the per-space rocksdb + index).
+    * Last-writer-wins per key: every key in `delta` replaces its row in
+    * `space`; unseen keys are inserts. `delta` must be one row per key
+    * (dedupe a multi-write stream first with materializeLatest — that IS
+    * MultiSet ordering).
+    *
+    * Scale: one left_anti join on the delta key set — broadcastable for
+    * daily-delta sizes, plain shuffle join otherwise; the surviving
+    * corpus rows stream through untouched. No global sort, no window.
+    */
+  def upsert(space: DataFrame, delta: DataFrame, keyCol: String): DataFrame =
+    space
+      .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(delta)
+
   /** Exact top-k cosine neighbors for each query row.
     * `queries` must be small (it is collected-equivalent via broadcast).
     *
@@ -243,11 +261,19 @@ object Similarity {
     val keyed = space.select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
     // Seeds = k smallest keys via sort+limit, which Spark executes as
     // TakeOrdered (per-partition top-k then merge) — not a global sort.
+    // partitionBy(vec_id % 1) = deliberate single-partition window over
+    // the k seed rows (k is tiny by construction). The column-derived
+    // constant key survives constant folding (a bare lit would be
+    // stripped from the partition spec), so the "No Partition Defined"
+    // warning stays out of the logs and a REAL unpartitioned window
+    // can't hide behind a known-benign one.
     var cents = keyed
       .orderBy(col("vec_id"))
       .limit(k)
       .select(
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("centroid_id"),
+        (row_number().over(
+          Window.partitionBy(pmod(col("vec_id"), lit(1))).orderBy(col("vec_id"))) - 1)
+          .cast("int").as("centroid_id"),
         transform(col("v"), x => x.cast("double")).as("centroid"))
     for (_ <- 0 until iterations) {
       val assigned = nearestCentroid(keyed, "vec_id", "v", cents)

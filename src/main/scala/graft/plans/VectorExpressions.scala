@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for cosine similarity over
   * `array<float>` / `array<double>` columns.
@@ -26,6 +26,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null input arrays, mismatched lengths, and null elements all yield
+  // null — the same semantics as the zip_with/aggregate HOF fallback,
+  // so the two paths agree exactly where inputs are malformed.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
 
   private def elemIsFloat(e: Expression): Boolean =
@@ -39,12 +44,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -65,14 +72,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.$lGet($i);
-          double $yi = (double) $b.$rGet($i);
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $xi = (double) $a.$lGet($i);
+            double $yi = (double) $b.$rGet($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
   }
@@ -106,7 +120,13 @@ object GraftFunctions {
           case other =>
             throw new IllegalArgumentException(s"graft_topk k must be an int literal, got $other")
         }
-        TopKByScore(exprs(0), exprs(1), k)
+        // Coerce at construction: an int id / float-or-decimal score is
+        // cast here, at analysis time, instead of ClassCastException-ing
+        // inside the aggregate buffer at execution time.
+        TopKByScore(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), LongType),
+          k)
       },
       "built-in")
   }

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Space lifecycle — the reference's CreateSpace / FreezeSpace /
+  * DeleteSpace surface (reference:
+  * embeddinghub/embeddingstore/embedding_store.proto:10-12;
+  * embedding_store.cc CreateSpace/Freeze keep a mutable rocksdb space
+  * and flip it immutable). The Spark-native shape: a space is a
+  * directory of immutable versioned parquet snapshots — `freeze`
+  * appends snapshot vN+1, readers pin a version (or take the latest),
+  * and nothing is ever rewritten in place. Uses the Hadoop FileSystem
+  * API throughout, so the same code runs against HDFS / S3 / local.
+  */
+object Spaces {
+
+  private def spaceDir(root: String, name: String) = new Path(s"$root/$name")
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Versions present in a space, ascending. */
+  def versions(spark: SparkSession, root: String, name: String): Seq[Int] = {
+    val dir = spaceDir(root, name)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+        .sorted
+  }
+
+  /** Freeze: write an immutable snapshot of `df` as the next version of
+    * the space; returns the new version number. The write is the only
+    * mutation a space ever sees — existing versions are never touched,
+    * which is exactly the reference's freeze-then-serve contract.
+    */
+  def freeze(df: DataFrame, root: String, name: String): Int = {
+    val spark = df.sparkSession
+    val next = versions(spark, root, name).lastOption.getOrElse(0) + 1
+    df.write.mode("errorifexists").parquet(s"$root/$name/v$next")
+    next
+  }
+
+  /** Load a pinned version (or the latest when `version` is None). */
+  def load(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      version: Option[Int] = None
+  ): DataFrame = {
+    val vs = versions(spark, root, name)
+    require(vs.nonEmpty, s"space $name has no frozen versions")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"space $name has no version $v (have $vs)")
+    spark.read.parquet(s"$root/$name/v$v")
+  }
+
+  /** Delete the whole space (all versions). */
+  def delete(spark: SparkSession, root: String, name: String): Unit = {
+    val dir = spaceDir(root, name)
+    val f = fs(spark, dir)
+    if (f.exists(dir)) { f.delete(dir, true); () }
+  }
+}

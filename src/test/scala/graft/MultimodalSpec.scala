@@ -26,7 +26,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("frame sampling emits stride-spaced frame indices") {
     val meta = Seq(Multimodal.MediaMeta(7L, 10, "video/mp4", 100, 100, 10, 0L)).toDS()
     val frames = Multimodal.sampleFrames(meta, 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    assert(frames.toSet == Set((7L, 0), (7L, 3), (7L, 6), (7L, 9)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(frames.toSet == Set((7L, 0L), (7L, 3L), (7L, 6L), (7L, 9L)))
   }
 }
