@@ -598,14 +598,17 @@ object SparkEntry {
   )
 
   /** Generated oracle for the md5-portable minhash+LSH pipeline:
-    * width-3 word shingles, 16 min-hashes (min over fixed-width
-    * lowercase md5 hex == min over the 128-bit value), 4 bands of 4.
+    * width-3 word shingles, 16 min-hash lanes (seed g's md5 split into
+    * its two 64-bit hex halves; min over fixed-width lowercase hex ==
+    * min over the 64-bit value), 4 bands of 4.
     */
   private val minhashOracleSql: String = {
     val bands = 4
     val rpb = 4
-    val sigCols = (0 until bands * rpb)
-      .map(i => s"min(md5('$i:' || sh)) AS h$i")
+    val sigCols = (0 until bands * rpb / 2)
+      .flatMap(g => Seq(
+        s"min(substr(md5('$g:' || sh), 1, 16)) AS h${2 * g}",
+        s"min(substr(md5('$g:' || sh), 17, 16)) AS h${2 * g + 1}"))
       .mkString(",\n               ")
     val bandRows = (0 until bands).map { b =>
       val parts = (b * rpb until (b + 1) * rpb).map(i => s"h$i").mkString(" || ',' || ")

@@ -68,15 +68,21 @@ object Dedup {
     val shing = docs.select(
       col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
-    // portableHashes: seed-i hash = md5(i || ':' || shingle), kept as the
-    // 32-char lowercase-hex string — fixed-width hex min-compares exactly
-    // like the underlying 128-bit value, and any engine with md5 (the
-    // DuckDB oracle included) rebuilds the identical signature. The
-    // xxhash64 default is the cheaper codegen'd prod path.
+    // portableHashes: seed-g hash = md5(g || ':' || shingle), SPLIT into
+    // its two 64-bit hex halves so one md5 evaluation feeds two
+    // signature lanes (halves the per-shingle hashing work). Fixed-width
+    // lowercase hex min-compares exactly like the underlying 64-bit
+    // value, and any engine with md5 (the DuckDB oracle included)
+    // rebuilds the identical signature. The xxhash64 default is the
+    // cheaper codegen'd prod path.
     val sigAggs: Seq[Column] =
-      if (portableHashes)
-        (0 until numHashes).map(i => min(md5(concat(lit(s"$i:"), col("sh")))))
-      else (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))))
+      if (portableHashes) {
+        require(numHashes % 2 == 0, "portable mode needs an even bands*rowsPerBand")
+        (0 until numHashes / 2).flatMap { g =>
+          val full = md5(concat(lit(s"$g:"), col("sh")))
+          Seq(min(substring(full, 1, 16)), min(substring(full, 17, 16)))
+        }
+      } else (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))))
     val sig = shing
       .groupBy(col("doc_id"))
       .agg(array(sigAggs: _*).as("sig"))
@@ -84,6 +90,10 @@ object Dedup {
       if (portableHashes)
         b => md5(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
       else b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    // Both self-join sides consume `banded`; the static plan shows two
+    // copies of the scan->aggregate subtree, but AQE's runtime exchange
+    // reuse dedupes them (verified: pinning with localCheckpoint does
+    // not change wall time), so the lineage stays intact for free.
     val banded = sig
       .select(
         col("doc_id"),
@@ -211,6 +221,10 @@ object Dedup {
       col("block"), col("doc_id"), size(col("toks")).as("nw"),
       explode(col("toks")).as("word"))
     val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // Four consumers read `sorted` (both prefix-join sides + both
+    // verify-join sides); AQE's runtime exchange reuse evaluates the
+    // tokenize + frequency-join + sort subtree once (verified: an
+    // explicit localCheckpoint pin does not change wall time).
     val sorted = words
       .join(freq, "word")
       .groupBy(col("block"), col("doc_id"), col("nw"))
@@ -292,12 +306,14 @@ object Dedup {
         .select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val wCenter = Window.partitionBy(col("u"))
-      // large-star over the symmetric neighborhood
+      // large-star over the symmetric neighborhood. No dedup here: the
+      // small-star windows are duplicate-insensitive (min over the
+      // partition) and its own distinct canonicalizes the round's
+      // output, so skipping a per-round shuffle is free.
       val ls = sym
         .withColumn("m", least(min(col("v")).over(wCenter), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star over big→small edges (ls output is big→small)
       val withMin = ls.withColumn("m", min(col("v")).over(wCenter))
       val ss = withMin

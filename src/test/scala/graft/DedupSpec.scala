@@ -66,4 +66,77 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  private def fan(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val ang = i * 0.15
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+
+  test("chunk-split embedding near-dups equals the single-chunk pair set") {
+    // 40 vectors in one block; chunkRows = 4 forces 10 chunks and the
+    // chunk-pair task fan-out — output must be EXACTLY the naive result.
+    val space = fan(40)
+    def run(chunk: Int) =
+      Dedup.embeddingNearDups(space, "vec_id", "embedding", "label", 0.9, chunkRows = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val chunked = run(4)
+    assert(chunked == run(1000000))
+    assert(chunked.nonEmpty && chunked.forall { case (a, b, _) => a < b })
+  }
+
+  test("cell-blocked near-dups: full probe equals exact, partial probe is a subset") {
+    val space = fan(30)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keys(Dedup.embeddingNearDups(space, "vec_id", "embedding", "label", 0.95))
+    val full = keys(Dedup.embeddingNearDupsCellBlocked(
+      space, "vec_id", "embedding", "label", 0.95, nCells = 4, nProbe = 4))
+    val partial = keys(Dedup.embeddingNearDupsCellBlocked(
+      space, "vec_id", "embedding", "label", 0.95, nCells = 4, nProbe = 1))
+    assert(full == exact)           // probing every cell loses nothing
+    assert(partial.subsetOf(exact)) // blocking only ever drops pairs
+    assert(partial.nonEmpty)        // same-cell neighbors survive
+  }
+
+  test("large-star/small-star converges on chains and with a durable checkpoint") {
+    // A path graph is the worst case for label propagation (diameter =
+    // n); star alternation must still collapse it to the minimum.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (6L, 7L)).toDF("a", "b")
+    val nodes = (1L to 8L).toDF("id")
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L, 7L -> 6L, 8L -> 8L)
+    val local = Dedup.connectedComponents(edges, nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val durable = Dedup.connectedComponents(edges, nodes, "id", durable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == expected)
+  }
+
+  test("portable md5 sketch modes agree with the xxhash modes on verdicts") {
+    // Different hash families -> different buckets, but the semantic
+    // verdicts (exact dups pair up; unrelated docs don't) must hold in
+    // both modes, and simhash(identical docs) is hamming 0 in both.
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text", portableHashes = true)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(mh.contains((1L, 2L)) && !mh.exists(p => p._1 == 4L || p._2 == 4L))
+    val sh = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, portableHashes = true)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(sh((1L, 2L)) == 0L)
+  }
+
+  test("simhash band derivation guarantees candidate recall up to maxHamming") {
+    // maxHamming = 7 must derive 8 bands (pigeonhole), in both bit widths.
+    for (portable <- Seq(true, false)) {
+      val out = Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 7, portableHashes = portable)
+      // (1,2) identical -> present regardless of banding
+      val pairs = out.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+      assert(pairs.contains((1L, 2L)))
+    }
+  }
 }

@@ -113,4 +113,77 @@ class FeatureStoreSpec extends AnyFunSuite {
     val again = FeatureStore.trainTestSplit(df, "entity", 0.25)
     assert(out.except(again).count() == 0)
   }
+
+  test("trainTestSplitShuffled: seed reproduces, re-seed re-shuffles") {
+    val df = (0L until 1000L).toDF("entity")
+    def split(seed: Long) = FeatureStore.trainTestSplitShuffled(df, "entity", 0.25, seed)
+    val s42 = split(42L)
+    val counts = s42.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("test") > 180 && counts("test") < 320)
+    assert(s42.except(split(42L)).count() == 0)     // RandomState reproducibility
+    assert(split(7L).except(s42).count() > 0)       // new seed = a different split
+    // and the seeded split differs from the unseeded hash split
+    assert(s42.except(FeatureStore.trainTestSplit(df, "entity", 0.25)).count() > 0)
+  }
+
+  test("materializeIncremental tiebreaks equal-ts rows like the full recompute") {
+    // Delta re-delivers an equal-ts row for entity 1 with a LOWER
+    // tiebreak than the existing winner: the merge must keep the
+    // existing row, exactly as a full recompute over all events would.
+    val existing = FeatureStore.materializeLatest(events, "user_id", "value", "ts", "event_id")
+    val delta = Seq((1L, 77.0, ts("2024-01-01 02:00:00"), 0L))
+      .toDF("user_id", "value", "ts", "event_id")
+    val merged = FeatureStore
+      .materializeIncremental(existing, delta, "user_id", "value", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = FeatureStore
+      .materializeLatest(events.unionByName(delta), "user_id", "value", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(merged == full && merged(1L) == 20.0)
+  }
+
+  test("updateTrainingSet equals the full recompute, touching only delta entities") {
+    val labels = Seq(
+      (1L, 1.0, ts("2024-01-01 01:00:00"), 100L),
+      (2L, 2.0, ts("2024-01-01 01:00:00"), 101L),
+      (2L, 3.0, ts("2024-01-01 04:00:00"), 102L)  // arrives in the delta window
+    ).toDF("user_id", "label_v", "ts", "event_id")
+    val feats = Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00")),
+      (2L, 20.0, ts("2024-01-01 00:00:00")),
+      (2L, 40.0, ts("2024-01-01 03:00:00"))       // arrives in the delta window
+    ).toDF("user_id", "fv", "fts")
+    val cut = ts("2024-01-01 02:00:00")
+    def fd(src: org.apache.spark.sql.DataFrame) =
+      Seq(FeatureStore.FeatureDef("f1", src, "user_id", "fv", "fts"))
+    val previous = FeatureStore.trainingSet(
+      labels.where(col("ts") <= cut), "user_id", "label_v", "ts", "event_id",
+      fd(feats.where(col("fts") <= cut)))
+    val changed = labels.where(col("ts") > cut).select(col("user_id"))
+      .unionByName(feats.where(col("fts") > cut).select(col("user_id")))
+    val updated = FeatureStore.updateTrainingSet(
+      previous, labels, "user_id", "label_v", "ts", "event_id", fd(feats),
+      changed, "user_id")
+    val full = FeatureStore.trainingSet(
+      labels, "user_id", "label_v", "ts", "event_id", fd(feats))
+    assert(updated.except(full).count() == 0 && full.except(updated).count() == 0)
+    // the refreshed set sees the delta: label 3.0 joins the 03:00 feature
+    val got = updated.collect()
+      .map(r => r.getAs[Double]("label") -> Option(r.getAs[Any]("f1"))).toMap
+    assert(got(3.0) == Some(40.0))
+  }
+
+  test("materializeRange numbering is globally consistent across partitions") {
+    // 500 entities >> shuffle partitions: offsets must stitch pages into
+    // the exact global entity order with no gaps or dupes.
+    val m = (0L until 500L).map(i => (i, i * 2.0)).toDF("entity", "value")
+    val all = FeatureStore.materializeRange(m, 0, 500)
+      .collect().map(r => (r.getAs[Long]("entity"), r.getAs[Long]("row_number")))
+    assert(all.length == 500)
+    assert(all.sortBy(_._2).map(_._1).toSeq == (0L until 500L).toSeq)
+    val page = FeatureStore.materializeRange(m, 123, 140)
+      .collect().map(_.getAs[Long]("entity")).sorted.toSeq
+    assert(page == (123L until 140L).toSeq)
+  }
 }

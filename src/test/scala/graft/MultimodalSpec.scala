@@ -23,6 +23,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1L).width >= 64 && rows(1L).height >= 64)
   }
 
+  test("FakeCodec md5 slices are pinned to externally computed values") {
+    // Pins from an independent md5("some payload") computation: the
+    // codec must stay reproducible by any engine with md5 (the SQL
+    // oracle depends on this exact hex-slice arithmetic).
+    val d = Multimodal.FakeCodec.decode("some payload".getBytes("UTF-8"), "image/png")
+    assert(d.checksum == 361300346020269704L)
+    assert(d.width == 1008L && d.height == 381L && d.nFrames == 1L)
+    val v = Multimodal.FakeCodec.decode("some payload".getBytes("UTF-8"), "video/mp4")
+    assert(v.nFrames >= 1L && v.nFrames <= 300L)
+  }
+
   test("frame sampling emits stride-spaced frame indices") {
     val meta = Seq(Multimodal.MediaMeta(7L, 10, "video/mp4", 100, 100, 10, 0L)).toDS()
     val frames = Multimodal.sampleFrames(meta, 3)

@@ -18,6 +18,43 @@ class SimilaritySpec extends AnyFunSuite {
     (3L, Array(0.1f, 0.9f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  test("upsert is last-writer-wins per key: updates replace, inserts append") {
+    val delta = Seq(
+      (1L, Array(0.5f, 0.5f), 9),   // update of key 1
+      (10L, Array(0.2f, 0.8f), 9)   // insert
+    ).toDF("vec_id", "embedding", "label")
+    val merged = Similarity.upsert(tiny, delta, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(merged.size == 5)                       // 4 originals, 1 replaced, 1 new
+    assert(merged(1L) == 9 && merged(10L) == 9)    // delta rows won
+    assert(merged(0L) == 0 && merged(2L) == 1)     // untouched rows intact
+  }
+
+  test("native cosine is null-strict on malformed inputs, matching the HOF path") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)), // length mismatch
+      (2L, Array(1.0f, 2.0f), Array(1.0f, 2.0f))        // well-formed
+    ).toDF("id", "a", "b")
+    val out = df.select(
+      col("id"),
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("hof"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == ((None, None)))     // both null on mismatch
+    assert(out(2L)._1 == out(2L)._2 && out(2L)._1.isDefined)
+  }
+
+  test("graft_topk coerces int ids and non-double scores at analysis time") {
+    graft.plans.GraftFunctions.register(spark)
+    // int id + float score: round 1 threw ClassCastException at runtime
+    val scored = Seq((1, 0.5f, 7), (1, 0.9f, 8), (1, 0.7f, 9))
+      .toDF("g", "s", "id")
+    val top = Similarity.topKPerGroup(scored, "g", "s", "id", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(top.toSeq.sortBy(_._2) == Seq((8L, 1L), (9L, 2L)))
+  }
+
   test("native codegen cosine == HOF cosine on real embeddings") {
     graft.plans.GraftFunctions.register(spark)
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings").limit(50)

@@ -46,4 +46,23 @@ class SourcesSpec extends AnyFunSuite {
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || back.inputFiles.forall(_.contains("part=a")))
   }
+
+  test("space lifecycle: freeze appends immutable versions, load pins, delete removes") {
+    import graft.sources.Spaces
+    val root = s"$tmp/spaces"
+    Spaces.delete(spark, root, "s1")
+    assert(Spaces.versions(spark, root, "s1").isEmpty)
+    val v1 = Spaces.freeze(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "s1")
+    val v2 = Spaces.freeze(Seq((1L, "a2")).toDF("k", "v"), root, "s1")
+    assert((v1, v2) == ((1, 2)) && Spaces.versions(spark, root, "s1") == Seq(1, 2))
+    // pinned read returns the frozen snapshot, not the latest
+    assert(Spaces.load(spark, root, "s1", Some(1)).count() == 2)
+    assert(Spaces.load(spark, root, "s1").count() == 1) // latest = v2
+    // versions are immutable: re-freezing never rewrites an existing one
+    val before = Spaces.load(spark, root, "s1", Some(1)).orderBy("k").collect().toSeq
+    Spaces.freeze(Seq((9L, "z")).toDF("k", "v"), root, "s1")
+    assert(Spaces.load(spark, root, "s1", Some(1)).orderBy("k").collect().toSeq == before)
+    Spaces.delete(spark, root, "s1")
+    assert(Spaces.versions(spark, root, "s1").isEmpty)
+  }
 }

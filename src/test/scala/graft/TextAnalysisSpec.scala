@@ -8,6 +8,18 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
   import spark.implicits._
 
+  test("md5Long60 is pinned to the externally computed 60-bit md5 prefix") {
+    import org.apache.spark.sql.functions.col
+    // int(md5('hello')[0:15], 16) computed independently — the portable
+    // sketch hashes (simhash/minhash oracle mode) rely on this value
+    // being reproducible by any engine with md5.
+    val got = Seq("hello").toDF("s")
+      .select(graft.functions.TextFunctions.md5Long60(col("s")))
+      .collect().head.getLong(0)
+    assert(got == 419982666956583591L)
+    assert(got >= 0L)
+  }
+
   test("token counts") {
     val docs = Seq((1L, "a b b c")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(docs, "doc_id", "text").collect().head
