@@ -317,6 +317,17 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", "label",
         k = 5, nProbe = 1000 /* >= nCells => full probe = brute equality */)
     }),
+    // The REAL approximate path, driver-checked: nProbe = 3 of the 10
+    // label cells, with an oracle that unrolls the identical IVF
+    // schedule (assignment + query-cell ranking + restricted top-k) in
+    // SQL — the recall trade-off itself is hash-verified, not just the
+    // degenerate full-probe case.
+    "emb_knn_ivf_partial" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvf(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 5, nProbe = 3)
+    }),
     // End-to-end ANN: k-means index build + probe. nProbe = nCells, so
     // the learned-codebook path is also held to exact brute equality.
     "emb_knn_ivf_kmeans" -> ((s, dir) => {
@@ -506,6 +517,42 @@ object SparkEntry {
     "emb_knn_brute" -> knnBruteSql,
     "emb_knn_ivf" -> knnBruteSql,
     "emb_knn_ivf_kmeans" -> knnBruteSql,
+    // Partial-probe IVF unrolled: label centroids -> corpus cell
+    // assignment (argmax cosine, smallest-id tiebreak) -> top-3 cells
+    // per query -> exact top-5 within the probed cells only.
+    "emb_knn_ivf_partial" -> s"""
+      WITH $centroidCte,
+      ascore AS (
+        SELECT vec_id, centroid_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
+          FROM embeddings e CROSS JOIN cent c)
+        GROUP BY vec_id, centroid_id),
+      assigned AS (
+        SELECT vec_id, centroid_id AS cell FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM ascore) WHERE rn = 1),
+      qcells AS (
+        SELECT vec_id AS query_id, centroid_id AS cell FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+          FROM ascore WHERE vec_id < 10) WHERE rk <= 3),
+      scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q
+          JOIN qcells qc ON qc.query_id = q.vec_id
+          JOIN assigned a ON a.cell = qc.cell
+          JOIN embeddings n ON n.vec_id = a.vec_id AND n.vec_id <> q.vec_id)
+        GROUP BY qid, nvid)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5""",
     "emb_ivf_recall" -> """
       SELECT vec_id AS query_id, round(1.0, 4) AS recall
       FROM embeddings WHERE vec_id < 10""",
@@ -1072,6 +1119,12 @@ object SparkEntry {
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()),
+    // Video frame extraction end-to-end: mixed-modality ingest ->
+    // batched decode -> stride-30 frame sampling (lazily flat-mapped).
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(t(s, dir, "documents"))),
+        stride = 30)),
     "stream_latest_value" -> ((s, dir) =>
       StreamingFeatures
         .latestValueBatch(t(s, dir, "events"))
@@ -1094,6 +1147,14 @@ object SparkEntry {
              CAST(1 AS BIGINT) AS n_frames,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
       FROM documents""",
+    "mm_frame_sample" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 1 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 300)
+                    ELSE CAST(1 AS BIGINT) END AS n_frames
+        FROM documents)
+      SELECT media_id, unnest(range(0, n_frames, 30)) AS frame_idx FROM m""",
     "stream_latest_value" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

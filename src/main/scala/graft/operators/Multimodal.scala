@@ -70,6 +70,18 @@ object Multimodal {
           .when(col("doc_id") % 3 === 1, "jpeg")
           .otherwise("webp")).as("mime"))
 
+  /** Mixed-modality variant: every third doc carries a video payload, so
+    * the frame-extraction path (n_frames > 1, stride sampling) is
+    * exercised end-to-end.
+    */
+  def mediaFromDocsMixed(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      when(col("doc_id") % 3 === 0, "video/mp4")
+        .when(col("doc_id") % 3 === 1, "image/jpeg")
+        .otherwise("image/webp").as("mime"))
+
   /** Partition-parallel batched decode: one codec instance per
     * partition, rows processed in a streaming iterator (never
     * materializes a partition in memory).

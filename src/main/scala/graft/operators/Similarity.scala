@@ -222,6 +222,35 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)) / col("k"), 4).as("recall"))
   }
 
+  /** IVF probe-count auto-tuning: smallest nProbe (doubling search)
+    * whose worst-query recall against exact brute force meets the
+    * target — the acceptance-gate loop a production ANN deployment runs
+    * before swapping brute force for the index. Driver-side iteration
+    * is a handful of scalar reads (one min() per candidate nProbe);
+    * all heavy work stays distributed.
+    */
+  def tuneNProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      groupColForCentroids: String,
+      k: Int,
+      targetRecall: Double,
+      maxProbe: Int
+  ): Int = {
+    val exact = knnBruteForce(corpus, queries, keyCol, vecCol, k).localCheckpoint()
+    var nProbe = 1
+    while (nProbe < maxProbe) {
+      val approx = knnIvf(corpus, queries, keyCol, vecCol, groupColForCentroids, k, nProbe)
+      val worst = recall(approx, exact)
+        .agg(min(col("recall"))).collect()(0).getDouble(0)
+      if (worst >= targetRecall) return nProbe
+      nProbe *= 2
+    }
+    maxProbe
+  }
+
   /** Cosine similarity for aligned key pairs (a, b). */
   def pairwiseCosine(
       space: DataFrame,

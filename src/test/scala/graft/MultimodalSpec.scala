@@ -34,6 +34,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v.nFrames >= 1L && v.nFrames <= 300L)
   }
 
+  test("mixed-modality ingest gives videos multi-frame decodes, images one frame") {
+    val docs = Seq(
+      (0L, "video doc", "en", "s", 9L),
+      (1L, "image doc", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(docs))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta(0L).mime == "video/mp4" && meta(0L).n_frames >= 1L)
+    assert(meta(1L).mime == "image/jpeg" && meta(1L).n_frames == 1L)
+  }
+
   test("frame sampling emits stride-spaced frame indices") {
     val meta = Seq(Multimodal.MediaMeta(7L, 10, "video/mp4", 100, 100, 10, 0L)).toDS()
     val frames = Multimodal.sampleFrames(meta, 3)

@@ -45,6 +45,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L)._1 == out(2L)._2 && out(2L)._1.isDefined)
   }
 
+  test("tuneNProbe finds the smallest probe count meeting the recall target") {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+    val tuned = Similarity.tuneNProbe(
+      emb, q, "vec_id", "embedding", "label", k = 3, targetRecall = 1.0, maxProbe = 16)
+    assert(tuned >= 1 && tuned <= 16)
+    // the tuned config actually meets the gate
+    val worst = Similarity.recall(
+      Similarity.knnIvf(emb, q, "vec_id", "embedding", "label", 3, tuned),
+      Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 3))
+      .agg(min(col("recall"))).collect()(0).getDouble(0)
+    assert(worst >= 1.0)
+  }
+
   test("graft_topk coerces int ids and non-double scores at analysis time") {
     graft.plans.GraftFunctions.register(spark)
     // int id + float score: round 1 threw ClassCastException at runtime
