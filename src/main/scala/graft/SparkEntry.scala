@@ -950,6 +950,25 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+    // Bucketed-layout join: both sides hash-bucketed + sorted on the
+    // join key at write time, so the recurring entity join runs with no
+    // per-query exchange (shuffle-free plan spec-verified in
+    // SourcesSpec); the oracle checks the result over the raw parquet.
+    "source_bucketed_join" -> ((s, dir) => {
+      Tables.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "orders_bkt", Seq("o_custkey"), 8)
+      Tables.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "customer_bkt", Seq("c_custkey"), 8)
+      val o = s.table("orders_bkt")
+      val c = s.table("customer_bkt")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_spend"))
+    }),
     // Source round-trip: register a CSV copy of a table and query it —
     // the oracle reads the original parquet.
     "source_csv_roundtrip" -> ((s, dir) => {
@@ -1105,6 +1124,11 @@ object SparkEntry {
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment""",
+    "source_bucketed_join" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment""",
     "source_csv_roundtrip" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,

@@ -78,4 +78,25 @@ object Tables {
       format: String = "parquet"
   ): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).format(format).save(path)
+
+  /** Bucketed catalog table: hash-bucket + sort by the join key at
+    * write time so repeated joins/aggregations on that key need NO
+    * exchange — the pre-shuffled layout every warehouse keeps for its
+    * fact tables. This is the 100 TB lever for the feature store's
+    * recurring entity joins (label ⨝ features every training-set build):
+    * pay the shuffle once at ingest, never per query. Requires
+    * `saveAsTable` (bucket metadata lives in the catalog).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

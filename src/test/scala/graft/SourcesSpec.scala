@@ -47,6 +47,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || back.inputFiles.forall(_.contains("part=a")))
   }
 
+  test("bucketed tables join and aggregate on the bucket key with no exchange") {
+    val a = (0L until 200L).map(i => (i % 40, i)).toDF("k", "va")
+    val b = (0L until 40L).map(i => (i, s"name$i")).toDF("k", "name")
+    Tables.writeBucketed(a, "t_bkt_a", Seq("k"), 4)
+    Tables.writeBucketed(b, "t_bkt_b", Seq("k"), 4)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+        .groupBy("k").count()
+      assert(j.count() == 40L)
+      val plan = j.queryExecution.executedPlan.toString
+      // bucketed layout: the join AND the bucket-key aggregation reuse
+      // the write-time partitioning — zero runtime shuffles
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("space lifecycle: freeze appends immutable versions, load pins, delete removes") {
     import graft.sources.Spaces
     val root = s"$tmp/spaces"
