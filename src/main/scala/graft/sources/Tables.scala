@@ -92,11 +92,21 @@ object Tables {
       table: String,
       bucketCols: Seq[String],
       numBuckets: Int
-  ): Unit =
+  ): Unit = {
+    val spark = df.sparkSession
+    // The catalog is per-session but the warehouse directory persists:
+    // a fresh session neither knows the table (so overwrite doesn't
+    // engage) nor may create over the leftover location. Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${table.toLowerCase}")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
