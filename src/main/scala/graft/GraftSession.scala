@@ -31,6 +31,11 @@ object GraftSession {
       // 100TB note: parquet scans split at this size; 128MB default is
       // right for the cluster, harmless locally.
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // Catalog-table location (bucketed tables) must not depend on the
+      // launcher's cwd; on a cluster this is the real warehouse path.
+      .config(
+        "spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
     master.fold(b)(b.master)
   }
