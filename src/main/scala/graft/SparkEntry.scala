@@ -899,6 +899,10 @@ object SparkEntry {
         t(s, dir, "nation"), topN = 20)),
     "q12_case_agg" -> ((s, dir) =>
       Analytics.q12PriorityClasses(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q6_scan_agg" -> ((s, dir) =>
+      Analytics.q6ForecastRevenue(t(s, dir, "lineitem"))),
+    "q4_exists_range" -> ((s, dir) =>
+      Analytics.q4OrderPriority(t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "q_corr_subquery" -> ((s, dir) =>
       Analytics.ordersAboveCustomerAvg(t(s, dir, "orders"))),
     "q_window" -> ((s, dir) => Analytics.runningSpend(t(s, dir, "orders"))),
@@ -1033,6 +1037,21 @@ object SparkEntry {
                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_linestatus""",
+    "q6_scan_agg" -> """
+      SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                           CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+             AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 24""",
+    "q4_exists_range" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority""",
     "q_corr_subquery" -> """
       SELECT o_custkey, o_orderkey, o_totalprice
       FROM orders o

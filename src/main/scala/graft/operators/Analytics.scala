@@ -203,6 +203,42 @@ object Analytics {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(topN)
 
+  /** TPC-H Q6-style forecast revenue: a pure predicate-pushdown scan —
+    * every filter reaches the parquet reader (PushedFilters on shipdate
+    * range, discount band, quantity cap), then one global sum with
+    * map-side partial aggregation. The canonical "scan-speed at 100 TB"
+    * query: no join, no wide shuffle, one exchange of partial sums.
+    */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
+
+  /** TPC-H Q4-style order-priority check: orders with at least one late
+    * shipment (l_shipdate more than 60 days after the order date) —
+    * an EXISTS expressed as a left_semi join whose equi-key is the
+    * order and whose residual is the cross-table date inequality. The
+    * semi join never multiplies rows and its build side prunes to two
+    * columns.
+    */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val late = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    orders
+      .join(
+        late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** TPC-H Q12-style: conditional CASE aggregation — line counts per
     * order-priority class (high vs low) by line status.
     */
