@@ -181,6 +181,21 @@ object Analytics {
         round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
         count(lit(1)).as("n"))
 
+  /** Sketch-based percentiles — the 100 TB path. Exact `percentile`
+    * buffers every value per group; `approx_percentile` keeps a
+    * bounded mergeable sketch per partition (map-side combined), so
+    * memory is O(accuracy) per group however large the input. Error is
+    * bounded by 1/accuracy of rank; the exact variant stays the oracle
+    * gate at test SFs (spec asserts the sketch tracks it).
+    */
+  def orderPercentilesApprox(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(approx_percentile(col("o_totalprice"), lit(0.5), lit(accuracy)), 4)
+          .as("p50_approx"),
+        count(lit(1)).as("n"))
+
   /** TPC-H Q10-style: top customers by returned-item revenue. Ordered
     * top-N via sort+limit (TakeOrdered — per-partition top-N, no global
     * sort shuffle).

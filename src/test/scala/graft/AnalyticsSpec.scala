@@ -38,6 +38,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(keys == Set(11L, 12L))
   }
 
+  test("approx percentile sketch tracks the exact percentile") {
+    val orders = Tables.load(spark, GraftTestSession.Sf0001, "orders")
+    val exact = Analytics.orderPercentiles(orders).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    val approx = Analytics.orderPercentilesApprox(orders).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50_approx")).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) / exact(k) < 0.02, s"p50 drift for $k: $v vs ${exact(k)}")
+    }
+  }
+
   test("q1 pricing summary sums are exact decimals emitted as doubles") {
     val li = Tables.load(spark, GraftTestSession.Sf0001, "lineitem")
     val out = Analytics.q1PricingSummary(li).collect()
