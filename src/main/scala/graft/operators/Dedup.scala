@@ -366,6 +366,7 @@ object Dedup {
       threshold: Double,
       chunkRows: Int = 4096
   ): DataFrame = {
+    require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
     graft.plans.GraftFunctions.register(space.sparkSession)
     val s = space.select(col(blockCol).as("block"), col(keyCol).as("k"), col(vecCol).as("vec"))
     val sizes = s

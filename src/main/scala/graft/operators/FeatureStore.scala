@@ -226,6 +226,13 @@ object FeatureStore {
     * Returns the input with a `split` column: 'train' | 'test'.
     */
   def trainTestSplit(df: DataFrame, entityCol: String, testFraction: Double): DataFrame = {
+    // Fixed-width comparison only holds for thresholds that fit 4 hex
+    // chars — testFraction = 1.0 would need the 5-char "10000", which
+    // sorts BEFORE "ffff" lexicographically. Degenerate splits have no
+    // use anyway; reject them loudly.
+    require(
+      testFraction >= 0.0 && testFraction < 1.0,
+      s"testFraction must be in [0, 1), got $testFraction")
     // First 4 hex chars of md5 = 16 bits; fixed-width lowercase hex
     // compares lexicographically == numerically, so a plain string
     // comparison is engine-portable.
@@ -253,6 +260,9 @@ object FeatureStore {
       testFraction: Double,
       seed: Long
   ): DataFrame = {
+    require(
+      testFraction >= 0.0 && testFraction < 1.0,
+      s"testFraction must be in [0, 1), got $testFraction")
     val bucket =
       substring(md5(concat(lit(s"$seed:"), col(entityCol).cast("string"))), 1, 4)
     val threshold = f"${(testFraction * 65536).toInt}%04x"
