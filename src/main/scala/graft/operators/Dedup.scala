@@ -129,6 +129,14 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(distinctTokens(text), t => xxhash64(t)))
 
+  /** Native one-pass simhash (graft.plans.SimHash64): the whole sketch
+    * as a single codegen'd projected column — no explode, no
+    * aggregation, scan-speed sketch-per-document. Bit-identical to
+    * [[simhash]] (spec-checked); requires GraftFunctions.register.
+    */
+  def simhashNative(text: Column): Column =
+    call_function(graft.plans.GraftFunctions.SimHashName, distinctTokens(text))
+
   def simhashNearDups(
       docs: DataFrame,
       idCol: String,

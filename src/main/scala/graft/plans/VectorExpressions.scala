@@ -104,6 +104,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName = "graft_cosine"
   val TopKName = "graft_topk"
+  val SimHashName = "graft_simhash64"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -111,6 +112,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       CosineName,
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      SimHashName,
+      (exprs: Seq[Expression]) => SimHash64(exprs(0)),
       "built-in")
     registry.createOrReplaceTempFunction(
       TopKName,

@@ -50,6 +50,7 @@ object Tables {
     val reader = spark.read
     val df = format match {
       case "parquet" => reader.parquet(path)
+      case "orc" => reader.orc(path)
       case "csv" =>
         val r = reader.option("header", csvHeader.toString)
         expectedSchema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)

@@ -129,6 +129,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sh((1L, 2L)) == 0L)
   }
 
+  test("native one-pass simhash equals the declarative HOF sketch") {
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val corpus = sources.Tables.load(spark, GraftTestSession.Sf0001, "documents")
+    val mismatches = corpus
+      .select(
+        Dedup.simhash(col("text")).as("hof"),
+        Dedup.simhashNative(col("text")).as("native"))
+      .where(col("hof") =!= col("native"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("simhash band derivation guarantees candidate recall up to maxHamming") {
     // maxHamming = 7 must derive 8 bands (pigeonhole), in both bit widths.
     for (portable <- Seq(true, false)) {

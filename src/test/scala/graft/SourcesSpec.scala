@@ -29,6 +29,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM t_csv").head().getLong(0) == 2L)
   }
 
+  test("orc round-trips through registerPrimary") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    df.write.mode("overwrite").orc(s"$tmp/orc")
+    val back = Tables.registerPrimary(spark, "t_orc", s"$tmp/orc", "orc")
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    assert(spark.sql("SELECT count(*) FROM t_orc").head().getLong(0) == 2L)
+  }
+
   test("schema validation rejects mistyped sources") {
     Seq((1L, "a")).toDF("id", "name").write.mode("overwrite").parquet(s"$tmp/pq")
     val bad = StructType(Seq(StructField("id", StringType)))
