@@ -176,12 +176,17 @@ object Dedup {
         (0 until nBits)
           .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+    // Long shifts are mod 64, so a 64-wide band (maxHamming=0, non-
+    // portable) needs the explicit all-ones mask: (1L << 64) - 1 == 0
+    // would collapse every band hash to 0 and degenerate LSH to an
+    // all-pairs self-join.
+    def bandMask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
     val banded = sh.select(
       col("doc_id"),
       col("sh"),
       posexplode(
         array((0 until nBands).map(b =>
-          shiftright(col("sh"), bandOffsets(b)).bitwiseAND((1L << widths(b)) - 1)): _*)
+          shiftright(col("sh"), bandOffsets(b)).bitwiseAND(bandMask(widths(b)))): _*)
       ).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("a"), col("sh").as("sha"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("b"), col("sh").as("shb"))

@@ -229,6 +229,13 @@ object Similarity {
     * is a handful of scalar reads (one min() per candidate nProbe);
     * all heavy work stays distributed.
     */
+  /** Returns Some(nProbe) for the smallest candidate meeting the target,
+    * None when even maxProbe misses it (the caller must not deploy the
+    * index). Candidates are the doubling sequence clamped to maxProbe,
+    * so maxProbe itself is always evaluated before giving up. An empty
+    * query set vacuously meets any target at nProbe=1 (min over zero
+    * queries is null → treated as no failing query).
+    */
   def tuneNProbe(
       corpus: DataFrame,
       queries: DataFrame,
@@ -238,17 +245,20 @@ object Similarity {
       k: Int,
       targetRecall: Double,
       maxProbe: Int
-  ): Int = {
+  ): Option[Int] = {
+    require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
     val exact = knnBruteForce(corpus, queries, keyCol, vecCol, k).localCheckpoint()
-    var nProbe = 1
-    while (nProbe < maxProbe) {
+    var cand = 1
+    while (cand <= maxProbe) {
+      val nProbe = math.min(cand, maxProbe)
       val approx = knnIvf(corpus, queries, keyCol, vecCol, groupColForCentroids, k, nProbe)
-      val worst = recall(approx, exact)
-        .agg(min(col("recall"))).collect()(0).getDouble(0)
-      if (worst >= targetRecall) return nProbe
-      nProbe *= 2
+      val worstRow = recall(approx, exact).agg(min(col("recall"))).collect()(0)
+      val worst = if (worstRow.isNullAt(0)) 1.0 else worstRow.getDouble(0)
+      if (worst >= targetRecall) return Some(nProbe)
+      if (nProbe == maxProbe) return None
+      cand = math.min(cand * 2, maxProbe)
     }
-    maxProbe
+    None
   }
 
   /** Cosine similarity for aligned key pairs (a, b). */

@@ -20,15 +20,27 @@ object Spaces {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Versions present in a space, ascending. */
+  private val VersionDir = "^v(\\d+)$".r
+
+  /** Versions present in a space, ascending. Only complete snapshots
+    * count: the entry must match ^v\d+$ AND contain the _SUCCESS marker
+    * Spark writes on commit — a crashed/partial freeze or a stray temp
+    * dir is neither listed nor allowed to poison the `.toInt` parse.
+    * Single-writer assumption: freeze's list-then-write scheme is not
+    * safe for concurrent freezers of the same space (standard for
+    * snapshot dirs without a transactional commit protocol).
+    */
   def versions(spark: SparkSession, root: String, name: String): Seq[Int] = {
     val dir = spaceDir(root, name)
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
     else
       f.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+        .filter(_.isDirectory)
+        .flatMap(st => st.getPath.getName match {
+          case VersionDir(n) if f.exists(new Path(st.getPath, "_SUCCESS")) => Some(n.toInt)
+          case _ => None
+        })
         .sorted
   }
 

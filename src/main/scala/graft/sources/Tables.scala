@@ -94,6 +94,14 @@ object Tables {
       bucketCols: Seq[String],
       numBuckets: Int
   ): Unit = {
+    // Unqualified names only: the manual stale-location cleanup below
+    // assumes the default database's <warehouse>/<table> layout; a
+    // `db.tbl` name would both mis-backtick in DROP TABLE and live at
+    // <warehouse>/<db>.db/<table>, so the cleanup would target the
+    // wrong path.
+    require(
+      !table.contains('.'),
+      s"writeBucketed requires an unqualified table name, got '$table'")
     val spark = df.sparkSession
     // The catalog is per-session but the warehouse directory persists:
     // a fresh session neither knows the table (so overwrite doesn't

@@ -51,13 +51,34 @@ class SimilaritySpec extends AnyFunSuite {
     val q = emb.where(col("vec_id") < 5)
     val tuned = Similarity.tuneNProbe(
       emb, q, "vec_id", "embedding", "label", k = 3, targetRecall = 1.0, maxProbe = 16)
-    assert(tuned >= 1 && tuned <= 16)
+    assert(tuned.exists(p => p >= 1 && p <= 16))
     // the tuned config actually meets the gate
     val worst = Similarity.recall(
-      Similarity.knnIvf(emb, q, "vec_id", "embedding", "label", 3, tuned),
+      Similarity.knnIvf(emb, q, "vec_id", "embedding", "label", 3, tuned.get),
       Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 3))
       .agg(min(col("recall"))).collect()(0).getDouble(0)
     assert(worst >= 1.0)
+  }
+
+  test("tuneNProbe evaluates maxProbe itself and reports unmet targets as None") {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+    // maxProbe=10 covers every label cell => recall 1.0 is achievable, and
+    // 10 is NOT a power of two — the pre-fix doubling search would have
+    // skipped it and returned it unevaluated.
+    val atMax = Similarity.tuneNProbe(
+      emb, q, "vec_id", "embedding", "label", k = 3, targetRecall = 1.0, maxProbe = 10)
+    assert(atMax.isDefined && atMax.get <= 10)
+    // Impossible target: must be None, never a silently-unmet nProbe.
+    val unmet = Similarity.tuneNProbe(
+      emb, q, "vec_id", "embedding", "label", k = 3, targetRecall = 1.1, maxProbe = 2)
+    assert(unmet.isEmpty)
+    // Empty query set: vacuously satisfied at the first candidate.
+    val noQueries = Similarity.tuneNProbe(
+      emb, emb.where(col("vec_id") < 0), "vec_id", "embedding", "label",
+      k = 3, targetRecall = 1.0, maxProbe = 4)
+    assert(noQueries.contains(1))
   }
 
   test("graft_topk coerces int ids and non-double scores at analysis time") {
