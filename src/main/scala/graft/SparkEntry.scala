@@ -930,6 +930,36 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
     "q_percentiles" -> ((s, dir) => Analytics.orderPercentiles(t(s, dir, "orders"))),
     "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
+    "q7_volume_shipping" -> ((s, dir) =>
+      Analytics.q7VolumeShipping(s, dir, "NATION_3", "NATION_19")),
+    "q8_market_share" -> ((s, dir) =>
+      Analytics.q8MarketShare(s, dir, "ASIA", "ECONOMY", "NATION_3")),
+    "q9_product_profit" -> ((s, dir) =>
+      Analytics.q9ProductProfit(s, dir, "widget")),
+    "q13_order_distribution" -> ((s, dir) =>
+      Analytics.q13CustomerDistribution(t(s, dir, "customer"), t(s, dir, "orders"))),
+    "q14_promo_share" -> ((s, dir) =>
+      Analytics.q14PromoRevenue(t(s, dir, "lineitem"), t(s, dir, "part"), "1996-03-01")),
+    "q15_top_supplier" -> ((s, dir) =>
+      Analytics.q15TopSupplier(t(s, dir, "lineitem"), t(s, dir, "supplier"), "1996-01-01")),
+    "q16_supplier_breadth" -> ((s, dir) =>
+      Analytics.q16SupplierPartCount(
+        t(s, dir, "lineitem"), t(s, dir, "part"), "Brand#13", Seq(1, 5, 10, 15, 20, 25, 30, 35))),
+    "q17_small_qty_revenue" -> ((s, dir) =>
+      Analytics.q17SmallQuantityRevenue(t(s, dir, "lineitem"), t(s, dir, "part"), "Brand#13")),
+    "q18_large_orders" -> ((s, dir) =>
+      Analytics.q18LargeOrders(
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"), minQty = 300)),
+    "q19_disjunctive" -> ((s, dir) =>
+      Analytics.q19DisjunctiveRevenue(t(s, dir, "lineitem"), t(s, dir, "part"))),
+    "q20_promotion_suppliers" -> ((s, dir) =>
+      Analytics.q20PartPromotionSuppliers(s, dir, "blue", "1996-01-01", minQty = 30)),
+    "q21_waiting_supplier" -> ((s, dir) =>
+      Analytics.q21WaitingSupplier(
+        t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "supplier"))),
+    "q22_dormant_customers" -> ((s, dir) =>
+      Analytics.q22DormantCustomers(
+        t(s, dir, "customer"), t(s, dir, "orders"), "1999-01-01")),
     "q_anti_semi_join" -> ((s, dir) =>
       Analytics.antiSemiCounts(t(s, dir, "customer"), t(s, dir, "orders"))),
     // Set operations: nations having suppliers INTERSECT/EXCEPT nations
@@ -1122,6 +1152,134 @@ object SparkEntry {
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type""",
+    "q7_volume_shipping" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_3', 'NATION_19')
+        AND n2.n_name IN ('NATION_3', 'NATION_19')
+        AND n1.n_name <> n2.n_name
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
+    "q8_market_share" -> s"""
+      SELECT year(o_orderdate) AS o_year,
+             CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $disc
+                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) /
+             CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      GROUP BY year(o_orderdate)""",
+    "q9_product_profit" -> s"""
+      SELECT n_name AS nation, year(l_shipdate) AS o_year,
+             CAST(CAST(sum($disc - CAST(p_retailprice AS DECIMAL(18,4)) *
+                                   CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+               AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY n_name, year(l_shipdate)""",
+    "q13_order_distribution" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count""",
+    "q14_promo_share" -> s"""
+      SELECT 100.0 *
+             CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $disc
+                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) /
+             CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-03-01' + INTERVAL 1 MONTH""",
+    "q15_top_supplier" -> s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01' + INTERVAL 3 MONTH
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    "q16_supplier_breadth" -> """
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      GROUP BY p_brand, p_type, p_size""",
+    "q17_small_qty_revenue" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#13'
+        AND l_quantity < (
+          SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 0.5
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q18_large_orders" -> """
+      SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+             o_totalprice, sum_qty
+      FROM (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300) big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey""",
+    "q19_disjunctive" -> s"""
+      SELECT CAST(CAST(sum($disc) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""",
+    "q20_promotion_suppliers" -> """
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01' + INTERVAL 1 YEAR
+        GROUP BY l_suppkey
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 30)""",
+    "q21_waiting_supplier" -> """
+      WITH sm AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey),
+      om AS (
+        SELECT l_orderkey, max(supp_last) AS order_last, count(*) AS n_supp
+        FROM sm GROUP BY l_orderkey)
+      SELECT s_name, count(*) AS numwait
+      FROM sm
+      JOIN om USING (l_orderkey)
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE n_supp >= 2 AND supp_last = order_last
+      GROUP BY s_name""",
+    "q22_dormant_customers" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_nationkey""",
     "q_anti_semi_join" -> """
       SELECT c_mktsegment,
              count(*) FILTER (WHERE NOT EXISTS (

@@ -310,4 +310,324 @@ object Analytics {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+
+  // ---------------------------------------------------------------- //
+  // TPC-H-shaped suite completion (adapted to the test schema: no     //
+  // partsupp table, no commit/receipt dates, no phone/container      //
+  // columns — each query keeps the original's *plan shape*).          //
+  // ---------------------------------------------------------------- //
+
+  private def discSum =
+    sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+      .cast("decimal(38,4)").cast("double")
+
+  /** TPC-H Q7-style volume shipping: bilateral trade volume between two
+    * nations by ship year. The nation-pair filter is applied to the
+    * 25-row nation dim BEFORE the join (broadcast both roles), so the
+    * supplier/customer joins prune to the two nations of interest
+    * instead of filtering post-join — at 100 TB that's the difference
+    * between scanning 2/25ths of the join output and all of it.
+    */
+  def q7VolumeShipping(
+      spark: SparkSession,
+      dir: String,
+      nationA: String,
+      nationB: String
+  ): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val pair = Seq(nationA, nationB)
+    val n1 = nation.where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = nation.where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(
+        col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(discSum.as("revenue"))
+  }
+
+  /** TPC-H Q8-style market share: the share of one supplier nation in a
+    * region's market for one product type, by order year. Ratio of two
+    * DECIMAL sums emitted as doubles (numerator = conditional sum), so
+    * the division is over exactly-agreed values.
+    */
+  def q8MarketShare(
+      spark: SparkSession,
+      dir: String,
+      regionName: String,
+      productType: String,
+      shareNation: String
+  ): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val n1 = nation.select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val n2 = nation.select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val region = Tables.load(spark, dir, "region").where(col("r_name") === regionName)
+    val part = Tables.load(spark, dir, "part").where(col("p_type") === productType)
+      .select(col("p_partkey"))
+    val volume = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    Tables.load(spark, dir, "lineitem")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === shareNation, volume).otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("decimal(38,4)").cast("double") /
+          sum(volume).cast("decimal(38,4)").cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9-style product profit by supplier nation and year. Without
+    * a partsupp table, supply cost is approximated by
+    * `p_retailprice * l_quantity` — the plan shape (part-name filter →
+    * fact join → two-level group) is identical. Both product terms are
+    * exact at scale ≤ 4, so the scale-8 → scale-4 → double emission is
+    * lossless (see q1 comment).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String, namePattern: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_name").contains(namePattern))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profit =
+      dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity"))
+    Tables.load(spark, dir, "lineitem")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("decimal(38,4)").cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: customers
+    * (including order-less ones, via left outer) bucketed by how many
+    * non-urgent orders they placed. Two shuffles: one on custkey for the
+    * per-customer count, one tiny one on the count value.
+    */
+  def q13CustomerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14-style promo revenue share for one ship month: the date
+    * range pushes to the lineitem scan; part joins only the month's
+    * slice. Numerator is a conditional DECIMAL sum.
+    */
+  def q14PromoRevenue(lineitem: DataFrame, part: DataFrame, monthStart: String): DataFrame = {
+    val volume = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    lineitem
+      .where(
+        col("l_shipdate") >= lit(monthStart).cast("timestamp") &&
+        col("l_shipdate") < lit(monthStart).cast("timestamp") + expr("INTERVAL 1 MONTH"))
+      .join(part.select(col("p_partkey"), col("p_type")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", volume).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("decimal(38,4)").cast("double") /
+          sum(volume).cast("decimal(38,4)").cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q15-style top supplier: supplier(s) with the maximum revenue
+    * over one quarter. The max is a 1-row broadcast back onto the
+    * per-supplier aggregate (the decorrelated form of the view+subquery
+    * original); ties return every maximal supplier, keeping the result
+    * deterministic.
+    */
+  def q15TopSupplier(lineitem: DataFrame, supplier: DataFrame, quarterStart: String): DataFrame = {
+    val rev = lineitem
+      .where(
+        col("l_shipdate") >= lit(quarterStart).cast("timestamp") &&
+        col("l_shipdate") < lit(quarterStart).cast("timestamp") + expr("INTERVAL 3 MONTH"))
+      .groupBy(col("l_suppkey"))
+      .agg(discSum.as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev
+      .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q16-style supplier breadth per part config: distinct
+    * suppliers that shipped each (brand, type, size) combination,
+    * excluding one brand and restricting to a size list. partsupp does
+    * not exist in this schema, so the supplier-part relation is derived
+    * from lineitem — same distinct-count plan (two-phase hash distinct,
+    * map-side partial).
+    */
+  def q16SupplierPartCount(
+      lineitem: DataFrame,
+      part: DataFrame,
+      excludeBrand: String,
+      sizes: Seq[Int]
+  ): DataFrame =
+    lineitem
+      .join(
+        part.where(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue that
+    * would be lost by not stocking small orders of one brand's parts.
+    * The per-part average-quantity subquery is decorrelated into an
+    * aggregate + re-join, and lineitem is pre-filtered to the brand's
+    * parts by a broadcast semi-join BEFORE the average is computed —
+    * the aggregate only ever sees the brand's slice.
+    */
+  def q17SmallQuantityRevenue(lineitem: DataFrame, part: DataFrame, brand: String): DataFrame = {
+    val brandParts = part.where(col("p_brand") === brand).select(col("p_partkey"))
+    val li = lineitem.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val halfAvg = li
+      .groupBy(col("l_partkey").as("ak"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.5).as("half_avg_qty"))
+    li
+      .join(halfAvg, col("l_partkey") === col("ak"))
+      .where(col("l_quantity") < col("half_avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds a threshold, with their customer. The HAVING aggregate runs
+    * first (one shuffle on orderkey, map-side combine) so only
+    * qualifying orderkeys — a vanishing fraction at any SF — reach the
+    * orders/customer joins.
+    */
+  def q18LargeOrders(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      minQty: Double
+  ): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** TPC-H Q19-style disjunctive predicate revenue: three OR'd
+    * brand/size/quantity branches. The part-only disjuncts (brand IN,
+    * size bounds) are extracted by Catalyst's
+    * PushExtraPredicateThroughJoin into a pushed scan filter, so the
+    * join build side is the union of the three branches, not all of
+    * part.
+    */
+  def q19DisjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(discSum.as("revenue"))
+
+  /** TPC-H Q20-style part-promotion suppliers: suppliers that shipped
+    * more than a threshold quantity of a part-name family within a year
+    * — the nested IN subqueries become broadcast semi-joins (part list →
+    * lineitem slice → qualifying suppliers → supplier semi-join).
+    */
+  def q20PartPromotionSuppliers(
+      spark: SparkSession,
+      dir: String,
+      namePrefix: String,
+      yearStart: String,
+      minQty: Double
+  ): DataFrame = {
+    val qualParts = Tables.load(spark, dir, "part")
+      .where(col("p_name").startsWith(namePrefix)).select(col("p_partkey"))
+    val qualSupp = Tables.load(spark, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yearStart).cast("timestamp") + expr("INTERVAL 1 YEAR"))
+      .join(broadcast(qualParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .where(col("qty") > minQty)
+      .select(col("l_suppkey"))
+    Tables.load(spark, dir, "supplier")
+      .join(qualSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  /** TPC-H Q21-style waiting-supplier count, adapted to this schema's
+    * columns (no commit/receipt dates): for each finished (status F)
+    * order with at least two distinct suppliers, the supplier(s) whose
+    * latest shipment IS the order's latest shipment were the ones
+    * everyone else waited on. Equivalent to the correlated
+    * EXISTS(other supplier) AND NOT EXISTS(other supplier shipped later)
+    * pair of the original, but expressed as two aggregates + a re-join:
+    * a supplier's latest shipment equals the order max exactly when no
+    * other supplier shipped later and (given >= 2 suppliers) someone
+    * else exists. Two keyed shuffles, no self-join row blowup.
+    */
+  def q21WaitingSupplier(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      supplier: DataFrame
+  ): DataFrame = {
+    val fOrders = orders.where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val suppMax = lineitem
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_last"))
+    val orderMax = suppMax
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(max(col("supp_last")).as("order_last"), count(lit(1)).as("n_supp"))
+    suppMax
+      .join(orderMax, col("l_orderkey") === col("ok"))
+      .where(col("n_supp") >= 2 && col("supp_last") === col("order_last"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22-style dormant high-balance customers: customers with an
+    * above-average (among positive balances) account balance and no
+    * order since a cutoff, grouped by nation (the schema has no phone
+    * column for country codes). The global average is a 1-row broadcast;
+    * the "no recent order" NOT EXISTS is a left_anti join against the
+    * date-filtered orders projection.
+    */
+  def q22DormantCustomers(customer: DataFrame, orders: DataFrame, cutoff: String): DataFrame = {
+    val avgBal = customer
+      .where(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(
+        orders.where(col("o_orderdate") >= lit(cutoff).cast("timestamp")).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
 }

@@ -66,4 +66,86 @@ class AnalyticsSpec extends AnyFunSuite {
       .toMap
     assert(rows == Map(1L -> ((2L, 0L)), 2L -> ((0L, 1L))))
   }
+
+  test("q13 counts order-less customers in the zero bucket and excludes urgent orders") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val ords = Seq(
+      (10L, 1L, "5-LOW"), (11L, 1L, "5-LOW"),
+      (12L, 2L, "1-URGENT") // excluded -> customer 2 lands in the 0 bucket
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val dist = Analytics.q13CustomerDistribution(cust, ords).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    assert(dist == Map(2L -> 1L, 0L -> 2L))
+  }
+
+  test("q15 returns every supplier tied at the maximum revenue") {
+    val li = Seq(
+      (1L, 100.0, 0.0, ts("1996-02-01 00:00:00")),
+      (2L, 100.0, 0.0, ts("1996-02-01 00:00:00")),
+      (3L, 50.0, 0.0, ts("1996-02-01 00:00:00")),
+      (1L, 999.0, 0.0, ts("1997-01-01 00:00:00")) // outside the quarter
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("s_suppkey", "s_name")
+    val top = Analytics.q15TopSupplier(li, supp, "1996-01-01").collect()
+      .map(_.getAs[String]("s_name")).toSet
+    assert(top == Set("s1", "s2"))
+  }
+
+  test("q17 keeps only lineitems below half the part's average quantity") {
+    // part 1: quantities 10, 10, 1 -> avg 7, half 3.5 -> only the 1 qualifies
+    val li = Seq(
+      (1L, 10.0, 100.0), (1L, 10.0, 100.0), (1L, 1.0, 7.0),
+      (2L, 5.0, 999.0) // not Brand#13
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#13"), (2L, "Brand#22")).toDF("p_partkey", "p_brand")
+    val out = Analytics.q17SmallQuantityRevenue(li, part, "Brand#13").collect()
+    assert(out.length == 1 && math.abs(out(0).getAs[Double]("avg_yearly") - 1.0) < 1e-9)
+  }
+
+  test("q21 picks exactly the last-shipping supplier of multi-supplier F orders") {
+    val ords = Seq((1L, "F"), (2L, "F"), (3L, "O")).toDF("o_orderkey", "o_orderstatus")
+    val li = Seq(
+      // order 1: supplier 20 ships last -> 20 waited on; supplier 10 not
+      (1L, 10L, ts("1996-01-01 00:00:00")),
+      (1L, 20L, ts("1996-06-01 00:00:00")),
+      // order 2: single supplier -> nobody qualifies (no one waited)
+      (2L, 10L, ts("1996-01-01 00:00:00")),
+      // order 3: status O -> ignored entirely
+      (3L, 20L, ts("1996-01-01 00:00:00"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((10L, "s10"), (20L, "s20")).toDF("s_suppkey", "s_name")
+    val out = Analytics.q21WaitingSupplier(ords, li, supp).collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    assert(out == Map("s20" -> 1L))
+  }
+
+  test("q21 ties at the order's last ship date all count as waited-on") {
+    val ords = Seq((1L, "F")).toDF("o_orderkey", "o_orderstatus")
+    val li = Seq(
+      (1L, 10L, ts("1996-06-01 00:00:00")),
+      (1L, 20L, ts("1996-06-01 00:00:00"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((10L, "s10"), (20L, "s20")).toDF("s_suppkey", "s_name")
+    val out = Analytics.q21WaitingSupplier(ords, li, supp).collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    assert(out == Map("s10" -> 1L, "s20" -> 1L))
+  }
+
+  test("q22 excludes customers with recent orders and below-average balances") {
+    val cust = Seq(
+      (1L, 1, 100.0),  // above avg(pos)=55 but has a recent order -> excluded
+      (2L, 1, 90.0),   // above avg, dormant -> kept
+      (3L, 2, 10.0),   // below avg -> excluded
+      (4L, 2, -50.0)   // negative: excluded from avg AND below it
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    // avg over positive balances = (100 + 90 + 10) / 3 = 66.67
+    val ords = Seq(
+      (10L, 1L, ts("2000-01-01 00:00:00")), // recent -> customer 1 excluded
+      (11L, 2L, ts("1998-01-01 00:00:00"))  // old -> customer 2 stays dormant
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Analytics.q22DormantCustomers(cust, ords, "1999-01-01").collect()
+      .map(r => r.getAs[Long]("c_nationkey") -> (r.getAs[Long]("numcust"), r.getAs[Double]("totacctbal")))
+      .toMap
+    assert(out == Map(1L -> ((1L, 90.0))))
+  }
 }
