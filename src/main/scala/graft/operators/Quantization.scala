@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Product quantization (PQ) — the published compressed-index scale
+  * path for billion-scale vector search (Jégou, Douze, Schmid:
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+  * same IVF-PQ layout FAISS uses). Where the reference serves ANN from
+  * a single-node float-precision HNSW graph (reference:
+  * embeddinghub/embeddingstore/index.h), PQ re-expresses the corpus as
+  * m small codes per vector:
+  *
+  *  - split each d-dim vector into m subvectors of d/m dims;
+  *  - learn a ksub-centroid codebook per subspace (Lloyd, L2);
+  *  - encode each vector as its m nearest-sub-centroid ids
+  *    (m bytes/vector at ksub <= 256 — a 256x compression of a
+  *    64-dim float corpus, which is what makes a 100 TB corpus
+  *    scannable in memory);
+  *  - answer queries by ADC (asymmetric distance computation): one
+  *    m x ksub lookup table per query, then distance(q, x) ~=
+  *    sum_j table[j][code_j(x)] — table lookups instead of float
+  *    kernels over the full vectors.
+  *
+  * Every stage is a declarative DataFrame plan: codebooks are a
+  * (subspace, cell, dim) aggregation, encoding is a broadcast join +
+  * argmin, and the ADC scan is a narrow projection over the encoded
+  * corpus feeding the bounded-heap top-k aggregate — no shuffle
+  * carries more than (partitions x k) rows per query.
+  *
+  * Determinism: seeds are the ksub smallest keys' subvectors,
+  * assignment ties break toward the smaller centroid id, and the ADC
+  * sum is a sequential fold in subspace order, so results are exactly
+  * reproducible (and DuckDB-oracle-checkable) for a fixed schedule.
+  */
+object Quantization {
+
+  /** (vec_id, subspace, subvec) — the vector split into m contiguous
+    * d/m-dim subvectors, cast to double once at the boundary.
+    */
+  def subVectors(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int
+  ): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
+    val dsub = dims / m
+    space.select(
+      col(keyCol).as("vec_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(m - 1)),
+          j => transform(slice(col(vecCol), j * dsub + 1, lit(dsub)), x => x.cast("double"))))
+        .as(Seq("subspace", "subvec")))
+  }
+
+  /** Per-subspace Lloyd k-means codebooks: (subspace, centroid_id,
+    * centroid). All m subspaces iterate together — each iteration is
+    * ONE broadcast of the m*ksub sub-centroids + one scan + one
+    * (subspace, cell, dim) aggregation, regardless of m. Final ids are
+    * re-densified to 0..n-1 per subspace (Lloyd can empty a cell), so
+    * codes index positionally into ADC tables.
+    */
+  def pqCodebooks(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iterations: Int
+  ): DataFrame = {
+    val sub = subVectors(space, keyCol, vecCol, m, dims)
+    // Seeds: the ksub smallest keys (TakeOrdered — per-partition top-k,
+    // no global sort), split into subspaces; centroid_id = key rank.
+    val seedKeys = space.select(col(keyCol).as("vec_id")).orderBy(col("vec_id")).limit(ksub)
+    var cents = sub
+      .join(broadcast(seedKeys), "vec_id")
+      .select(
+        col("subspace"),
+        col("vec_id"),
+        col("subvec").as("centroid"))
+      .withColumn(
+        "centroid_id",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("subspace")).orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("subspace"), col("centroid_id"), col("centroid"))
+    for (_ <- 0 until iterations) {
+      val assigned = assignCells(sub, cents)
+      cents = sub
+        .join(assigned, Seq("vec_id", "subspace"))
+        .select(col("subspace"), col("cell"), posexplode(col("subvec")).as(Seq("pos", "x")))
+        .groupBy(col("subspace"), col("cell"), col("pos"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("subspace"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(
+          col("subspace"),
+          col("cell").as("centroid_id"),
+          transform(col("pc"), p => p.getField("c")).as("centroid"))
+    }
+    // Re-densify ids so they are contiguous per subspace.
+    cents
+      .withColumn(
+        "centroid_id",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("subspace")).orderBy(col("centroid_id"))) - 1).cast("int"))
+  }
+
+  /** Nearest sub-centroid per (vec_id, subspace) by squared L2; ties
+    * break toward the smaller centroid id. Codebook is broadcast (it is
+    * m*ksub rows by construction); the subvector stream never shuffles.
+    */
+  private def assignCells(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub
+      .join(broadcast(cents), "subspace")
+      .withColumn("d", VectorFunctions.l2Sq(col("subvec"), col("centroid")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("cell"))
+
+  /** PQ encoding: (vec_id, codes) with codes[j] = nearest sub-centroid
+    * of subspace j — the m-byte compressed representation of the corpus.
+    */
+  def pqEncode(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      codebooks: DataFrame
+  ): DataFrame =
+    assignCells(subVectors(space, keyCol, vecCol, m, dims), codebooks)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("cell")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), p => p.getField("cell")).as("codes"))
+
+  /** ADC top-k: for each query, a (m x ksub) distance table against the
+    * codebooks (tiny: queries x m x ksub rows, broadcast), then one
+    * narrow scan of the ENCODED corpus — per row the approximate
+    * distance is m positional table lookups folded in subspace order —
+    * into the bounded-heap top-k. The full-precision corpus is never
+    * touched at query time; that is the entire point of PQ at 100 TB.
+    */
+  def pqKnnAdc(
+      encoded: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      codebooks: DataFrame,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val qsub = subVectors(queries, keyCol, vecCol, m, dims)
+      .withColumnRenamed("vec_id", "query_id")
+    // tables[j][c+1] = ||q_sub_j - centroid_c||^2, positionally indexed.
+    val qTables = qsub
+      .join(broadcast(codebooks), "subspace")
+      .withColumn("d", VectorFunctions.l2Sq(col("subvec"), col("centroid")))
+      .groupBy(col("query_id"), col("subspace"))
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("d")))).as("cd"))
+      .select(
+        col("query_id"), col("subspace"),
+        transform(col("cd"), p => p.getField("d")).as("dists"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("dists")))).as("sd"))
+      .select(col("query_id"), transform(col("sd"), p => p.getField("dists")).as("tables"))
+    val scored = encoded
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(qTables))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn(
+        "adist",
+        aggregate(
+          sequence(lit(1), lit(m)),
+          lit(0.0),
+          (acc, j) =>
+            acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1)))
+    Similarity.topKPerGroup(
+      scored.withColumn("sim", -col("adist")), "query_id", "sim", "neighbor_id", k)
+  }
+
+  /** End-to-end PQ search: build codebooks, encode the corpus, answer
+    * queries by ADC. The one-call form of the build -> encode -> probe
+    * pipeline, mirroring `Similarity.knnIvfKmeans` for the IVF path.
+    */
+  def pqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iterations: Int,
+      k: Int
+  ): DataFrame = {
+    val cb = pqCodebooks(corpus, keyCol, vecCol, m, dims, ksub, iterations)
+      .localCheckpoint() // index-build artifact: pin so probe doesn't re-iterate Lloyd
+    val enc = pqEncode(corpus, keyCol, vecCol, m, dims, cb)
+    pqKnnAdc(enc, queries, keyCol, vecCol, m, dims, cb, k)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quantization, Similarity}
+import graft.sources.Tables
+
+class QuantizationSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  private lazy val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+
+  test("subVectors splits losslessly and in order") {
+    val sub = Quantization.subVectors(emb, "vec_id", "embedding", m = 16, dims = 64)
+    assert(sub.where(size(col("subvec")) =!= 4).count() == 0)
+    assert(sub.count() == emb.count() * 16)
+    // Reassembling the subvectors in subspace order gives back the vector.
+    val glued = sub
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("subvec")))).as("sv"))
+      .select(col("vec_id"), flatten(transform(col("sv"), p => p.getField("subvec"))).as("re"))
+      .join(emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("orig")), "vec_id")
+      .where(col("re") =!= col("orig"))
+    assert(glued.count() == 0)
+  }
+
+  test("pqCodebooks ids are dense per subspace and centroids have subvector dims") {
+    val cb = Quantization.pqCodebooks(emb, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2)
+    val bySub = cb.groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n"), min(col("centroid_id")).as("lo"), max(col("centroid_id")).as("hi"))
+      .collect()
+    assert(bySub.length == 16)
+    bySub.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Int]("lo") == 0 && r.getAs[Int]("hi") == n - 1, "ids must be dense 0..n-1")
+      assert(n <= 32)
+    }
+    assert(cb.where(size(col("centroid")) =!= 4).count() == 0)
+  }
+
+  test("pqEncode emits one m-length code array per vector with in-range codes") {
+    val cb = Quantization.pqCodebooks(emb, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2)
+    val enc = Quantization.pqEncode(emb, "vec_id", "embedding", m = 16, dims = 64, cb)
+    assert(enc.count() == emb.count())
+    assert(enc.where(size(col("codes")) =!= 16).count() == 0)
+    assert(enc.where(exists(col("codes"), c => c < 0 || c >= 32)).count() == 0)
+  }
+
+  test("pqKnn is deterministic and recalls most of the exact top-k") {
+    val q = emb.where(col("vec_id") < 10)
+    val a = Quantization.pqKnn(emb, q, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2, k = 5)
+    val b = Quantization.pqKnn(emb, q, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2, k = 5)
+    assert(a.collect().toSet == b.collect().toSet, "PQ pipeline must be deterministic")
+    // ADC approximates L2, so the recall gate compares against the
+    // exact L2 top-k (not cosine — on unnormalized vectors the two
+    // metrics legitimately disagree). ADC is lossy by design; require
+    // a sane floor, not exactness — the pinned oracle is the exact
+    // regression gate.
+    import graft.functions.VectorFunctions
+    val qv = broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
+    val exactL2 = Similarity.topKPerGroup(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+        .join(qv, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", -VectorFunctions.l2Sq(col("q_vec"), col("n_vec"))),
+      "query_id", "sim", "neighbor_id", 5)
+    val meanRecall = Similarity.recall(a, exactL2)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    assert(meanRecall >= 0.4, s"mean PQ recall vs exact L2 collapsed: $meanRecall")
+  }
+}
