@@ -235,9 +235,16 @@ object Dedup {
       explode(col("toks")).as("word"))
     val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
     // Four consumers read `sorted` (both prefix-join sides + both
-    // verify-join sides); AQE's runtime exchange reuse evaluates the
-    // tokenize + frequency-join + sort subtree once (verified: an
-    // explicit localCheckpoint pin does not change wall time).
+    // verify-join sides). Under a plain action AQE's runtime exchange
+    // reuse evaluates the tokenize + frequency-join + sort subtree
+    // once, but consumers that materialize through the RDD path
+    // (checkpoint/localCheckpoint — e.g. connectedComponents pinning
+    // the edge list) lose that reuse and re-run the subtree per
+    // consumer (measured 2-4x the query cost). An explicit persist
+    // makes the reuse unconditional; MEMORY_AND_DISK so a 100 TB
+    // corpus spills instead of evicting — the footprint is one row of
+    // sorted token hashes per doc, the same order as a shuffle write
+    // of the tokenized corpus.
     val sorted = words
       .join(freq, "word")
       .groupBy(col("block"), col("doc_id"), col("nw"))
@@ -245,6 +252,7 @@ object Dedup {
       .select(
         col("block"), col("doc_id"), col("nw"),
         transform(col("fw"), x => x.getField("word")).as("stoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = sorted
       .withColumn("p", (col("nw") - ceil(col("nw") * threshold) + 1).cast("int"))
       .select(
@@ -301,7 +309,8 @@ object Dedup {
       pairs: DataFrame,
       nodes: DataFrame,
       idCol: String,
-      durable: Boolean = false
+      durable: Boolean = false,
+      verbose: Boolean = false
   ): DataFrame = {
     def pin(df: DataFrame): DataFrame =
       if (durable) df.checkpoint() else df.localCheckpoint()
@@ -346,6 +355,10 @@ object Dedup {
       val newSignature = (sig.getLong(0), sig.getDecimal(1))
       converged = signature == newSignature
       signature = newSignature
+      if (verbose) {
+        println(s"[cc] round edges=${newSignature._1} converged=$converged " +
+          s"t=${System.nanoTime() / 1e9}")
+      }
     }
     nodes
       .select(col(idCol).as("doc_id"))
