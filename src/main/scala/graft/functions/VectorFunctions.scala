@@ -43,8 +43,18 @@ object VectorFunctions {
     */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Squared euclidean distance. */
-  def l2Sq(a: Column, b: Column): Column = {
+  /** Squared euclidean distance, via the native codegen'd expression
+    * (graft.plans.L2SquaredDistance). Requires GraftFunctions.register
+    * (every graft operator entry point calls it).
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    call_function(graft.plans.GraftFunctions.L2SqName, a, b)
+
+  /** Higher-order-function squared euclidean distance: same sequential
+    * double accumulation, no codegen. Registration-free fallback and
+    * the cross-check for the native expression in tests.
+    */
+  def l2SqHof(a: Column, b: Column): Column = {
     val d = zip_with(asDouble(a), asDouble(b), (x, y) => x - y)
     aggregate(d, lit(0.0), (acc, x) => acc + x * x)
   }

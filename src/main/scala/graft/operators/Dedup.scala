@@ -65,6 +65,12 @@ object Dedup {
       portableHashes: Boolean = false
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // NOTE on parallelism: a pre-explode repartition(doc_id) was
+    // A/B-measured here and REVERTED — it broke AQE's runtime exchange
+    // reuse of the banded self-join subtree and roughly doubled wall
+    // time. The sketch aggregation's map-side combine already emits one
+    // signature row per doc per input split, so the groupBy exchange is
+    // tiny without any help.
     val shing = docs.select(
       col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))

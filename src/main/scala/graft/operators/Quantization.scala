@@ -74,6 +74,7 @@ object Quantization {
       ksub: Int,
       iterations: Int
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
     val sub = subVectors(space, keyCol, vecCol, m, dims)
     // Seeds: the ksub smallest keys (TakeOrdered — per-partition top-k,
     // no global sort), split into subspaces; centroid_id = key rank.
@@ -134,11 +135,13 @@ object Quantization {
       m: Int,
       dims: Int,
       codebooks: DataFrame
-  ): DataFrame =
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
     assignCells(subVectors(space, keyCol, vecCol, m, dims), codebooks)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("subspace"), col("cell")))).as("sc"))
       .select(col("vec_id"), transform(col("sc"), p => p.getField("cell")).as("codes"))
+  }
 
   /** ADC top-k: for each query, a (m x ksub) distance table against the
     * codebooks (tiny: queries x m x ksub rows, broadcast), then one

@@ -96,6 +96,81 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared euclidean distance — the PQ / L2-kmeans kernel.
+  * Same rationale as [[CosineSimilarity]]: the HOF formulation
+  * (`aggregate(zip_with(...))`) is CodegenFallback (interpreted per
+  * row, with a per-row intermediate diff array), which dominates the
+  * quantizer's assignment step at |corpus| x ksub evaluations. The
+  * sequential ascending-index accumulation is bit-identical to the HOF
+  * version and the list-ordered SQL oracle.
+  */
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case other =>
+        throw new IllegalArgumentException(s"graft_l2sq: unsupported element type $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+            $acc += $d * $d;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $acc;
+          }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration of graft's native expressions into a session's
   * function registry (the standalone-library analog of a
   * SparkSessionExtensions injection — works on any already-built
@@ -105,6 +180,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val TopKName = "graft_topk"
   val SimHashName = "graft_simhash64"
+  val L2SqName = "graft_l2sq"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -116,6 +192,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       SimHashName,
       (exprs: Seq[Expression]) => SimHash64(exprs(0)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      L2SqName,
+      (exprs: Seq[Expression]) => L2SquaredDistance(exprs(0), exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction(
       TopKName,

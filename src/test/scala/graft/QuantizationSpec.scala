@@ -11,6 +11,33 @@ class QuantizationSpec extends AnyFunSuite {
 
   private lazy val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
 
+  test("native l2Sq is bit-identical to the HOF fold and null-safe on mismatch") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)), // length mismatch
+      (2L, Array(1.5f, -2.0f), Array(0.5f, 4.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(
+      col("id"),
+      VectorFunctions.l2Sq(col("a"), col("b")).as("native"),
+      VectorFunctions.l2SqHof(col("a"), col("b")).as("hof"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L)._1 == out(2L)._2 && out(2L)._1.contains(37.0))
+    // corpus-wide: no drift anywhere
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .where(col("a") < col("b")).limit(500)
+    val diff = pairs
+      .select(abs(
+        VectorFunctions.l2Sq(col("va"), col("vb")) -
+          VectorFunctions.l2SqHof(col("va"), col("vb"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diff == 0.0)
+  }
+
   test("subVectors splits losslessly and in order") {
     val sub = Quantization.subVectors(emb, "vec_id", "embedding", m = 16, dims = 64)
     assert(sub.where(size(col("subvec")) =!= 4).count() == 0)
