@@ -22,11 +22,21 @@ object Bench {
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
 
-    // Warmup on the tiny SF: JIT, codegen cache, parquet footer paths.
-    for (w <- Seq("q1_agg", "emb_get_multi", "fs_materialize_latest", "text_token_count"))
+    // Warmup EVERY query once on the tiny SF: JIT + Janino codegen of
+    // each query's generated classes costs seconds per distinct plan
+    // shape and lands on whichever query runs a shape first (measured:
+    // the first dedup query absorbed ~20s of the whole family's cold
+    // compile). Steady-state per-query cost is what a long-running
+    // cluster job sees; the warmup pass makes the timed pass measure
+    // exactly that.
+    for (w <- SparkEntry.queries.keys.toSeq.sorted)
       try force(w, "/root/testdata/sf0.001") catch { case _: Throwable => }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      // Persisted intermediates (e.g. the jaccard token-sort subtree)
+      // are per-query working state, not a cross-query cache — drop
+      // them so each measurement is independent.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)

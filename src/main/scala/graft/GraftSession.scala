@@ -31,6 +31,12 @@ object GraftSession {
       // 100TB note: parquet scans split at this size; 128MB default is
       // right for the cluster, harmless locally.
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // The generated-class cache defaults to 100 entries; a session
+      // running the full graft query surface compiles several hundred
+      // codegen units, and evictions re-Janino-compile hot stages at
+      // random (measured as multi-second spikes on otherwise-warm
+      // queries). Static conf — must be set before session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // Catalog-table location (bucketed tables) must not depend on the
       // launcher's cwd; on a cluster this is the real warehouse path.
       .config(
