@@ -1451,7 +1451,16 @@ object SparkEntry {
         .latestValueBatch(t(s, dir, "events"))
         .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))),
     "stream_windowed_agg" -> ((s, dir) =>
-      StreamingFeatures.windowedCountsBatch(t(s, dir, "events")))
+      StreamingFeatures.windowedCountsBatch(t(s, dir, "events"))),
+    // Streaming corpus dedup, batch analog (stream parity spec-checked
+    // in StreamingSpec: dedupStream over MemoryStream == this).
+    "stream_dedup" -> ((s, dir) =>
+      StreamingFeatures.dedupBatch(t(s, dir, "documents"), "doc_id", "text")),
+    // Stream-stream interval-join attribution, batch analog: click ->
+    // purchase pairs within a 60-minute window per user.
+    "stream_attribution" -> ((s, dir) =>
+      StreamingFeatures.attributionBatch(
+        t(s, dir, "events"), touchType = "click", convType = "purchase", windowMinutes = 60))
   )
 
   private def miscOracles: Map[String, String] = Map(
@@ -1484,7 +1493,18 @@ object SparkEntry {
       SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY date_trunc('hour', ts), event_type"""
+      FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "stream_dedup" -> """
+      SELECT md5(text) AS fp, min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)""",
+    "stream_attribution" -> """
+      SELECT t.user_id, c.event_id AS conv_id, epoch_us(c.ts) AS conv_ts_us,
+             t.event_id AS touch_id, epoch_us(t.ts) AS touch_ts_us
+      FROM events t JOIN events c
+        ON t.user_id = c.user_id
+       AND t.ts >= c.ts - INTERVAL 60 MINUTE
+       AND t.ts <= c.ts
+      WHERE t.event_type = 'click' AND c.event_type = 'purchase'"""
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -144,6 +144,102 @@ object StreamingFeatures {
       }
   }
 
+  final case class DocArrival(doc_id: Long, fp: String, ts: Timestamp)
+
+  /** Streaming corpus dedup: the first document to arrive with a given
+    * content fingerprint survives; every later duplicate is dropped.
+    * State per fingerprint is O(1) (the winning doc id). Within a
+    * micro-batch, "first" is (ts, doc_id)-minimal, so a batch drained
+    * in one go reproduces the batch keep-min-id dedup exactly — that
+    * equivalence (spec-checked) is the stream's semantic oracle, the
+    * same parity contract as latestValueStream/latestValueBatch.
+    *
+    * At scale: state is one long per DISTINCT fingerprint — bound it in
+    * production with a TTL watermark (duplicates arriving later than
+    * the retention horizon are rare and caught by the periodic batch
+    * dedup); unbounded here to keep the semantics exact.
+    */
+  def dedupStream(docs: Dataset[DocArrival]): Dataset[DocArrival] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, DocArrival](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
+        if (state.exists) Iterator.empty
+        else {
+          val first = rows.minBy(e => (e.ts.getTime, e.doc_id))
+          state.update(first.doc_id)
+          Iterator.single(first)
+        }
+      }
+  }
+
+  /** Batch analog of [[dedupStream]] over a document table: one
+    * surviving (fp, doc_id) row per distinct fingerprint.
+    */
+  def dedupBatch(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+
+  /** Stream-stream event-time interval join (attribution): each
+    * conversion pairs with the same user's prior touch events within
+    * `windowMinutes`. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire join
+    * state — the canonical bounded-state stream-stream join. Inner
+    * join: conversions with no touches emit nothing.
+    */
+  def attributionStream(
+      touches: DataFrame, // columns: user_id, event_id, ts
+      conversions: DataFrame, // columns: user_id, event_id, ts
+      windowMinutes: Int,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val t = touches
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("touch_id"), col("ts").as("touch_ts"))
+    val c = conversions
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("conv_id"), col("ts").as("conv_ts"))
+    t.join(
+      c,
+      col("user_id") === col("c_user_id") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("touch_ts") <= col("conv_ts"))
+      .select(col("user_id"), col("conv_id"), col("conv_ts"), col("touch_id"), col("touch_ts"))
+  }
+
+  /** Batch analog of [[attributionStream]] over the events table:
+    * (conversion, touch) pairs where the touch is the same user's
+    * `touchType` event within the preceding window. The plan is an
+    * equi-join on user_id with the time bounds as a join residual —
+    * no row blowup beyond true pairs, shuffle keyed on the user.
+    */
+  def attributionBatch(
+      events: DataFrame,
+      touchType: String,
+      convType: String,
+      windowMinutes: Int
+  ): DataFrame = {
+    val t = events.where(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("touch_id"), col("ts").as("touch_ts"))
+    val c = events.where(col("event_type") === convType)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("conv_id"), col("ts").as("conv_ts"))
+    t.join(
+      c,
+      col("user_id") === col("c_user_id") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("touch_ts") <= col("conv_ts"))
+      .select(
+        col("user_id"),
+        col("conv_id"),
+        unix_micros(col("conv_ts")).as("conv_ts_us"),
+        col("touch_id"),
+        unix_micros(col("touch_ts")).as("touch_ts_us"))
+  }
+
   /** Watermarked tumbling-window counts per event type (streaming). */
   def windowedCountsStream(events: DataFrame, watermark: String, windowLen: String): DataFrame =
     events

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamingFeatures
-import graft.streaming.StreamingFeatures.{FeatureEvent, SessionEvent, TaggedEvent}
+import graft.streaming.StreamingFeatures.{DocArrival, FeatureEvent, SessionEvent, TaggedEvent}
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
@@ -118,6 +118,77 @@ class StreamingSpec extends AnyFunSuite {
           r.getAs[java.sql.Timestamp]("session_start"),
           r.getAs[java.sql.Timestamp]("session_end")))
       assert(rows.exists(_ == ((1L, 3L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00")))))
+    } finally query.stop()
+  }
+
+  test("streaming dedup keeps the first arrival per fingerprint across batches") {
+    val input = MemoryStream[DocArrival](spark)
+    val query = StreamingFeatures
+      .dedupStream(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("deduped")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two docs share fp "x" -> (ts, id)-minimal wins
+      input.addData(
+        DocArrival(5L, "x", ts("2024-01-01 00:00:00")),
+        DocArrival(3L, "x", ts("2024-01-01 00:00:00")),
+        DocArrival(7L, "y", ts("2024-01-01 00:01:00")))
+      query.processAllAvailable()
+      // batch 2: late duplicates of both fps must be dropped; new fp kept
+      input.addData(
+        DocArrival(1L, "x", ts("2024-01-01 02:00:00")),
+        DocArrival(2L, "y", ts("2024-01-01 02:00:00")),
+        DocArrival(9L, "z", ts("2024-01-01 02:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("deduped").collect()
+        .map(r => r.getAs[String]("fp") -> r.getAs[Long]("doc_id")).toMap
+      assert(rows == Map("x" -> 3L, "y" -> 7L, "z" -> 9L))
+      // parity with the batch analog over the first batch's data
+      val docs = Seq((5L, "d_x"), (3L, "d_x"), (7L, "d_y"))
+        .toDF("doc_id", "text")
+      val batch = StreamingFeatures.dedupBatch(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id")).toSet
+      assert(batch == Set(3L, 7L))
+    } finally query.stop()
+  }
+
+  test("stream-stream attribution join pairs touches within the window only") {
+    val touches = MemoryStream[(Long, Long, Timestamp)](spark)
+    val convs = MemoryStream[(Long, Long, Timestamp)](spark)
+    val query = StreamingFeatures
+      .attributionStream(
+        touches.toDF().toDF("user_id", "event_id", "ts"),
+        convs.toDF().toDF("user_id", "event_id", "ts"),
+        windowMinutes = 60)
+      .writeStream
+      .format("memory")
+      .queryName("attrib")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      touches.addData(
+        (1L, 10L, ts("2024-01-01 00:00:00")), // in window of conv @00:30
+        (1L, 11L, ts("2024-01-01 02:00:00")), // after the conversion
+        (2L, 12L, ts("2024-01-01 00:00:00"))) // other user
+      convs.addData((1L, 100L, ts("2024-01-01 00:30:00")))
+      query.processAllAvailable()
+      val pairs = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("touch_id"))).toSet
+      assert(pairs == Set((100L, 10L)))
+      // batch analog on the equivalent event table gives the same pairs
+      val events = Seq(
+        (1L, 10L, ts("2024-01-01 00:00:00"), "click"),
+        (1L, 11L, ts("2024-01-01 02:00:00"), "click"),
+        (2L, 12L, ts("2024-01-01 00:00:00"), "click"),
+        (1L, 100L, ts("2024-01-01 00:30:00"), "purchase")
+      ).toDF("user_id", "event_id", "ts", "event_type")
+      val batch = StreamingFeatures
+        .attributionBatch(events, "click", "purchase", 60)
+        .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("touch_id"))).toSet
+      assert(batch == pairs)
     } finally query.stop()
   }
 
