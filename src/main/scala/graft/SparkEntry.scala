@@ -916,12 +916,59 @@ object SparkEntry {
           (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
             .as("avg_quality"),
           sum(col("n_chars")).as("total_chars"))
+    }),
+    // Deterministic 10% corpus sample: content-keyed hash, so the
+    // selection is identical on any cluster / partitioning / engine.
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", fraction = 0.1, seed = 7L)
+        .select(col("doc_id"), col("lang"))),
+    // Per-language stratified rates (en down-sampled, de kept, rest at
+    // the default) — the corpus-balancing step of LLM data prep.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, seed = 11L)
+        .select(col("doc_id"), col("lang"))),
+    // Weighted source mixture: three sources at different rates,
+    // tagged — LLM corpus assembly's data-mixture step.
+    "sample_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.mixture(
+        Seq(
+          ("src0", docs.where(col("source") === "src0"), 1.0),
+          ("src1", docs.where(col("source") === "src1"), 0.5),
+          ("src2", docs.where(col("source") === "src2"), 0.25)),
+        "doc_id", seed = 13L)
+        .select(col("doc_id"), col("mix_source"))
     })
   )
 
   private val stopwordList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
   private def textOracles: Map[String, String] = Map(
+    // hexThreshold(0.1) = floor(0.1 * 2^32) = 0x19999999, etc. — the
+    // same fixed-width-hex compare Sampling.hashSample runs.
+    "sample_hash" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'""",
+    "sample_stratified" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE lang WHEN 'en' THEN '80000000'
+                      WHEN 'de' THEN '40000000'
+                      ELSE '19999999' END""",
+    "sample_mixture" -> """
+      SELECT doc_id, 'src0' AS mix_source FROM documents
+      WHERE source = 'src0'
+        AND substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
+      UNION ALL
+      SELECT doc_id, 'src1' FROM documents
+      WHERE source = 'src1'
+        AND substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      UNION ALL
+      SELECT doc_id, 'src2' FROM documents
+      WHERE source = 'src2'
+        AND substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""",
     "text_token_count" -> """
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
              len(list_distinct(string_split(text, ' '))) AS n_distinct,

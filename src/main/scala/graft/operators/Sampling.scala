@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Production corpus sampling must be REPRODUCIBLE: re-running the
+  * pipeline (or running it on a different cluster) has to select the
+  * same rows, and a row's fate must not depend on partitioning or scan
+  * order — which rules out RNG-based `df.sample`. The standard answer
+  * is content-keyed hash sampling (the same scheme as
+  * FeatureStore.trainTestSplit, extended to per-stratum rates): a row
+  * is kept iff a hash of (seed, key) falls below the rate threshold.
+  *
+  * Shape at 100 TB: a narrow scan-time filter — no shuffle, no state,
+  * and the filter composes with parquet column pruning. Stratified
+  * rates add only a broadcast of the rate table.
+  */
+object Sampling {
+
+  /** 8-hex-digit lowercase threshold for a fraction of the 16^8 hash
+    * space; fixed-width hex compares like the underlying 32-bit value.
+    */
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    f"${math.floor(fraction * 4294967296.0).toLong min 4294967295L}%08x"
+  }
+
+  private def bucket(keyCol: Column, seed: Long): Column =
+    substring(md5(concat(lit(s"$seed:"), keyCol.cast("string"))), 1, 8)
+
+  /** Keep ~`fraction` of rows, chosen by hash of (seed, key). Same key
+    * and seed always make the same decision — on any cluster, any
+    * partitioning, any engine with md5 (the DuckDB oracle included).
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: Long): DataFrame =
+    df.where(bucket(col(keyCol), seed) < lit(hexThreshold(fraction)))
+
+  /** Per-stratum hash sampling: stratum s keeps ~rates(s) of its rows
+    * (strata absent from the map keep `defaultRate`). The rate table is
+    * a broadcast join of |rates| rows; the decision stays a scan-time
+    * filter.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      seed: Long
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateRows = rates.toSeq.map { case (s, r) => (s, hexThreshold(r)) }
+      .toDF(strataCol, "_thr")
+    df.join(broadcast(rateRows), Seq(strataCol), "left_outer")
+      .where(bucket(col(keyCol), seed) <
+        coalesce(col("_thr"), lit(hexThreshold(defaultRate))))
+      .drop("_thr")
+  }
+
+  /** Weighted corpus mixture: each source contributes a deterministic
+    * hash sample at its own rate, tagged with its name — the
+    * "data-mixture" step of LLM corpus assembly. All sources must share
+    * a schema; the result is their sampled union.
+    */
+  def mixture(
+      sources: Seq[(String, DataFrame, Double)],
+      keyCol: String,
+      seed: Long
+  ): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources
+      .map { case (name, df, rate) =>
+        hashSample(df, keyCol, rate, seed).withColumn("mix_source", lit(name))
+      }
+      .reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, GraftTestSession.Sf0001, "documents")
+
+  test("hashSample is deterministic, seed-sensitive, and near the target rate") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.2, seed = 7L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.2, seed = 7L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must select identical rows")
+    val c = Sampling.hashSample(docs, "doc_id", 0.2, seed = 8L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a != c, "different seed must reshuffle the selection")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.2) < 0.08, s"rate drifted: ${a.size / n}")
+    // a larger fraction with the same seed is a superset (thresholds nest)
+    val wide = Sampling.hashSample(docs, "doc_id", 0.5, seed = 7L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wide))
+  }
+
+  test("hashSample boundary fractions keep none and (almost) all") {
+    assert(Sampling.hashSample(docs, "doc_id", 0.0, seed = 1L).count() == 0)
+    val kept = Sampling.hashSample(docs, "doc_id", 1.0, seed = 1L).count()
+    assert(kept >= docs.count() - 1) // only an exact 0xffffffff hash drops
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val out = Sampling.stratifiedSample(
+      docs, "lang", "doc_id", rates = Map("en" -> 1.0, "de" -> 0.0),
+      defaultRate = 0.3, seed = 5L)
+    val byLang = out.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("de", 0L) == 0L)
+    assert(byLang("en") >= totals("en") - 1)
+    val others = (byLang.keySet - "en" - "de").map(byLang(_)).sum.toDouble
+    val othersTotal = (totals.keySet - "en" - "de").map(totals(_)).sum.toDouble
+    assert(math.abs(others / othersTotal - 0.3) < 0.15)
+  }
+
+  test("mixture tags each source and samples it at its own rate") {
+    val a = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("doc_id", "text")
+    val b = Seq((10L, "b"), (11L, "b")).toDF("doc_id", "text")
+    val out = Sampling.mixture(Seq(("A", a, 1.0), ("B", b, 0.0)), "doc_id", seed = 3L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("mix_source")))
+    assert(out.forall(_._2 == "A"))
+    assert(out.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)) && out.nonEmpty)
+  }
+}
