@@ -917,6 +917,8 @@ object SparkEntry {
             .as("avg_quality"),
           sum(col("n_chars")).as("total_chars"))
     }),
+    "text_subword_count" -> ((s, dir) =>
+      TextAnalysis.subwordCounts(t(s, dir, "documents"), "doc_id", "text")),
     // Deterministic 10% corpus sample: content-keyed hash, so the
     // selection is identical on any cluster / partitioning / engine.
     "sample_hash" -> ((s, dir) =>
@@ -946,6 +948,11 @@ object SparkEntry {
   private val stopwordList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
   private def textOracles: Map[String, String] = Map(
+    "text_subword_count" -> """
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS n_subwords,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents""",
     // hexThreshold(0.1) = floor(0.1 * 2^32) = 0x19999999, etc. — the
     // same fixed-width-hex compare Sampling.hashSample runs.
     "sample_hash" -> """
@@ -1094,6 +1101,9 @@ object SparkEntry {
         .withColumnRenamed("user_id", "entity")),
     "q_rollup" -> ((s, dir) =>
       Analytics.rollupBalances(
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+    "q_cube" -> ((s, dir) =>
+      Analytics.cubeBalances(
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
     "q_percentiles" -> ((s, dir) => Analytics.orderPercentiles(t(s, dir, "orders"))),
     "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
@@ -1307,6 +1317,15 @@ object SparkEntry {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)""",
+    "q_cube" -> """
+      SELECT r_name, c_mktsegment,
+             CAST(grouping_id(r_name, c_mktsegment) AS BIGINT) AS gid,
+             count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE (r_name, c_mktsegment)""",
     "q_percentiles" -> """
       SELECT o_orderpriority,
              round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

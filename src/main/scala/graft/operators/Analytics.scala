@@ -157,6 +157,24 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** CUBE over (region, market segment) with grouping_id — the full
+    * multi-dimensional aggregate lattice in one pass (Spark expands the
+    * cube into a single Expand + one hash aggregate, not 2^d scans).
+    */
+  def cubeBalances(
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame
+  ): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+
   /** ROLLUP over region/nation of customer account balances. */
   def rollupBalances(
       customer: DataFrame,

@@ -81,4 +81,19 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       fingerprint(col(textCol)).as("fp"),
       length(normalizeText(col(textCol))).cast("long").as("n_norm_chars"))
+
+  /** BPE-ish subword token counting: greedy regex chunking — letter
+    * runs capped at 4 chars, single digits, single punctuation — as a
+    * cheap deterministic proxy for a byte-pair tokenizer's token count
+    * (a real BPE vocab is a lookup table; the greedy-longest-chunk scan
+    * is the same cost shape). Narrow projection, scan speed at 100 TB;
+    * counts are engine-portable (same greedy semantics in any
+    * POSIX-style regex engine, oracle included).
+    */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("n_subwords"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
 }

@@ -67,6 +67,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows == Map(1L -> ((2L, 0L)), 2L -> ((0L, 1L))))
   }
 
+  test("cube emits all four grouping sets with matching grouping ids") {
+    val cust = Tables.load(spark, GraftTestSession.Sf0001, "customer")
+    val nat = Tables.load(spark, GraftTestSession.Sf0001, "nation")
+    val reg = Tables.load(spark, GraftTestSession.Sf0001, "region")
+    val rows = Analytics.cubeBalances(cust, nat, reg).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L)) // (r,seg), (r), (seg), ()
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_cust") == cust.count())
+  }
+
   test("q13 counts order-less customers in the zero bucket and excludes urgent orders") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
     val ords = Seq(

@@ -77,4 +77,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
     assert(q(1L) > q(2L))
   }
+
+  test("subword counts chunk greedily into <=4-char pieces") {
+    val docs = Seq(
+      (1L, "hello world42 spark!"), // hell,o + worl,d,4,2 + spar,k,! = 9
+      (2L, "ab")                    // one chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.subwordCounts(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_subwords"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(out(1L) == ((9L, 3L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
 }
