@@ -453,7 +453,18 @@ object SparkEntry {
       Quantization.pqKnn(
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", m = 16, dims = 64, ksub = 32, iterations = 2, k = 5))
+        "vec_id", "embedding", m = 16, dims = 64, ksub = 32, iterations = 2, k = 5)),
+    // IVF-PQ: learned 8-cell coarse quantizer (same 3-iteration Lloyd
+    // schedule as emb_kmeans) + PQ of the residuals, nProbe=3 probe —
+    // the composed FAISS-style billion-scale index, fully
+    // deterministic and hash-checked against its unrolled SQL twin.
+    "emb_knn_ivfpq" -> ((s, dir) =>
+      Quantization.knnIvfPq(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding",
+        m = 16, dims = 64, ksub = 32, iterations = 2,
+        nCells = 8, coarseIterations = 3, nProbe = 3, k = 5))
   )
 
   private val centroidCte = """
@@ -542,21 +553,27 @@ object SparkEntry {
   private val PqKsub = 32
   private val PqDsub = 64 / PqM
 
-  /** Shared CTE prefix for the PQ oracles: subvector split, seeded
-    * per-subspace Lloyd (2 iterations), final id densification — the
+  /** Ordered squared-L2 fold over `n` list positions — matches Spark's
+    * sequential double accumulation exactly.
+    */
+  private def sqlL2(a: String, b: String, n: Int) =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** PQ codebook-build CTE chain (sub -> seeds -> 2x Lloyd -> cb): the
     * exact schedule Quantization.pqCodebooks runs, with every float
     * fold list-ordered to match Spark's sequential aggregate.
+    * `subDef` supplies the subvector source CTE body, so the same
+    * chain quantizes raw embeddings (emb_pq_*) or IVF residuals
+    * (emb_knn_ivfpq).
     */
-  private val pqPrefixCtes: String = {
+  private def pqChainCtes(subDef: String): String = {
     val dsub = PqDsub
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
     def assign(cent: String, name: String) = s"""
       $name AS (
         SELECT subspace, vec_id, centroid_id AS cell FROM (
           SELECT s.subspace AS subspace, s.vec_id AS vec_id, c.centroid_id,
                  row_number() OVER (PARTITION BY s.subspace, s.vec_id
-                                    ORDER BY ${l2("s.subvec", "c.centroid")}, c.centroid_id) AS rn
+                                    ORDER BY ${sqlL2("s.subvec", "c.centroid", dsub)}, c.centroid_id) AS rn
           FROM sub s JOIN $cent c ON c.subspace = s.subspace)
         WHERE rn = 1)"""
     def mstep(a: String, name: String) = s"""
@@ -569,10 +586,7 @@ object SparkEntry {
           GROUP BY a.subspace, a.cell, u.pos)
         GROUP BY subspace, cell)"""
     s"""
-      sub AS (
-        SELECT vec_id, j AS subspace,
-               list_transform(embedding[(j * $dsub + 1):((j + 1) * $dsub)], x -> x::DOUBLE) AS subvec
-        FROM embeddings, (SELECT unnest(range($PqM)) AS j)),
+      sub AS ($subDef),
       s0 AS (
         SELECT subspace,
                CAST(row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1 AS INT) AS centroid_id,
@@ -586,6 +600,12 @@ object SparkEntry {
                centroid
         FROM c2)"""
   }
+
+  /** Raw-embedding subvector source for the emb_pq_* oracles. */
+  private val pqPrefixCtes: String = pqChainCtes(s"""
+        SELECT vec_id, j AS subspace,
+               list_transform(embedding[(j * $PqDsub + 1):((j + 1) * $PqDsub)], x -> x::DOUBLE) AS subvec
+        FROM embeddings, (SELECT unnest(range($PqM)) AS j)""")
 
   private val pqKnnOracleSql: String = {
     val dsub = PqDsub
@@ -621,7 +641,119 @@ object SparkEntry {
       WHERE rank <= 5"""
   }
 
+  /** IVF-PQ oracle: learned coarse k-means cells (the kmeansOracleSql
+    * chain, k-prefixed names) -> corpus assignment -> residuals -> PQ
+    * chain over residual subvectors -> per-(query, probed-cell) ADC
+    * tables -> within-cell scoring — the unrolled twin of
+    * Quantization.knnIvfPq.
+    */
+  private val ivfPqOracleSql: String = {
+    val dsub = PqDsub
+    val residSub = s"""
+        SELECT vec_id, j AS subspace,
+               r[(j * $dsub + 1):((j + 1) * $dsub)] AS subvec
+        FROM resid, (SELECT unnest(range($PqM)) AS j)"""
+    // Coarse chain: cosine-assignment Lloyd, k=8, 3 iterations — the
+    // exact kmeansCodebook schedule, CTE names prefixed with 'k'.
+    def kassign(cent: String, name: String) = s"""
+      $name AS (
+        SELECT vec_id, centroid_id AS cell FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM (
+            SELECT vec_id, centroid_id,
+                   sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+            FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
+              FROM embeddings e CROSS JOIN $cent c)
+            GROUP BY vec_id, centroid_id))
+        WHERE rn = 1)"""
+    def kmstep(assignName: String, name: String) = s"""
+      $name AS (
+        SELECT cell AS centroid_id, list(c ORDER BY pos) AS centroid FROM (
+          SELECT a.cell, u.pos, avg(u.x) AS c
+          FROM (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) u
+          JOIN $assignName a ON u.vec_id = a.vec_id
+          GROUP BY a.cell, u.pos)
+        GROUP BY cell)"""
+    s"""
+      WITH ks0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+               list_transform(embedding, x -> x::DOUBLE) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      ${kassign("ks0", "ka1")}, ${kmstep("ka1", "kc1")},
+      ${kassign("kc1", "ka2")}, ${kmstep("ka2", "kc2")},
+      ${kassign("kc2", "ka3")}, ${kmstep("ka3", "kc3")},
+      ${kassign("kc3", "cassign")},
+      resid AS (
+        SELECT e.vec_id, a.cell,
+               list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS r
+        FROM embeddings e
+        JOIN cassign a ON a.vec_id = e.vec_id
+        JOIN kc3 c ON c.centroid_id = a.cell),
+      ${pqChainCtes(residSub)},
+      codes AS (
+        SELECT subspace, vec_id, centroid_id AS code FROM (
+          SELECT s.subspace AS subspace, s.vec_id AS vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY s.subspace, s.vec_id
+                                    ORDER BY ${sqlL2("s.subvec", "c.centroid", dsub)}, c.centroid_id) AS rn
+          FROM sub s JOIN cb c ON c.subspace = s.subspace)
+        WHERE rn = 1),
+      enc AS (
+        SELECT k.vec_id, r.cell, k.codes FROM (
+          SELECT vec_id, list(code ORDER BY subspace) AS codes
+          FROM codes GROUP BY vec_id) k
+        JOIN resid r ON r.vec_id = k.vec_id),
+      qcells AS (
+        SELECT vec_id AS query_id, centroid_id AS cell FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+          FROM (
+            SELECT vec_id, centroid_id,
+                   sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+            FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
+              FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 10)
+            GROUP BY vec_id, centroid_id))
+        WHERE rk <= 3),
+      qresid AS (
+        SELECT q.query_id, q.cell,
+               list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS qr
+        FROM qcells q
+        JOIN embeddings e ON e.vec_id = q.query_id
+        JOIN kc3 c ON c.centroid_id = q.cell),
+      qsub AS (
+        SELECT query_id, cell, j AS subspace,
+               qr[(j * $dsub + 1):((j + 1) * $dsub)] AS subvec
+        FROM qresid, (SELECT unnest(range($PqM)) AS j)),
+      qt AS (
+        SELECT query_id, cell, subspace, list(d ORDER BY centroid_id) AS dists FROM (
+          SELECT s.query_id AS query_id, s.cell AS cell, s.subspace AS subspace, c.centroid_id,
+                 ${sqlL2("s.subvec", "c.centroid", dsub)} AS d
+          FROM qsub s JOIN cb c ON c.subspace = s.subspace)
+        GROUP BY query_id, cell, subspace),
+      qtab AS (
+        SELECT query_id, cell, list(dists ORDER BY subspace) AS tables
+        FROM qt GROUP BY query_id, cell),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, ${PqM + 1}), j -> q.tables[j][e.codes[j] + 1])) AS adist
+        FROM qtab q JOIN enc e ON e.cell = q.cell
+        WHERE e.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5"""
+  }
+
   private def embOracles: Map[String, String] = Map(
+    "emb_knn_ivfpq" -> ivfPqOracleSql,
     "emb_pq_codebooks" -> s"""
       WITH $pqPrefixCtes
       SELECT CAST(subspace AS BIGINT) AS subspace,

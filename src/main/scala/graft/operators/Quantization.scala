@@ -190,6 +190,113 @@ object Quantization {
       scored.withColumn("sim", -col("adist")), "query_id", "sim", "neighbor_id", k)
   }
 
+  /** IVF-PQ: the composed billion-scale ANN layout (Jégou et al.
+    * TPAMI'11 §V; the FAISS IVFPQ index) — a coarse partition of the
+    * corpus into cells, plus product quantization of the RESIDUAL
+    * (vector minus its cell centroid), which is far more quantizable
+    * than the raw vector. Queries probe only nProbe cells and score
+    * candidates by per-(query, cell) ADC tables over the residual
+    * codes.
+    *
+    * Corpus-side plan: one broadcast join (cell centroids) + narrow
+    * residual projection + PQ encode — the full-precision corpus is
+    * read once at build time and never at query time. Query-side: the
+    * ADC scan touches only the probed cells' code rows (~nProbe/nCells
+    * of the corpus), each row costing m table lookups.
+    *
+    * The coarse quantizer is a learned k-means codebook (the same
+    * build `knnIvfKmeans` uses, cosine assignment) — geometric cells
+    * are what make residuals small and probed cells likely to hold the
+    * true neighbors; partitioning by an arbitrary metadata column
+    * measurably degrades both (A/B'd in the spec history).
+    */
+  def knnIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iterations: Int,
+      nCells: Int,
+      coarseIterations: Int,
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    // Coarse codebook (nCells rows, broadcast) + corpus cell assignment.
+    val coarse = Similarity
+      .kmeansCodebook(corpus, keyCol, vecCol, nCells, coarseIterations)
+      .select(col("centroid_id").as("cell"), col("centroid").as("c_vec"))
+      .localCheckpoint()
+    val assigned = Similarity
+      .nearestCentroid(
+        corpus, keyCol, vecCol,
+        coarse.select(col("cell").as("centroid_id"), col("c_vec").as("centroid")))
+      .withColumnRenamed("assigned", "cell")
+    // Residuals: vec - centroid[cell], computed once per corpus row.
+    val resid = corpus
+      .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assigned, "vec_id")
+      .join(broadcast(coarse), "cell")
+      .select(
+        col("vec_id"), col("cell"),
+        zip_with(col("v"), col("c_vec"), (x, y) => x.cast("double") - y).as("r"))
+    val cb = pqCodebooks(resid, "vec_id", "r", m, dims, ksub, iterations)
+      .localCheckpoint()
+    val enc = pqEncode(resid, "vec_id", "r", m, dims, cb)
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+    // Query side: nProbe nearest cells (cosine, same ranking as the
+    // corpus assignment), then a per-(query, cell) ADC table over the
+    // QUERY residual for that cell.
+    val q = queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qCells = q
+      .crossJoin(broadcast(coarse))
+      .withColumn("sim", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell"))))
+      .where(col("rk") <= nProbe)
+      .select(
+        col("query_id"), col("cell"),
+        zip_with(col("q_vec"), col("c_vec"), (x, y) => x.cast("double") - y).as("qr"))
+    val qsub = qCells.select(
+      col("query_id"), col("cell"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(m - 1)),
+          j => slice(col("qr"), j * (dims / m) + 1, lit(dims / m))))
+        .as(Seq("subspace", "subvec")))
+    val qTables = qsub
+      .join(broadcast(cb), "subspace")
+      .withColumn("d", VectorFunctions.l2Sq(col("subvec"), col("centroid")))
+      .groupBy(col("query_id"), col("cell"), col("subspace"))
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("d")))).as("cd"))
+      .select(
+        col("query_id"), col("cell"), col("subspace"),
+        transform(col("cd"), p => p.getField("d")).as("dists"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("dists")))).as("sd"))
+      .select(
+        col("query_id"), col("cell"),
+        transform(col("sd"), p => p.getField("dists")).as("tables"))
+    val scored = enc
+      .join(broadcast(qTables), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "adist",
+        aggregate(
+          sequence(lit(1), lit(m)),
+          lit(0.0),
+          (acc, j) =>
+            acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), (-col("adist")).as("sim"))
+    Similarity.topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
+  }
+
   /** End-to-end PQ search: build codebooks, encode the corpus, answer
     * queries by ADC. The one-call form of the build -> encode -> probe
     * pipeline, mirroring `Similarity.knnIvfKmeans` for the IVF path.

@@ -76,6 +76,34 @@ class QuantizationSpec extends AnyFunSuite {
     assert(enc.where(exists(col("codes"), c => c < 0 || c >= 32)).count() == 0)
   }
 
+  test("knnIvfPq restricts candidates to probed cells and beats raw-PQ recall") {
+    val q = emb.where(col("vec_id") < 10)
+    val out = Quantization.knnIvfPq(emb, q, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2,
+      nCells = 8, coarseIterations = 3, nProbe = 3, k = 5)
+    val n = out.count()
+    assert(n == 50, s"expected 10 queries x top-5, got $n")
+    // residual quantization should not be worse than raw-vector PQ at
+    // the same (m, ksub) — that's the entire point of the IVF-PQ
+    // composition. Compare both against exact L2 top-5.
+    import graft.functions.VectorFunctions
+    val qv = broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
+    val exactL2 = Similarity.topKPerGroup(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+        .join(qv, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", -VectorFunctions.l2Sq(col("q_vec"), col("n_vec"))),
+      "query_id", "sim", "neighbor_id", 5).localCheckpoint()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recall(approx, exactL2).agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val rawPq = Quantization.pqKnn(emb, q, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2, k = 5)
+    val rIvfPq = meanRecall(out)
+    val rRaw = meanRecall(rawPq)
+    // nProbe=3 of ~10 cells forgoes some candidates, so allow a small
+    // concession; the residual-coding gain should dominate.
+    assert(rIvfPq >= rRaw - 0.1, s"IVF-PQ recall $rIvfPq collapsed vs raw PQ $rRaw")
+  }
+
   test("pqKnn is deterministic and recalls most of the exact top-k") {
     val q = emb.where(col("vec_id") < 10)
     val a = Quantization.pqKnn(emb, q, "vec_id", "embedding",
