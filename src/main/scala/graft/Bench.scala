@@ -43,13 +43,17 @@ object Bench {
     }
     // Failures are reported distinctly (negative time + errors list) so
     // a hard-failing query never shows up as a suspiciously fast pass.
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
+    // Times are rounded to ms so the whole line stays well under the
+    // driver's stdout tail window (r2's full-precision line overflowed
+    // it and the driver recorded parsed:null).
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + ms(if (ok) v else -v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
