@@ -464,7 +464,19 @@ object SparkEntry {
         t(s, dir, "embeddings").where(col("vec_id") < 10),
         "vec_id", "embedding",
         m = 16, dims = 64, ksub = 32, iterations = 2,
-        nCells = 8, coarseIterations = 3, nProbe = 3, k = 5))
+        nCells = 8, coarseIterations = 3, nProbe = 3, k = 5)),
+    // hnswlib ships l2/ip spaces alongside the cosine space index.h
+    // instantiates — exact top-5 by euclidean distance for the same
+    // query set (negated-squared-distance bounded-heap, native kernel).
+    "emb_knn_l2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForceL2(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    // Storage-tier int8 scalar quantization with per-vector
+    // reconstruction-error stats (the 4x embedding compression knob).
+    "emb_int8_quant" -> ((s, dir) =>
+      Quantization.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding"))
   )
 
   private val centroidCte = """
@@ -753,6 +765,38 @@ object SparkEntry {
   }
 
   private def embOracles: Map[String, String] = Map(
+    "emb_knn_l2" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id, sum((x - y) * (x - y)) AS dist FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
+    "emb_int8_quant" -> """
+      WITH u AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
+      mm AS (
+        SELECT vec_id, min(x) AS vmin, (max(x) - min(x)) / 255.0 AS scale
+        FROM u GROUP BY vec_id),
+      cc AS (
+        SELECT u.vec_id,
+               CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(round((x - vmin) / scale, 0) AS INT) END AS code,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE abs(x - (vmin + round((x - vmin) / scale, 0) * scale)) END AS err
+        FROM u JOIN mm ON u.vec_id = mm.vec_id)
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_codes,
+             CAST(min(code) AS BIGINT) AS code_min,
+             CAST(max(code) AS BIGINT) AS code_max,
+             round(max(err), 6) AS max_abs_err,
+             round(sum(err) / count(*), 6) AS mean_abs_err
+      FROM cc GROUP BY vec_id""",
     "emb_knn_ivfpq" -> ivfPqOracleSql,
     "emb_pq_codebooks" -> s"""
       WITH $pqPrefixCtes
@@ -1074,8 +1118,35 @@ object SparkEntry {
           ("src2", docs.where(col("source") === "src2"), 0.25)),
         "doc_id", seed = 13L)
         .select(col("doc_id"), col("mix_source"))
-    })
+    }),
+    // Blocklist redaction (the PII-scrub shape: same operator, swap the
+    // word list for email/phone/id regexes on a real corpus).
+    "text_scrub" -> ((s, dir) =>
+      TextAnalysis.scrub(
+        t(s, dir, "documents"), "doc_id", "text", ScrubBlocklist)),
+    // Gopher-style repetition/quality gates with keep/drop verdict.
+    "text_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+    // Train/eval decontamination: docs sharing a 4-gram with the
+    // held-out benchmark slice (doc_id % 50 == 0).
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+    }),
+    // Context-window chunking: 32-token windows at stride 24 (the
+    // overlapping LM-sequence split).
+    "text_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, stride = 24))
   )
+
+  /** Demo blocklist for text_scrub (vocabulary terms — the corpus is
+    * synthetic lowercase words; production swaps in PII regexes).
+    */
+  private val ScrubBlocklist = Seq("hash", "key", "secret")
 
   private val stopwordList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -1185,7 +1256,54 @@ object SparkEntry {
       SELECT lang, count(*) AS n_docs,
              CAST(sum(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
-      FROM q WHERE round(quality, 6) >= 0.6 GROUP BY lang"""
+      FROM q WHERE round(quality, 6) >= 0.6 GROUP BY lang""",
+    "text_scrub" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\b(hash|key|secret)\b')) AS BIGINT) AS n_redacted,
+             regexp_replace(text, '\b(hash|key|secret)\b', '[REDACTED]', 'g') AS scrubbed
+      FROM documents""",
+    "text_gopher_filter" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      f AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM tok) GROUP BY doc_id, tok),
+      a AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_cnt,
+               CAST(sum(c * length(tok)) AS BIGINT) AS n_word_chars
+        FROM f GROUP BY doc_id),
+      b AS (
+        SELECT doc_id,
+               len(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS n_bg,
+               len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS n_bgd
+        FROM tok),
+      s AS (
+        SELECT a.doc_id, n_tokens,
+               round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+               round(CASE WHEN n_bg = 0 THEN 0.0
+                          ELSE 1.0 - CAST(n_bgd AS DOUBLE) / n_bg END, 6) AS dup_bigram_frac,
+               round(CAST(n_word_chars AS DOUBLE) / n_tokens, 6) AS mean_word_len
+        FROM a JOIN b ON a.doc_id = b.doc_id)
+      SELECT doc_id, n_tokens, top_word_frac, dup_bigram_frac, mean_word_len,
+             CAST(n_tokens BETWEEN 20 AND 80 AND top_word_frac <= 0.12
+                  AND dup_bigram_frac <= 0.05
+                  AND mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS keep
+      FROM s""",
+    "text_decontaminate" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' ')) AS gs
+        FROM tok),
+      bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0),
+      corp AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 50 <> 0)
+      SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+      FROM corp JOIN bench USING (g) GROUP BY doc_id""",
+    "text_chunk_windows" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_idx,
+             array_to_string(t[i+1:i+32], ' ') AS chunk,
+             CAST(len(t[i+1:i+32]) AS BIGINT) AS n_chunk_tokens
+      FROM tok, unnest(range(0, len(t), 24)) AS u(i)"""
   )
 
   // ---------------------------------------------------------------- //

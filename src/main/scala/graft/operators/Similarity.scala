@@ -71,6 +71,32 @@ object Similarity {
     topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }
 
+  /** Exact top-k EUCLIDEAN neighbors — the reference's index is built
+    * over a pluggable hnswlib space (cosine in index.h, but hnswlib
+    * ships l2/ip spaces too); this is the l2 variant of
+    * [[knnBruteForce]]. Same scale shape: broadcast queries, one
+    * corpus scan, bounded-heap top-k on the NEGATED squared distance
+    * (the heap keeps "largest score", and sqrt is monotone so squared
+    * distance ranks identically without the per-row sqrt). The kernel
+    * is the native codegen'd graft_l2sq expression.
+    */
+  def knnBruteForceL2(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(
+      queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("negdist", -l2Sq(col("q_vec"), col("n_vec")))
+    topKPerGroup(scored, "query_id", "negdist", "neighbor_id", k)
+  }
+
   /** Generic bounded-heap top-k per group (posexploded to ranks) —
     * public: useful beyond knn wherever "k best per key" is needed.
     */

@@ -82,6 +82,129 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("fp"),
       length(normalizeText(col(textCol))).cast("long").as("n_norm_chars"))
 
+  /** Blocklist scrub — the redaction step of corpus prep. In
+    * production the same operator runs with PII regexes (emails,
+    * phone numbers, id-like digit runs); the synthetic corpus is
+    * lowercase words only, so the demo blocklist is vocabulary terms.
+    * One word-boundary regexp_replace per row: a narrow codegen'd
+    * projection, scan speed at 100 TB.
+    */
+  def scrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String],
+      replacement: String = "[REDACTED]"
+  ): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val pat = "\\b(" + blocklist.mkString("|") + ")\\b"
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as("n_redacted"),
+      regexp_replace(col(textCol), pat, replacement).as("scrubbed"))
+  }
+
+  /** Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1:
+    * word-count bounds, mean word length, repetition fractions) with a
+    * combined keep/drop verdict. The per-word frequency goes through
+    * explode → (doc, word) count → per-doc max — two map-side-combined
+    * aggregations, never an O(len²) per-row scan — so the shape holds
+    * for book-length documents; the bigram fractions are per-row array
+    * projections.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val freq = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_cnt"),
+        sum(col("c") * length(col("tok"))).as("n_word_chars"))
+    val bigrams = shingles(col(textCol), 2)
+    val perRow = docs.select(
+      col(idCol).as("doc_id"),
+      size(bigrams).cast("long").as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+    val topFrac = round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+    val dupFrac = round(
+      when(col("n_bigrams") === 0, 0.0)
+        .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams")), 6)
+    val meanLen = round(col("n_word_chars").cast("double") / col("n_tokens"), 6)
+    freq
+      .join(perRow, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        topFrac.as("top_word_frac"),
+        dupFrac.as("dup_bigram_frac"),
+        meanLen.as("mean_word_len"))
+      // Verdict on the ROUNDED signals so any external re-computation
+      // reaches the identical keep/drop decision.
+      .withColumn(
+        "keep",
+        (col("n_tokens").between(20, 80) &&
+          col("top_word_frac") <= 0.12 &&
+          col("dup_bigram_frac") <= 0.05 &&
+          col("mean_word_len").between(3.0, 10.0)).cast("int"))
+  }
+
+  /** Benchmark decontamination — drop/flag training documents sharing
+    * any word n-gram with an evaluation set (the n-gram-overlap rule
+    * used for LLM train/test hygiene, e.g. GPT-3 appendix C). The
+    * benchmark's distinct n-grams are broadcast (eval suites are tiny
+    * next to the corpus); the corpus side is explode → broadcast-join →
+    * one per-doc count — a single shuffle at any corpus size.
+    * Returns contaminated docs: (doc_id, n_shared distinct n-grams).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(explode(shingles(col(textCol), n)).as("g")).distinct())
+    corpus
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("g"))
+      .join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared"))
+  }
+
+  /** Fixed-size token windows with stride — the chunking step that
+    * turns documents into model-context-sized training sequences
+    * (stride < chunkSize gives the standard overlapping LM windows).
+    * Pure per-row array work: sequence of window starts → slice →
+    * re-join; posexplode keeps a deterministic chunk index. Trailing
+    * partial windows are kept (callers filter on n_chunk_tokens if a
+    * full window is required).
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int
+  ): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val t = tokens(col(textCol))
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride)),
+            st => concat_ws(" ", slice(t, st + 1, lit(chunkSize)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"),
+        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** BPE-ish subword token counting: greedy regex chunking — letter
     * runs capped at 4 chars, single digits, single punctuation — as a
     * cheap deterministic proxy for a byte-pair tokenizer's token count

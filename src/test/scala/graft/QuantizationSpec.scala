@@ -127,4 +127,35 @@ class QuantizationSpec extends AnyFunSuite {
       .agg(avg(col("recall"))).collect()(0).getDouble(0)
     assert(meanRecall >= 0.4, s"mean PQ recall vs exact L2 collapsed: $meanRecall")
   }
+
+  test("int8Quantize: constant vectors are exact, codes span the grid") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(5.0f, 5.0f, 5.0f)),          // constant: scale 0
+      (2L, Array(0.0f, 1.0f, 2.0f))           // endpoints hit codes 0/255
+    ).toDF("vec_id", "embedding")
+    val out = Quantization.int8Quantize(df, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out(1L).getAs[Long]("code_min") == 0L)
+    assert(out(1L).getAs[Long]("code_max") == 0L)
+    assert(out(1L).getAs[Double]("max_abs_err") == 0.0)
+    assert(out(2L).getAs[Long]("code_min") == 0L)
+    assert(out(2L).getAs[Long]("code_max") == 255L)
+    // reported error is rounded to 6dp — allow that rounding slack
+    assert(out(2L).getAs[Double]("max_abs_err") <= 2.0 / 255.0 / 2.0 + 5e-7)
+  }
+
+  test("int8Quantize reconstruction error is bounded by half a grid step corpus-wide") {
+    val stats = Quantization.int8Quantize(emb, "vec_id", "embedding")
+    val halfStep = emb.select(
+      col("vec_id"),
+      ((array_max(transform(col("embedding"), x => x.cast("double"))) -
+        array_min(transform(col("embedding"), x => x.cast("double")))) / 255.0 / 2.0)
+        .as("half"))
+    val violations = stats.join(halfStep, "vec_id")
+      // rounded stats vs exact bound: allow the 6dp rounding slack
+      .where(col("max_abs_err") > col("half") + 5e-7)
+      .count()
+    assert(violations == 0L)
+  }
 }

@@ -145,4 +145,28 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(keys == Set(1L, 3L))
   }
+
+  test("knnBruteForceL2 matches a window-sorted exact euclidean reference") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+    val got = Similarity.knnBruteForceL2(emb, q, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    // reference: HOF distance + full window sort (the shape the bounded
+    // heap replaces), same asc-id tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d").asc, col("neighbor_id").asc)
+    val want = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", VectorFunctions.l2SqHof(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got == want)
+    assert(got.size == 15)
+  }
 }

@@ -78,6 +78,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q(1L) > q(2L))
   }
 
+  test("scrub redacts blocklist words only at word boundaries") {
+    val docs = Seq(
+      (1L, "key lookup by hash and hashkey monkey"),
+      (2L, "no match here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrub(docs, "doc_id", "text", Seq("hash", "key"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_redacted"), r.getAs[String]("scrubbed")))
+      .toMap
+    // "hashkey" and "monkey" survive: the match is boundary-anchored.
+    assert(out(1L) == ((2L, "[REDACTED] lookup by [REDACTED] and hashkey monkey")))
+    assert(out(2L) == ((0L, "no match here")))
+  }
+
+  test("repetitionSignals computes gopher signals and the keep verdict") {
+    val passing = (1 to 25).map(i => f"wd$i%02d").mkString(" ") // 25 x 4-char distinct
+    val docs = Seq((1L, "aa aa aa bb"), (2L, passing)).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Double]("top_word_frac") == 0.75)
+    // bigrams: "aa aa","aa aa","aa bb" -> 3 total, 2 distinct
+    assert(r1.getAs[Double]("dup_bigram_frac") == 0.333333)
+    assert(r1.getAs[Double]("mean_word_len") == 2.0)
+    assert(r1.getAs[Int]("keep") == 0) // too short, too repetitive
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_tokens") == 25L)
+    assert(r2.getAs[Double]("top_word_frac") == 0.04)
+    assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r2.getAs[Double]("mean_word_len") == 4.0)
+    assert(r2.getAs[Int]("keep") == 1)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val bench = Seq((10L, "q q a b c d q")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(out == Map(1L -> 1L)) // shares "a b c d"; doc 2 is clean
+  }
+
+  test("chunkTokens emits overlapping stride windows incl. trailing partial") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 3, stride = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[String]("chunk"), r.getAs[Long]("n_chunk_tokens")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, "t1 t2 t3", 3L),
+      (1L, "t3 t4 t5", 3L),
+      (2L, "t5 t6 t7", 3L),
+      (3L, "t7", 1L)))
+  }
+
   test("subword counts chunk greedily into <=4-char pieces") {
     val docs = Seq(
       (1L, "hello world42 spark!"), // hell,o + worl,d,4,2 + spar,k,! = 9
