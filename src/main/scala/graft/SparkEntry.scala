@@ -465,6 +465,17 @@ object SparkEntry {
         "vec_id", "embedding",
         m = 16, dims = 64, ksub = 32, iterations = 2,
         nCells = 8, coarseIterations = 3, nProbe = 3, k = 5)),
+    // Filtered ANN (the vector-db "metadata predicate" search): the
+    // label filter composes BEFORE the scan, so Catalyst pushes it
+    // into the parquet read and the kNN scores only the surviving
+    // corpus — a predicate-pushdown win no post-filter k' > k
+    // heuristic can match for exactness.
+    "emb_knn_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(
+        emb.where(col("label").isin(1, 2, 3)),
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
     // hnswlib ships l2/ip spaces alongside the cosine space index.h
     // instantiates — exact top-5 by euclidean distance for the same
     // query set (negated-squared-distance bounded-heap, native kernel).
@@ -765,6 +776,21 @@ object SparkEntry {
   }
 
   private def embOracles: Map[String, String] = Map(
+    "emb_knn_filtered" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n
+            ON n.vec_id <> q.vec_id AND n.label IN (1, 2, 3)
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
     "emb_knn_l2" -> """
       WITH scored AS (
         SELECT qid AS query_id, nvid AS neighbor_id, sum((x - y) * (x - y)) AS dist FROM (

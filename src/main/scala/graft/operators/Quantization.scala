@@ -210,9 +210,22 @@ object Quantization {
     * true neighbors; partitioning by an arbitrary metadata column
     * measurably degrades both (A/B'd in the spec history).
     */
-  def knnIvfPq(
+  /** Built IVF-PQ index artifacts: `coarse` = (cell, c_vec) coarse
+    * centroids, `codebooks` = residual PQ codebooks, `encoded` =
+    * (vec_id, codes, cell) corpus codes. The build-once handle that
+    * [[probeIvfPq]] (and the nProbe tuner) answer queries from — on a
+    * cluster these are the tables you persist alongside the corpus.
+    */
+  final case class IvfPqIndex(coarse: DataFrame, codebooks: DataFrame, encoded: DataFrame)
+
+  /** Build the IVF-PQ index: coarse k-means cells, per-cell residuals,
+    * residual PQ codebooks, encoded corpus. `pinEncoded` additionally
+    * localCheckpoints the encoded corpus — do that when probing more
+    * than once (the tuner), not for a one-shot query where it would
+    * add a materialization pass.
+    */
+  def buildIvfPq(
       corpus: DataFrame,
-      queries: DataFrame,
       keyCol: String,
       vecCol: String,
       m: Int,
@@ -221,9 +234,8 @@ object Quantization {
       iterations: Int,
       nCells: Int,
       coarseIterations: Int,
-      nProbe: Int,
-      k: Int
-  ): DataFrame = {
+      pinEncoded: Boolean = false
+  ): IvfPqIndex = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     // Coarse codebook (nCells rows, broadcast) + corpus cell assignment.
     val coarse = Similarity
@@ -247,6 +259,26 @@ object Quantization {
       .localCheckpoint()
     val enc = pqEncode(resid, "vec_id", "r", m, dims, cb)
       .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+    IvfPqIndex(coarse, cb, if (pinEncoded) enc.localCheckpoint() else enc)
+  }
+
+  /** Probe a built IVF-PQ index: nProbe nearest cells per query, ADC
+    * over the residual codes of just those cells.
+    */
+  def probeIvfPq(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val coarse = index.coarse
+    val cb = index.codebooks
+    val enc = index.encoded
     // Query side: nProbe nearest cells (cosine, same ranking as the
     // corpus assignment), then a per-(query, cell) ADC table over the
     // QUERY residual for that cell.
@@ -295,6 +327,75 @@ object Quantization {
             acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1)))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), (-col("adist")).as("sim"))
     Similarity.topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
+  }
+
+  /** IVF-PQ end to end: build the index, answer queries. One-shot form
+    * of [[buildIvfPq]] + [[probeIvfPq]].
+    */
+  def knnIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iterations: Int,
+      nCells: Int,
+      coarseIterations: Int,
+      nProbe: Int,
+      k: Int
+  ): DataFrame = {
+    val index = buildIvfPq(
+      corpus, keyCol, vecCol, m, dims, ksub, iterations, nCells, coarseIterations)
+    probeIvfPq(index, queries, keyCol, vecCol, m, dims, nProbe, k)
+  }
+
+  /** Smallest nProbe whose WORST-query recall vs exact euclidean top-k
+    * meets the target — the IVF-PQ acceptance-gate loop, mirroring
+    * `Similarity.tuneNProbe`'s contract: Some(nProbe) for the first of
+    * the doubling candidates (clamped to maxProbe, which is always
+    * evaluated before giving up) that meets the target, None when even
+    * maxProbe misses it — with PQ the quantization loss itself caps
+    * recall, so None is a real outcome meaning "re-train with more
+    * cells/finer codebooks", not "probe wider". The index is built
+    * ONCE (encoded corpus pinned); each candidate costs one probe +
+    * one k-row-per-query recall aggregate — scalar driver reads only.
+    * An empty query set vacuously meets any target at nProbe=1.
+    */
+  def tuneIvfPqNProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iterations: Int,
+      nCells: Int,
+      coarseIterations: Int,
+      k: Int,
+      targetRecall: Double,
+      maxProbe: Int
+  ): Option[Int] = {
+    require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
+    val index = buildIvfPq(
+      corpus, keyCol, vecCol, m, dims, ksub, iterations, nCells, coarseIterations,
+      pinEncoded = true)
+    val exact = Similarity
+      .knnBruteForceL2(corpus, queries, keyCol, vecCol, k).localCheckpoint()
+    var cand = 1
+    while (cand <= maxProbe) {
+      val nProbe = math.min(cand, maxProbe)
+      val approx = probeIvfPq(index, queries, keyCol, vecCol, m, dims, nProbe, k)
+      val worstRow = Similarity.recall(approx, exact)
+        .agg(min(col("recall"))).collect()(0)
+      val worst = if (worstRow.isNullAt(0)) 1.0 else worstRow.getDouble(0)
+      if (worst >= targetRecall) return Some(nProbe)
+      if (nProbe == maxProbe) return None
+      cand = math.min(cand * 2, maxProbe)
+    }
+    None
   }
 
   /** End-to-end PQ search: build codebooks, encode the corpus, answer

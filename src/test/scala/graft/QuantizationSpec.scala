@@ -128,6 +128,32 @@ class QuantizationSpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"mean PQ recall vs exact L2 collapsed: $meanRecall")
   }
 
+  test("tuneIvfPqNProbe finds the smallest probe meeting the target or None") {
+    val q = emb.where(col("vec_id") < 5)
+    // target 0: any probe passes -> smallest candidate (1)
+    val loose = Quantization.tuneIvfPqNProbe(
+      emb, q, "vec_id", "embedding",
+      m = 8, dims = 64, ksub = 16, iterations = 1,
+      nCells = 4, coarseIterations = 1, k = 5,
+      targetRecall = 0.0, maxProbe = 4)
+    assert(loose.contains(1))
+    // unreachable target: PQ loss caps recall below 1.0 here -> None,
+    // and maxProbe itself must have been evaluated before giving up
+    val unmet = Quantization.tuneIvfPqNProbe(
+      emb, q, "vec_id", "embedding",
+      m = 8, dims = 64, ksub = 16, iterations = 1,
+      nCells = 4, coarseIterations = 1, k = 5,
+      targetRecall = 1.01, maxProbe = 3)
+    assert(unmet.isEmpty)
+    // empty query set vacuously meets any target at nProbe = 1
+    val vac = Quantization.tuneIvfPqNProbe(
+      emb, emb.where(col("vec_id") < 0), "vec_id", "embedding",
+      m = 8, dims = 64, ksub = 16, iterations = 1,
+      nCells = 4, coarseIterations = 1, k = 5,
+      targetRecall = 1.0, maxProbe = 2)
+    assert(vac.contains(1))
+  }
+
   test("int8Quantize: constant vectors are exact, codes span the grid") {
     import spark.implicits._
     val df = Seq(

@@ -146,6 +146,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keys == Set(1L, 3L))
   }
 
+  test("filtered kNN never returns neighbors outside the predicate") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+    val got = Similarity
+      .knnBruteForce(emb.where(col("label") === 2), q, "vec_id", "embedding", 3)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    assert(got.where(col("label") =!= 2).count() == 0L)
+    assert(got.count() == 15L)
+  }
+
   test("knnBruteForceL2 matches a window-sorted exact euclidean reference") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val q = emb.where(col("vec_id") < 5)
