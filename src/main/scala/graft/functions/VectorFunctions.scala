@@ -50,6 +50,24 @@ object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
     call_function(graft.plans.GraftFunctions.L2SqName, a, b)
 
+  /** PQ asymmetric distance: sum_j tables(j)(codes(j)) via the native
+    * codegen'd expression (graft.plans.AdcDistance). Requires
+    * GraftFunctions.register (every graft operator entry point calls
+    * it).
+    */
+  def adc(tables: Column, codes: Column): Column =
+    call_function(graft.plans.GraftFunctions.AdcName, tables, codes)
+
+  /** Higher-order-function ADC: the same sequential subspace-order
+    * fold, no codegen. Registration-free fallback and the cross-check
+    * for the native expression in tests. `m` is the subspace count.
+    */
+  def adcHof(tables: Column, codes: Column, m: Int): Column =
+    aggregate(
+      sequence(lit(1), lit(m)),
+      lit(0.0),
+      (acc, j) => acc + element_at(element_at(tables, j), element_at(codes, j) + lit(1)))
+
   /** Higher-order-function squared euclidean distance: same sequential
     * double accumulation, no codegen. Registration-free fallback and
     * the cross-check for the native expression in tests.

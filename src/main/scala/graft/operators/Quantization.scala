@@ -179,13 +179,10 @@ object Quantization {
       .select(col("vec_id").as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(qTables))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn(
-        "adist",
-        aggregate(
-          sequence(lit(1), lit(m)),
-          lit(0.0),
-          (acc, j) =>
-            acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1)))
+      // Native codegen'd ADC (same subspace-order fold as the HOF
+      // formulation, bit-identical) — this runs per (query, code-row)
+      // pair, the hot loop of the PQ scan.
+      .withColumn("adist", VectorFunctions.adc(col("tables"), col("codes")))
     Similarity.topKPerGroup(
       scored.withColumn("sim", -col("adist")), "query_id", "sim", "neighbor_id", k)
   }
@@ -318,13 +315,8 @@ object Quantization {
     val scored = enc
       .join(broadcast(qTables), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn(
-        "adist",
-        aggregate(
-          sequence(lit(1), lit(m)),
-          lit(0.0),
-          (acc, j) =>
-            acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1)))
+      // Native codegen'd ADC over the probed cells' code rows.
+      .withColumn("adist", VectorFunctions.adc(col("tables"), col("codes")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), (-col("adist")).as("sim"))
     Similarity.topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }

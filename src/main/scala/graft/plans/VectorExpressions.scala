@@ -171,6 +171,102 @@ case class L2SquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native asymmetric-distance computation (ADC) — the inner loop of PQ
+  * search: given a query's per-subspace lookup tables
+  * (`array<array<double>>`, m x ksub) and a corpus row's codes
+  * (`array<int>`, m entries), returns sum_j tables[j][codes[j]].
+  *
+  * This runs once per (query, corpus-code-row) pair — the dominant
+  * cost of a PQ/IVF-PQ scan. The higher-order-function formulation
+  * (`aggregate(sequence(1, m), ...)` with nested `element_at`) is
+  * CodegenFallback: interpreted per row with per-step boxing. This
+  * expression is the tight generated loop. Accumulation is sequential
+  * in subspace order — bit-identical to the HOF fold and the unrolled
+  * SQL oracle.
+  *
+  * Null semantics match the HOF path: null arrays, length mismatch,
+  * null elements, and out-of-range codes all yield null.
+  */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_adc"
+
+  private def codeIsLong: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType => true
+      case org.apache.spark.sql.types.IntegerType => false
+      case other =>
+        throw new IllegalArgumentException(s"graft_adc: unsupported code type $other")
+    }
+
+  private def validateTables(): Unit =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case ArrayType(DoubleType, _) => ()
+      case other =>
+        throw new IllegalArgumentException(s"graft_adc: tables must be array<array<double>>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    validateTables()
+    val tables = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    if (tables.numElements() != codes.numElements()) return null
+    val m = tables.numElements()
+    val longCodes = codeIsLong
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (tables.isNullAt(j) || codes.isNullAt(j)) return null
+      val t = tables.getArray(j)
+      val c = if (longCodes) codes.getLong(j).toInt else codes.getInt(j)
+      if (c < 0 || c >= t.numElements() || t.isNullAt(c)) return null
+      acc += t.getDouble(c)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    validateTables()
+    val cGet = if (codeIsLong) "(int) $B$.getLong($J$)" else "$B$.getInt($J$)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val getCode = cGet.replace("$B$", b).replace("$J$", j)
+      s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $m = $a.numElements();
+          double $acc = 0.0;
+          for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+            if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+            org.apache.spark.sql.catalyst.util.ArrayData $t = $a.getArray($j);
+            int $c = $getCode;
+            if ($c < 0 || $c >= $t.numElements() || $t.isNullAt($c)) {
+              ${ev.isNull} = true; break;
+            }
+            $acc += $t.getDouble($c);
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $acc;
+          }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration of graft's native expressions into a session's
   * function registry (the standalone-library analog of a
   * SparkSessionExtensions injection — works on any already-built
@@ -181,6 +277,7 @@ object GraftFunctions {
   val TopKName = "graft_topk"
   val SimHashName = "graft_simhash64"
   val L2SqName = "graft_l2sq"
+  val AdcName = "graft_adc"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -196,6 +293,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       L2SqName,
       (exprs: Seq[Expression]) => L2SquaredDistance(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      AdcName,
+      (exprs: Seq[Expression]) => AdcDistance(exprs(0), exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction(
       TopKName,

