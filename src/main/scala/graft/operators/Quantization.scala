@@ -376,18 +376,10 @@ object Quantization {
       pinEncoded = true)
     val exact = Similarity
       .knnBruteForceL2(corpus, queries, keyCol, vecCol, k).localCheckpoint()
-    var cand = 1
-    while (cand <= maxProbe) {
-      val nProbe = math.min(cand, maxProbe)
-      val approx = probeIvfPq(index, queries, keyCol, vecCol, m, dims, nProbe, k)
-      val worstRow = Similarity.recall(approx, exact)
-        .agg(min(col("recall"))).collect()(0)
-      val worst = if (worstRow.isNullAt(0)) 1.0 else worstRow.getDouble(0)
-      if (worst >= targetRecall) return Some(nProbe)
-      if (nProbe == maxProbe) return None
-      cand = math.min(cand * 2, maxProbe)
-    }
-    None
+    Similarity.tuneProbeLoop(
+      exact,
+      nProbe => probeIvfPq(index, queries, keyCol, vecCol, m, dims, nProbe, k),
+      targetRecall, maxProbe)
   }
 
   /** End-to-end PQ search: build codebooks, encode the corpus, answer

@@ -60,14 +60,28 @@ object Similarity {
       keyCol: String,
       vecCol: String,
       k: Int
-  ): DataFrame = {
+  ): DataFrame =
+    knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
+      (q, n) => cosine(q, n))
+
+  /** Shared brute-force scaffold: broadcast queries x corpus scan,
+    * self-pair exclusion, bounded-heap top-k on the given score
+    * (higher = closer).
+    */
+  private def knnBruteForceBy(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int
+  )(score: (Column, Column) => Column): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(
       queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
     val scored = corpus
       .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", score(col("q_vec"), col("n_vec")))
     topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }
 
@@ -86,16 +100,9 @@ object Similarity {
       keyCol: String,
       vecCol: String,
       k: Int
-  ): DataFrame = {
-    graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val q = broadcast(
-      queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
-    val scored = corpus
-      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-      .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("negdist", -l2Sq(col("q_vec"), col("n_vec")))
-    topKPerGroup(scored, "query_id", "negdist", "neighbor_id", k)
-  }
+  ): DataFrame =
+    knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
+      (q, n) => -l2Sq(q, n))
 
   /** Generic bounded-heap top-k per group (posexploded to ranks) —
     * public: useful beyond knn wherever "k best per key" is needed.
@@ -274,15 +281,33 @@ object Similarity {
   ): Option[Int] = {
     require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
     val exact = knnBruteForce(corpus, queries, keyCol, vecCol, k).localCheckpoint()
-    var cand = 1
-    while (cand <= maxProbe) {
-      val nProbe = math.min(cand, maxProbe)
-      val approx = knnIvf(corpus, queries, keyCol, vecCol, groupColForCentroids, k, nProbe)
-      val worstRow = recall(approx, exact).agg(min(col("recall"))).collect()(0)
+    tuneProbeLoop(
+      exact,
+      nProbe => knnIvf(corpus, queries, keyCol, vecCol, groupColForCentroids, k, nProbe),
+      targetRecall, maxProbe)
+  }
+
+  /** The shared probe-tuning gate: doubling candidates 1,2,4,...
+    * clamped to maxProbe (which is always evaluated before giving up);
+    * Some(first candidate whose worst-query recall vs `exact` meets
+    * the target), None if even maxProbe misses it. min(recall) over an
+    * empty query set is null and counts as a vacuous pass. Used by the
+    * IVF and IVF-PQ tuners — gate-semantics changes belong here, once.
+    */
+  private[operators] def tuneProbeLoop(
+      exact: DataFrame,
+      probe: Int => DataFrame,
+      targetRecall: Double,
+      maxProbe: Int
+  ): Option[Int] = {
+    require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
+    var nProbe = 1
+    while (nProbe <= maxProbe) {
+      val worstRow = recall(probe(nProbe), exact).agg(min(col("recall"))).collect()(0)
       val worst = if (worstRow.isNullAt(0)) 1.0 else worstRow.getDouble(0)
       if (worst >= targetRecall) return Some(nProbe)
       if (nProbe == maxProbe) return None
-      cand = math.min(cand * 2, maxProbe)
+      nProbe = math.min(nProbe * 2, maxProbe)
     }
     None
   }

@@ -97,11 +97,17 @@ object TextAnalysis {
       replacement: String = "[REDACTED]"
   ): DataFrame = {
     require(blocklist.nonEmpty, "blocklist must be non-empty")
-    val pat = "\\b(" + blocklist.mkString("|") + ")\\b"
+    // Entries are literals, not regex fragments: quote them so terms
+    // with metacharacters ("c++", "a.b") match literally instead of
+    // throwing or silently widening; likewise the replacement must not
+    // be interpreted as group references ("$5 fee").
+    val pat = "\\b(" +
+      blocklist.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"
+    val repl = java.util.regex.Matcher.quoteReplacement(replacement)
     docs.select(
       col(idCol).as("doc_id"),
       size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as("n_redacted"),
-      regexp_replace(col(textCol), pat, replacement).as("scrubbed"))
+      regexp_replace(col(textCol), pat, repl).as("scrubbed"))
   }
 
   /** Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1:
@@ -132,21 +138,27 @@ object TextAnalysis {
       when(col("n_bigrams") === 0, 0.0)
         .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams")), 6)
     val meanLen = round(col("n_word_chars").cast("double") / col("n_tokens"), 6)
-    freq
-      .join(perRow, "doc_id")
+    // Left join FROM the per-row side: a null-text doc produces no
+    // exploded rows (so no freq entry), but must still surface with a
+    // keep=0 verdict — an inner join would silently drop it from the
+    // corpus accounting entirely.
+    perRow
+      .join(freq, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"),
         topFrac.as("top_word_frac"),
         dupFrac.as("dup_bigram_frac"),
         meanLen.as("mean_word_len"))
       // Verdict on the ROUNDED signals so any external re-computation
-      // reaches the identical keep/drop decision.
+      // reaches the identical keep/drop decision; null signals -> 0.
       .withColumn(
         "keep",
-        (col("n_tokens").between(20, 80) &&
-          col("top_word_frac") <= 0.12 &&
-          col("dup_bigram_frac") <= 0.05 &&
-          col("mean_word_len").between(3.0, 10.0)).cast("int"))
+        coalesce(
+          (col("n_tokens").between(20, 80) &&
+            col("top_word_frac") <= 0.12 &&
+            col("dup_bigram_frac") <= 0.05 &&
+            col("mean_word_len").between(3.0, 10.0)).cast("int"),
+          lit(0)))
   }
 
   /** Benchmark decontamination — drop/flag training documents sharing
@@ -190,19 +202,25 @@ object TextAnalysis {
   ): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
     val t = tokens(col(textCol))
+    // The slice is built once per window; emit its length alongside the
+    // re-joined text from the same transform instead of re-splitting
+    // the chunk string downstream.
     docs
       .select(
         col(idCol).as("doc_id"),
         posexplode(
           transform(
             sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride)),
-            st => concat_ws(" ", slice(t, st + 1, lit(chunkSize)))))
-          .as(Seq("chunk_idx", "chunk")))
+            st => {
+              val w = slice(t, st + 1, lit(chunkSize))
+              struct(concat_ws(" ", w).as("chunk"), size(w).as("n"))
+            }))
+          .as(Seq("chunk_idx", "c")))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk"),
-        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"))
+        col("c.chunk").as("chunk"),
+        col("c.n").cast("long").as("n_chunk_tokens"))
   }
 
   /** BPE-ish subword token counting: greedy regex chunking — letter

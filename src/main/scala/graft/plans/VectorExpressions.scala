@@ -184,8 +184,12 @@ case class L2SquaredDistance(left: Expression, right: Expression)
   * in subspace order — bit-identical to the HOF fold and the unrolled
   * SQL oracle.
   *
-  * Null semantics match the HOF path: null arrays, length mismatch,
-  * null elements, and out-of-range codes all yield null.
+  * Null semantics: null arrays, length mismatch, null elements, and
+  * out-of-range codes all yield null. (Stricter than the HOF fold
+  * under Spark 4 defaults, where `element_at` THROWS on an
+  * out-of-range index — a malformed code row should drop from a
+  * top-k, not kill the job.) Type misuse is rejected at analysis
+  * time via checkInputDataTypes.
   */
 case class AdcDistance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -193,6 +197,18 @@ case class AdcDistance(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_adc"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _),
+            ArrayType(org.apache.spark.sql.types.IntegerType | LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_adc requires (array<array<double>>, array<int|bigint>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   private def codeIsLong: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType match {

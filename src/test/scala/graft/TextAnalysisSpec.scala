@@ -93,6 +93,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, "no match here")))
   }
 
+  test("scrub treats blocklist entries and replacement as literals") {
+    val docs = Seq((1L, "uses c++ and a.b but not axb")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrub(docs, "doc_id", "text", Seq("c++", "a.b"), "$5 [X]")
+      .collect().head
+    // metacharacters don't throw, don't widen ("axb" untouched — '.'
+    // is literal), and the replacement's $ is not a group reference.
+    // "c++" goes unmatched: \b needs a word-char edge and '+' isn't
+    // one — boundary-anchored semantics, documented not crashed.
+    assert(out.getAs[Long]("n_redacted") == 1L)
+    assert(out.getAs[String]("scrubbed") == "uses c++ and $5 [X] but not axb")
+  }
+
   test("repetitionSignals computes gopher signals and the keep verdict") {
     val passing = (1 to 25).map(i => f"wd$i%02d").mkString(" ") // 25 x 4-char distinct
     val docs = Seq((1L, "aa aa aa bb"), (2L, passing)).toDF("doc_id", "text")
@@ -111,6 +123,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
     assert(r2.getAs[Double]("mean_word_len") == 4.0)
     assert(r2.getAs[Int]("keep") == 1)
+  }
+
+  test("repetitionSignals keeps null-text docs visible with keep=0") {
+    val docs = Seq((1L, "aa bb cc"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    assert(out.keySet == Set(1L, 2L)) // the null doc is not silently dropped
+    assert(out(2L) == 0)
   }
 
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
