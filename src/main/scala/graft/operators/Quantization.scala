@@ -217,9 +217,16 @@ object Quantization {
 
   /** Build the IVF-PQ index: coarse k-means cells, per-cell residuals,
     * residual PQ codebooks, encoded corpus. `pinEncoded` additionally
-    * localCheckpoints the encoded corpus — do that when probing more
-    * than once (the tuner), not for a one-shot query where it would
-    * add a materialization pass.
+    * pins the encoded corpus — do that when probing more than once
+    * (the tuner), not for a one-shot query where it would add a
+    * materialization pass. The encoded corpus is corpus-sized (m bytes
+    * per vector), so `durable = true` switches that pin from
+    * executor-resident localCheckpoint to the fault-tolerant
+    * reliable checkpoint for real-cluster runs — same trade as
+    * `Dedup.connectedComponents`; on a production cluster you would
+    * instead persist `encoded` as a table alongside the corpus.
+    * (The coarse/codebook artifacts are k-row-sized; their local pins
+    * are rebuild-cheap and never the durability concern.)
     */
   def buildIvfPq(
       corpus: DataFrame,
@@ -231,7 +238,8 @@ object Quantization {
       iterations: Int,
       nCells: Int,
       coarseIterations: Int,
-      pinEncoded: Boolean = false
+      pinEncoded: Boolean = false,
+      durable: Boolean = false
   ): IvfPqIndex = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     // Coarse codebook (nCells rows, broadcast) + corpus cell assignment.
@@ -256,7 +264,11 @@ object Quantization {
       .localCheckpoint()
     val enc = pqEncode(resid, "vec_id", "r", m, dims, cb)
       .join(resid.select(col("vec_id"), col("cell")), "vec_id")
-    IvfPqIndex(coarse, cb, if (pinEncoded) enc.localCheckpoint() else enc)
+    val pinned =
+      if (!pinEncoded) enc
+      else if (durable) enc.checkpoint()
+      else enc.localCheckpoint()
+    IvfPqIndex(coarse, cb, pinned)
   }
 
   /** Probe a built IVF-PQ index: nProbe nearest cells per query, ADC
