@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.{AdcDistance, CosineSimilarity, GraftFunctions, L2SquaredDistance, SimHash64}
+
+/** Spark-idiomatic packaging of graft's native expressions: set
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (spark-submit / spark-defaults.conf / SparkSession.builder.config)
+  * and `graft_cosine`, `graft_l2sq`, `graft_adc`, `graft_simhash64`
+  * resolve in ANY SQL surface of the session — spark-sql shell, JDBC,
+  * `spark.sql(...)` — with no graft code on the driver path.
+  *
+  * `GraftFunctions.register` remains the runtime-injection twin for
+  * sessions built without the config (tests, the Verify/Bench mains,
+  * notebook sessions you don't control the launch of); both register
+  * identical expression builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injectables.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  /** Name -> expression builder for every injectable scalar function.
+    * (TopKByScore is registered only via GraftFunctions.register: its
+    * k argument needs literal extraction, which shares the same
+    * builder there.)
+    */
+  private[graft] val injectables: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    GraftFunctions.CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    GraftFunctions.L2SqName -> (exprs => L2SquaredDistance(exprs(0), exprs(1))),
+    GraftFunctions.AdcName -> (exprs => AdcDistance(exprs(0), exprs(1))),
+    GraftFunctions.SimHashName -> (exprs => SimHash64(exprs(0)))
+  )
+
+  /** The builders as a FunctionRegistry-shaped seq, for reuse by
+    * runtime registration.
+    */
+  private[graft] def asRegistryEntries
+      : Seq[(String, FunctionRegistry.FunctionBuilder)] =
+    injectables.map { case (n, b) => n -> (b: FunctionRegistry.FunctionBuilder) }
+}

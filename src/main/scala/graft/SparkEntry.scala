@@ -487,7 +487,25 @@ object SparkEntry {
     // Storage-tier int8 scalar quantization with per-vector
     // reconstruction-error stats (the 4x embedding compression knob).
     "emb_int8_quant" -> ((s, dir) =>
-      Quantization.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding"))
+      Quantization.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // End-to-end corpus curation map: cluster documents by embedding
+    // (the same deterministic k-means schedule as emb_kmeans), then
+    // profile each cluster from the document table — the "what is in
+    // my corpus" step of training-data curation, composed entirely
+    // from existing operators in one Catalyst plan.
+    "corpus_cluster_profile" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 8, iterations = 3)
+      Similarity
+        .nearestCentroid(emb, "vec_id", "embedding", cb)
+        .join(docs, col("vec_id") === col("doc_id"))
+        .groupBy(col("assigned").cast("long").as("cluster"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+    })
   )
 
   private val centroidCte = """
@@ -523,8 +541,24 @@ object SparkEntry {
     * plain SQL: assign (argmax cosine, smallest-id tiebreak) then
     * recompute per-(cell, dim) means, three times.
     */
-  private val kmeansOracleSql: String = {
-    def assign(cent: String, name: String) = s"""
+  /** WITH-clause body for the deterministic 3-iteration k=8 Lloyd
+    * schedule (s0 seeds -> a1/c1 -> a2/c2 -> a3/c3) — shared by the
+    * emb_kmeans oracle and the corpus-cluster-profile oracle, which
+    * additionally assigns every vector against the final codebook.
+    */
+  private lazy val kmeansCtes: String = {
+    def assign(cent: String, name: String) = kmeansAssignCte(cent, name)
+    def mstep(assignName: String, name: String) = kmeansMstepCte(assignName, name)
+    s"""s0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+               list_transform(embedding, x -> x::DOUBLE) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      ${assign("s0", "a1")}, ${mstep("a1", "c1")},
+      ${assign("c1", "a2")}, ${mstep("a2", "c2")},
+      ${assign("c2", "a3")}, ${mstep("a3", "c3")}"""
+  }
+
+  private def kmeansAssignCte(cent: String, name: String): String = s"""
       $name AS (
         SELECT vec_id, centroid_id AS cell FROM (
           SELECT vec_id, centroid_id,
@@ -538,7 +572,8 @@ object SparkEntry {
               FROM embeddings e CROSS JOIN $cent c)
             GROUP BY vec_id, centroid_id))
         WHERE rn = 1)"""
-    def mstep(assignName: String, name: String) = s"""
+
+  private def kmeansMstepCte(assignName: String, name: String): String = s"""
       $name AS (
         SELECT cell AS centroid_id, list(c ORDER BY pos) AS centroid FROM (
           SELECT a.cell, u.pos, avg(u.x) AS c
@@ -549,20 +584,14 @@ object SparkEntry {
           JOIN $assignName a ON u.vec_id = a.vec_id
           GROUP BY a.cell, u.pos)
         GROUP BY cell)"""
-    s"""
-      WITH s0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
-               list_transform(embedding, x -> x::DOUBLE) AS centroid
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
-      ${assign("s0", "a1")}, ${mstep("a1", "c1")},
-      ${assign("c1", "a2")}, ${mstep("a2", "c2")},
-      ${assign("c2", "a3")}, ${mstep("a3", "c3")}
+
+  private lazy val kmeansOracleSql: String = s"""
+      WITH $kmeansCtes
       SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
              CAST(count(*) AS BIGINT) AS dims,
              round(sqrt(sum(x * x)), 6) AS c_norm
       FROM (SELECT centroid_id, unnest(centroid) AS x FROM c3)
       GROUP BY centroid_id"""
-  }
 
   /** PQ schedule constants shared by the Spark queries and the SQL
     * oracles: 64 dims split into PqM subspaces of 64/PqM dims, PqKsub
@@ -776,6 +805,14 @@ object SparkEntry {
   }
 
   private def embOracles: Map[String, String] = Map(
+    "corpus_cluster_profile" -> s"""
+      WITH $kmeansCtes, ${kmeansAssignCte("c3", "a4")}
+      SELECT CAST(cell AS BIGINT) AS cluster,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+             CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+      FROM a4 JOIN documents d ON d.doc_id = a4.vec_id
+      GROUP BY cell""",
     "emb_knn_filtered" -> """
       WITH scored AS (
         SELECT qid AS query_id, nvid AS neighbor_id,

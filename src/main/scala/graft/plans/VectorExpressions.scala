@@ -298,22 +298,12 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val registry = classic.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      CosineName,
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      SimHashName,
-      (exprs: Seq[Expression]) => SimHash64(exprs(0)),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      L2SqName,
-      (exprs: Seq[Expression]) => L2SquaredDistance(exprs(0), exprs(1)),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      AdcName,
-      (exprs: Seq[Expression]) => AdcDistance(exprs(0), exprs(1)),
-      "built-in")
+    // Scalar builders are shared with the spark.sql.extensions path
+    // (graft.GraftExtensions) so the two registration routes cannot
+    // drift.
+    graft.GraftExtensions.asRegistryEntries.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     registry.createOrReplaceTempFunction(
       TopKName,
       (exprs: Seq[Expression]) => {

@@ -146,6 +146,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keys == Set(1L, 3L))
   }
 
+  test("cluster profile partitions the embedded corpus exactly once") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val docs = Tables.load(spark, GraftTestSession.Sf0001, "documents")
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    val profile = Similarity
+      .nearestCentroid(emb, "vec_id", "embedding", cb)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("assigned"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect()
+    val embeddedDocs = emb.join(docs, col("vec_id") === col("doc_id")).count()
+    assert(profile.map(_.getAs[Long]("n_docs")).sum == embeddedDocs)
+    assert(profile.length <= 8 && profile.length >= 2)
+  }
+
   test("filtered kNN never returns neighbors outside the predicate") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val q = emb.where(col("vec_id") < 5)
