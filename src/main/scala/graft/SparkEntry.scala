@@ -1839,7 +1839,30 @@ object SparkEntry {
     // purchase pairs within a 60-minute window per user.
     "stream_attribution" -> ((s, dir) =>
       StreamingFeatures.attributionBatch(
-        t(s, dir, "events"), touchType = "click", convType = "purchase", windowMinutes = 60))
+        t(s, dir, "events"), touchType = "click", convType = "purchase", windowMinutes = 60)),
+    // Streaming MultiSet (client-streaming write RPC), batch analog:
+    // three successive set-request batches folded into the space via
+    // the same last-writer-wins upsert the sink applies per
+    // micro-batch (the foreachBatch sink itself is parity spec-checked
+    // over a MemoryStream in StreamingSpec).
+    "stream_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+      val b1 = emb.where(col("vec_id") < 10)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          (col("label") + 100).as("label"))
+      val b2 = emb.where(col("vec_id").between(5, 14))
+        .select(col("vec_id"), col("embedding"), (col("label") + 200).as("label"))
+      val b3 = emb.where(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          (col("label") + 300).as("label"))
+      Seq(b1, b2, b3)
+        .foldLeft(emb)((space, delta) => Similarity.upsert(space, delta, "vec_id"))
+        .select(
+          col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("dims"),
+          element_at(col("embedding"), 1).as("e_first"),
+          element_at(col("embedding"), -1).as("e_last"))
+    })
   )
 
   private def miscOracles: Map[String, String] = Map(
@@ -1883,7 +1906,27 @@ object SparkEntry {
         ON t.user_id = c.user_id
        AND t.ts >= c.ts - INTERVAL 60 MINUTE
        AND t.ts <= c.ts
-      WHERE t.event_type = 'click' AND c.event_type = 'purchase'"""
+      WHERE t.event_type = 'click' AND c.event_type = 'purchase'""",
+    // Last-writer-wins over the batch sequence: highest-priority writer
+    // of each key survives — the unrolled equivalent of the three
+    // chained upserts.
+    "stream_upsert" -> """
+      WITH writes AS (
+        SELECT vec_id, embedding, label, 0 AS pri FROM embeddings
+        UNION ALL
+        SELECT vec_id, list_reverse(embedding), label + 100, 1
+        FROM embeddings WHERE vec_id < 10
+        UNION ALL
+        SELECT vec_id, embedding, label + 200, 2
+        FROM embeddings WHERE vec_id BETWEEN 5 AND 14
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, label + 300, 3
+        FROM embeddings WHERE vec_id < 3)
+      SELECT vec_id, label, len(embedding) AS dims,
+             embedding[1] AS e_first, embedding[-1] AS e_last FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY pri DESC) AS rn
+        FROM writes)
+      WHERE rn = 1"""
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

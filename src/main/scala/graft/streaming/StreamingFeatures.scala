@@ -264,4 +264,49 @@ object StreamingFeatures {
         col("event_type"),
         col("n"),
         col("sum_value"))
+
+  /** Streaming MultiSet: the reference's client-STREAMING write RPC
+    * (reference: embeddinghub/embeddingstore/embedding_store.proto:15
+    * `rpc MultiSet(stream MultiSetRequest)`; server.cc applies each
+    * request as an upsert) as a Structured Streaming sink. Each
+    * micro-batch of set-requests is collapsed to one row per key
+    * (last writer within the batch by `seqCol`, the stream's arrival
+    * order), merged into the space with the same anti-join upsert the
+    * batch path uses, and frozen as a new immutable Spaces version —
+    * readers pin a consistent snapshot while the stream advances, and
+    * the "state" is the durable space itself, not executor memory, so
+    * the sink restarts cleanly and scales with the space, not the
+    * stream history. One version per non-empty micro-batch is the
+    * natural snapshot cadence; compact by re-freezing if a slow reader
+    * needs fewer versions.
+    */
+  def upsertSink(
+      requests: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      root: String,
+      space: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dataCols = requests.columns.filterNot(c => c == keyCol || c == seqCol).toSeq
+    requests.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val df = batch.toDF()
+        if (!df.isEmpty) {
+          val spark = df.sparkSession
+          val latest = df
+            .groupBy(col(keyCol))
+            .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("r"))
+            .select(col(keyCol) +: dataCols.map(c => col("r." + c).as(c)): _*)
+          val cur =
+            if (graft.sources.Spaces.versions(spark, root, space).nonEmpty)
+              graft.sources.Spaces.load(spark, root, space, None)
+            else latest.limit(0)
+          graft.sources.Spaces.freeze(
+            graft.operators.Similarity.upsert(cur, latest, keyCol), root, space)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -155,6 +155,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming MultiSet sink folds micro-batches into versioned space snapshots") {
+    val root = System.getProperty("java.io.tmpdir") + "/graft_stream_spaces_" +
+      System.nanoTime()
+    val space = "vecs"
+    // (key, value, label, seq) set-requests; seq = stream arrival order
+    val input = MemoryStream[(Long, Double, Int, Long)](spark)
+    val query = StreamingFeatures.upsertSink(
+      input.toDS().toDF("vec_id", "value", "label", "seq"),
+      "vec_id", "seq", root, space)
+    try {
+      // batch 1: two writes to key 1 -> the later seq wins within the batch
+      input.addData((1L, 1.0, 10, 1L), (1L, 2.0, 11, 2L), (2L, 5.0, 20, 3L))
+      query.processAllAvailable()
+      val v1 = graft.sources.Spaces.load(spark, root, space, Some(1))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Double]("value"), r.getAs[Int]("label"))).toMap
+      assert(v1 == Map(1L -> ((2.0, 11)), 2L -> ((5.0, 20))))
+      // batch 2: update key 2, insert key 3; version 1 must be untouched
+      input.addData((2L, 6.0, 21, 4L), (3L, 7.0, 30, 5L))
+      query.processAllAvailable()
+      assert(graft.sources.Spaces.versions(spark, root, space) == Seq(1, 2))
+      val v2 = graft.sources.Spaces.load(spark, root, space, None)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("value")).toMap
+      assert(v2 == Map(1L -> 2.0, 2L -> 6.0, 3L -> 7.0))
+      val v1Again = graft.sources.Spaces.load(spark, root, space, Some(1)).count()
+      assert(v1Again == 2L) // immutability: the old snapshot still reads as written
+    } finally {
+      query.stop()
+      graft.sources.Spaces.delete(spark, root, space)
+    }
+  }
+
   test("stream-stream attribution join pairs touches within the window only") {
     val touches = MemoryStream[(Long, Long, Timestamp)](spark)
     val convs = MemoryStream[(Long, Long, Timestamp)](spark)
