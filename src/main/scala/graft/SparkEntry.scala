@@ -1203,7 +1203,11 @@ object SparkEntry {
     // overlapping LM-sequence split).
     "text_chunk_windows" -> ((s, dir) =>
       TextAnalysis.chunkTokens(
-        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, stride = 24))
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, stride = 24)),
+    // Tokenizer training: the first 3 BPE merge rules learned from the
+    // corpus (distributed pair counts, greedy merge application).
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "doc_id", "text", merges = 3))
   )
 
   /** Demo blocklist for text_scrub (vocabulary terms — the corpus is
@@ -1366,7 +1370,44 @@ object SparkEntry {
       SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_idx,
              array_to_string(t[i+1:i+32], ' ') AS chunk,
              CAST(len(t[i+1:i+32]) AS BIGINT) AS n_chunk_tokens
-      FROM tok, unnest(range(0, len(t), 24)) AS u(i)"""
+      FROM tok, unnest(range(0, len(t), 24)) AS u(i)""",
+    // The same 3-round greedy schedule unrolled: count pairs, pick the
+    // (count desc, pair asc) winner, apply it corpus-wide as a plain
+    // space-delimited replace (left-to-right non-overlapping = greedy
+    // BPE in both engines), repeat.
+    "text_bpe_merges" -> """
+      WITH t1 AS (SELECT ' ' || replace(text, ' ', '  ') || ' ' AS t FROM documents),
+      c1 AS (
+        SELECT p, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS p
+          FROM (SELECT string_split(trim(t), '  ') AS tk FROM t1))
+        GROUP BY p),
+      m1 AS (SELECT p, n FROM c1 ORDER BY n DESC, p LIMIT 1),
+      t2 AS (
+        SELECT replace(t, (SELECT ' '||replace(p,' ','  ')||' ' FROM m1),
+                          (SELECT ' '||replace(p,' ','@@')||' ' FROM m1)) AS t FROM t1),
+      c2 AS (
+        SELECT p, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS p
+          FROM (SELECT string_split(trim(t), '  ') AS tk FROM t2))
+        GROUP BY p),
+      m2 AS (SELECT p, n FROM c2 ORDER BY n DESC, p LIMIT 1),
+      t3 AS (
+        SELECT replace(t, (SELECT ' '||replace(p,' ','  ')||' ' FROM m2),
+                          (SELECT ' '||replace(p,' ','@@')||' ' FROM m2)) AS t FROM t2),
+      c3 AS (
+        SELECT p, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS p
+          FROM (SELECT string_split(trim(t), '  ') AS tk FROM t3))
+        GROUP BY p),
+      m3 AS (SELECT p, n FROM c3 ORDER BY n DESC, p LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS rank, string_split(p,' ')[1] AS lhs,
+             string_split(p,' ')[2] AS rhs, replace(p,' ','@@') AS merged,
+             n AS n_pairs FROM m1
+      UNION ALL SELECT 2, string_split(p,' ')[1], string_split(p,' ')[2],
+             replace(p,' ','@@'), n FROM m2
+      UNION ALL SELECT 3, string_split(p,' ')[1], string_split(p,' ')[2],
+             replace(p,' ','@@'), n FROM m3"""
   )
 
   // ---------------------------------------------------------------- //

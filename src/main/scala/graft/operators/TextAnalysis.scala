@@ -223,6 +223,66 @@ object TextAnalysis {
         col("c.n").cast("long").as("n_chunk_tokens"))
   }
 
+  /** Learn the first `merges` BPE merge rules from the corpus — the
+    * train-the-tokenizer step of LLM data prep (Sennrich et al. 2016:
+    * repeatedly merge the most frequent adjacent pair). Each round is
+    * one distributed pair-count (explode bigrams → map-side-combined
+    * groupBy) plus a single-row driver read of the winning pair (the
+    * O(1) fixpoint artifact, like the CC loop's count); the merge is
+    * then applied corpus-wide as a plain string `replace` over a
+    * DOUBLE-spaced token encoding (" a  b  c "): each " x  y " match
+    * consumes one delimiter space from each side, so adjacent pair
+    * occurrences stay independently matchable and left-to-right
+    * non-overlapping replace IS greedy BPE application ("a b a b"
+    * merges both pairs; a single-spaced encoding would eat the shared
+    * delimiter and merge alternately). Plain replace has identical
+    * semantics in every engine, so the whole schedule is externally
+    * reproducible. Word-level pairs here (the corpus is word-tokenized);
+    * byte/char-level BPE is the same loop seeded with character tokens.
+    * At 100 TB you run this on a sample (standard practice — merge
+    * tables converge long before the full corpus is consumed); the
+    * per-round shape is a single scan + tiny shuffle either way.
+    * Ties break lexicographically so the merge table is deterministic.
+    *
+    * Returns (rank, lhs, rhs, merged, n_pairs) — the ordered merge
+    * table.
+    */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var texts = docs
+      .where(col(textCol).isNotNull)
+      .select(
+        concat(lit(" "), replace(col(textCol), lit(" "), lit("  ")), lit(" ")).as("t"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to merges if !exhausted) {
+      val toks = split(trim(col("t")), "  ")
+      val pairs = filter(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        p => p.isNotNull)
+      val top = texts
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val p = top.head.getAs[String]("p")
+        val n = top.head.getAs[Long]("n")
+        val Array(x, y) = p.split(" ", 2)
+        val merged = s"$x@@$y"
+        learned += ((r.toLong, x, y, merged, n))
+        texts = texts.select(replace(col("t"), lit(s" $x  $y "), lit(s" $merged ")).as("t"))
+      }
+    }
+    learned.toSeq.toDF("rank", "lhs", "rhs", "merged", "n_pairs")
+  }
+
   /** BPE-ish subword token counting: greedy regex chunking — letter
     * runs capped at 4 chars, single digits, single punctuation — as a
     * cheap deterministic proxy for a byte-pair tokenizer's token count

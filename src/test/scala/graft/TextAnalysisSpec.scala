@@ -142,6 +142,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L)) // shares "a b c d"; doc 2 is clean
   }
 
+  test("bpeMerges learns greedy merges with deterministic tiebreaks") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, "doc_id", "text", merges = 2)
+      .collect()
+      .map(r => r.getAs[Long]("rank") ->
+        (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+          r.getAs[String]("merged"), r.getAs[Long]("n_pairs")))
+      .toMap
+    // "a b" appears 3x (twice in doc 1 — the middle "b a" does not
+    // overlap-consume it — once in doc 2)
+    assert(out(1L) == (("a", "b", "a@@b", 3L)))
+    // round 2: all pairs now tie at 1; lexicographically smallest is
+    // "a@@b a@@b" (from " a@@b a@@b c ")
+    assert(out(2L) == (("a@@b", "a@@b", "a@@b@@a@@b", 1L)))
+    assert(out.size == 2)
+  }
+
   test("chunkTokens emits overlapping stride windows incl. trailing partial") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
     val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 3, stride = 2)
