@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench). The container has 128 GiB — give the single local JVM a
   // cluster-executor-sized heap by default.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // ~100 distinct queries x several whole-stage-codegen units each,
+  // JIT-compiled twice (warmup + timed SF shapes): give the JIT room —
+  // a full code cache silently disables compilation mid-bench.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -32,6 +32,18 @@ object Bench {
     for (w <- SparkEntry.queries.keys.toSeq.sorted)
       try force(w, "/root/testdata/sf0.001") catch { case _: Throwable => }
 
+    // The warmup pass leaves ~100 queries of dead state behind —
+    // unreferenced checkpointed RDDs, broadcast blocks, shuffle files —
+    // all reclaimed only when a GC runs and the ContextCleaner's weak
+    // references fire. Without this, the reclamation storm lands inside
+    // whichever timed query first allocates hard (measured: the
+    // multi-job CC loop at 113s vs 5s warm-isolated). Clean up NOW so
+    // the timed pass measures steady-state query cost, which is what a
+    // long-running cluster job sees.
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(3000) // let ContextCleaner drain its reference queue
+
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       // Persisted intermediates (e.g. the jaccard token-sort subtree)
       // are per-query working state, not a cross-query cache — drop
@@ -39,7 +51,9 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s ${if (ok) dt else -dt}%8.2f s")
+      (name, dt, ok)
     }
     // Failures are reported distinctly (negative time + errors list) so
     // a hard-failing query never shows up as a suspiciously fast pass.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{AdcDistance, CosineSimilarity, GraftFunctions, L2SquaredDistance, SimHash64}
+import graft.plans.{AdcDistance, CosineSimilarity, DotProduct, GraftFunctions, L2SquaredDistance, MinHashBands, SimHash64}
 
 /** Spark-idiomatic packaging of graft's native expressions: set
   *
@@ -42,7 +42,16 @@ object GraftExtensions {
     GraftFunctions.CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     GraftFunctions.L2SqName -> (exprs => L2SquaredDistance(exprs(0), exprs(1))),
     GraftFunctions.AdcName -> (exprs => AdcDistance(exprs(0), exprs(1))),
-    GraftFunctions.SimHashName -> (exprs => SimHash64(exprs(0)))
+    GraftFunctions.DotName -> (exprs => DotProduct(exprs(0), exprs(1))),
+    GraftFunctions.SimHashName -> (exprs => SimHash64(exprs(0))),
+    GraftFunctions.MinHashBandsName -> (exprs => {
+      def litInt(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_bands $what must be an int literal, got $other")
+      }
+      MinHashBands(exprs(0), litInt(exprs(1), "bands"), litInt(exprs(2), "rowsPerBand"))
+    })
   )
 
   /** The builders as a FunctionRegistry-shaped seq, for reuse by

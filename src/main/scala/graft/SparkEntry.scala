@@ -147,6 +147,11 @@ object SparkEntry {
     }),
     "fs_feature_stats" -> ((s, dir) =>
       FeatureStore.featureStats(t(s, dir, "events"), "event_type", "value", "user_id")),
+    // Distribution-drift monitor: PSI of each feature's value
+    // distribution, first half of the stream (reference) vs second.
+    "fs_feature_drift" -> ((s, dir) =>
+      FeatureStore.featureDrift(
+        t(s, dir, "events"), "event_type", "value", "ts", "2024-01-15 00:00:00")),
     // UpdateMaterialization parity: materialize the first half of the
     // stream, incrementally merge the second half — must equal the
     // full recompute (which is exactly what the oracle computes).
@@ -280,6 +285,41 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value,
              count(DISTINCT user_id) AS n_entities
       FROM events GROUP BY event_type""",
+    "fs_feature_drift" -> """
+      WITH base AS (
+        SELECT event_type AS feature, value::DOUBLE AS v,
+               ts < TIMESTAMP '2024-01-15 00:00:00' AS is_ref
+        FROM events),
+      rs AS (
+        SELECT feature, min(v) AS mn, (max(v) - min(v)) / 10 AS w
+        FROM base WHERE is_ref GROUP BY feature),
+      bk AS (
+        SELECT base.feature,
+               CASE WHEN w = 0 THEN 0
+                    ELSE least(greatest(CAST(floor((v - mn) / w) AS INT), 0), 9) END AS bucket,
+               sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+               sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_cur
+        FROM base JOIN rs ON base.feature = rs.feature
+        GROUP BY 1, 2),
+      frame AS (
+        SELECT feature, i AS bucket FROM rs, unnest(range(0, 10)) AS u(i)),
+      filled AS (
+        SELECT frame.feature, frame.bucket,
+               coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+        FROM frame LEFT JOIN bk ON frame.feature = bk.feature AND frame.bucket = bk.bucket),
+      p AS (
+        SELECT feature, c_ref, c_cur,
+               greatest(c_ref / (sum(c_ref) OVER (PARTITION BY feature)), 0.000001) AS pa,
+               greatest(c_cur / (sum(c_cur) OVER (PARTITION BY feature)), 0.000001) AS pb
+        FROM filled)
+      SELECT feature,
+             CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur,
+             round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 12) AS DECIMAL(28,12)))
+                        AS DOUBLE), 6) AS psi,
+             round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 12) AS DECIMAL(28,12)))
+                        AS DOUBLE), 6) > 0.25 AS drifted
+      FROM p GROUP BY feature""",
     "fs_features_asof" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -482,6 +522,12 @@ object SparkEntry {
     "emb_knn_l2" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnBruteForceL2(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    // Max-inner-product retrieval — the third hnswlib space (ip).
+    "emb_knn_ip" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForceIp(
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
     // Storage-tier int8 scalar quantization with per-vector
@@ -841,6 +887,19 @@ object SparkEntry {
                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= 5""",
+    "emb_knn_ip" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id, sum(x * y) AS ip FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
     "emb_int8_quant" -> """
       WITH u AS (
         SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
@@ -980,11 +1039,12 @@ object SparkEntry {
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
-    // portableHashes: md5-derived sketch hashes the DuckDB oracle
-    // rebuilds bit-identically — the full LSH pipeline is hash-checked,
-    // not rows-only. (xxhash64 stays the prod-default hash.)
+    // Native one-pass md5 sketch kernel (graft.plans.MinHashBands) —
+    // bit-identical to minhashLsh(portableHashes = true), so the DuckDB
+    // oracle rebuilds the full LSH pipeline hash-for-hash. (xxhash64
+    // stays the prod-default hash for Spark-only deployments.)
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", portableHashes = true)),
+      Dedup.minhashLshNative(t(s, dir, "documents"), "doc_id", "text")),
     // maxHamming=3 over 4 derived bands = exact candidate recall
     // (pigeonhole); see Dedup.simhashNearDups.
     "dedup_simhash" -> ((s, dir) =>
@@ -992,6 +1052,10 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, portableHashes = true)),
     "dedup_jaccard_words" -> ((s, dir) =>
       Dedup.jaccardWordPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.9)),
+    // Sequence-level span dedup (Lee et al. 2021 analog): repeated
+    // 8-token spans survive only at their first corpus occurrence.
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)),
     "dedup_components" -> ((s, dir) => {
@@ -1076,6 +1140,24 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text)""",
+    "dedup_spans" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      spans AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ') AS span
+        FROM toks,
+             unnest(range(0, greatest(CAST(ceil(len(t) / 8.0) AS INT), 1))) AS u(i)),
+      marked AS (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+        FROM spans)
+      SELECT doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')
+               AS text_dedup
+      FROM marked GROUP BY doc_id""",
     "dedup_jaccard_words" -> """
       WITH w AS (
         SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
@@ -1491,6 +1573,14 @@ object SparkEntry {
     "q22_dormant_customers" -> ((s, dir) =>
       Analytics.q22DormantCustomers(
         t(s, dir, "customer"), t(s, dir, "orders"), "1999-01-01")),
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      Analytics.q2MinCostSupplier(
+        t(s, dir, "part"), t(s, dir, "supplier"), t(s, dir, "nation"),
+        t(s, dir, "region"), t(s, dir, "lineitem"), maxSize = 3, regionName = "ASIA")),
+    "q11_important_parts" -> ((s, dir) =>
+      Analytics.q11ImportantParts(
+        t(s, dir, "supplier"), t(s, dir, "nation"), t(s, dir, "lineitem"),
+        nationName = "NATION_12", fraction = 0.0002)),
     "q_anti_semi_join" -> ((s, dir) =>
       Analytics.antiSemiCounts(t(s, dir, "customer"), t(s, dir, "orders"))),
     // Set operations: nations having suppliers INTERSECT/EXCEPT nations
@@ -1820,6 +1910,38 @@ object SparkEntry {
           SELECT 1 FROM orders
           WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
       GROUP BY c_nationkey""",
+    "q2_min_cost_supplier" -> """
+      WITH parts AS (
+        SELECT p_partkey, p_name FROM part WHERE p_size <= 3),
+      rs AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      cost AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+               min(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem
+        JOIN parts ON l_partkey = p_partkey
+        JOIN rs ON l_suppkey = s_suppkey
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      mc AS (
+        SELECT p_partkey AS mk, min(supply_cost) AS min_cost FROM cost GROUP BY 1)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+      FROM cost JOIN mc ON p_partkey = mk AND supply_cost = min_cost""",
+    "q11_important_parts" -> """
+      WITH supp AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_12'),
+      pp AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS pv
+        FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+      FROM pp
+      WHERE CAST(pv AS DOUBLE) > (SELECT CAST(sum(pv) AS DOUBLE) FROM pp) * 0.0002""",
     "q_anti_semi_join" -> """
       SELECT c_mktsegment,
              count(*) FILTER (WHERE NOT EXISTS (

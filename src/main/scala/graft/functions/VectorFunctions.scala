@@ -26,6 +26,14 @@ object VectorFunctions {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Inner product via the native codegen'd expression
+    * (graft.plans.DotProduct) — the hnswlib ip-space kernel. Requires
+    * GraftFunctions.register (every graft operator entry point calls
+    * it); [[dot]] is the registration-free HOF twin.
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function(graft.plans.GraftFunctions.DotName, a, b)
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

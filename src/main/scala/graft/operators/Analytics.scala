@@ -648,4 +648,94 @@ object Analytics {
         count(lit(1)).as("numcust"),
         sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
   }
+
+  /** TPC-H Q2-style minimum-cost supplier. The schema has no partsupp
+    * table, so the per-(part, supplier) "supply cost" is derived from
+    * the fact table: the minimum observed unit price
+    * (l_extendedprice / l_quantity) that supplier charged for that
+    * part. For small parts (p_size bounded) in one region, emit the
+    * supplier(s) achieving the per-part minimum cost (ties kept — the
+    * original's ORDER BY/LIMIT presentation is a driver concern).
+    *
+    * Plan shape matches the original's correlated-min subquery after
+    * decorrelation: cost aggregation (one keyed shuffle, map-side
+    * combine over the region-filtered fact rows), per-part min (second
+    * keyed shuffle over per-(part,supplier) rows — already reduced),
+    * equi-join back on (part, cost). Dims are broadcast; the part
+    * size/type filter is pushed into the parquet scan.
+    */
+  def q2MinCostSupplier(
+      part: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      lineitem: DataFrame,
+      maxSize: Int,
+      regionName: String
+  ): DataFrame = {
+    val parts = part
+      .where(col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_name"))
+    val regionSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(region.where(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+    val minCost = cost
+      .groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    // The raw IEEE ratio is bit-exact in any engine, both for the min
+    // and for the equality re-join — emit it unrounded (a half-up
+    // round of an arbitrary double is NOT engine-portable: Spark
+    // rounds the shortest decimal rendering, DuckDB the binary value).
+    cost
+      .join(minCost, col("p_partkey") === col("mk") && col("supply_cost") === col("min_cost"))
+      .select(
+        col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supply_cost"))
+  }
+
+  /** TPC-H Q11-style important parts. Without partsupp, a part's
+    * "stock value" held by one nation's suppliers is the discounted
+    * revenue of that nation's lineitems for the part; parts whose value
+    * exceeds `fraction` of the nation's total are emitted. The total is
+    * a 1-row broadcast (the original's scalar subquery); sums are exact
+    * decimals emitted as doubles (see q1 comment). The threshold
+    * compare casts both exact decimals to double first — identical
+    * IEEE operations in any engine — rather than multiplying decimals,
+    * whose precision-capping rules are engine-specific.
+    */
+  def q11ImportantParts(
+      supplier: DataFrame,
+      nation: DataFrame,
+      lineitem: DataFrame,
+      nationName: String,
+      fraction: Double
+  ): DataFrame = {
+    val supp = supplier
+      .join(
+        broadcast(nation.where(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    val perPart = lineitem
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(value).cast("decimal(38,8)").as("part_value"))
+    val total = perPart.agg(
+      sum(col("part_value")).cast("decimal(38,8)").as("total_value"))
+    perPart
+      .crossJoin(broadcast(total))
+      .where(col("part_value").cast("double") >
+        col("total_value").cast("double") * lit(fraction))
+      .select(col("l_partkey"), col("part_value").cast("double").as("part_value"))
+  }
 }

@@ -104,12 +104,65 @@ object Dedup {
       .select(
         col("doc_id"),
         posexplode(array((0 until bands).map(bandHash): _*)).as(Seq("band", "band_hash")))
+    bandPairs(banded)
+  }
+
+  /** Shared LSH tail: docs sharing any (band, band_hash) bucket become
+    * candidate pairs; the join shuffles on the bucket key so cost is
+    * bounded by bucket sizes.
+    */
+  private def bandPairs(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b"))
     a.join(b, Seq("band", "band_hash"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Native-kernel variant of [[minhashLsh]]'s portable mode: the whole
+    * md5 sketch (all lanes + band folding) is one projected
+    * graft_minhash_bands column (graft.plans.MinHashBands) feeding
+    * posexplode — no shingle explode, no 16-aggregate groupBy, no
+    * sketch shuffle. Output is bit-identical to
+    * `minhashLsh(..., portableHashes = true)` (spec-checked), so the
+    * same external SQL oracle applies. The sketch pass is a pure scan —
+    * the shape that matters at 100 TB, where the explode+aggregate
+    * formulation pays a corpus-sized shuffle before the first bucket.
+    */
+  def minhashLshNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // The sketch kernel is pure per-row CPU; parallelism is whatever
+    // the scan gives us, and a compact parquet corpus arrives in far
+    // fewer splits than there are cores (one 600KB file = ONE task
+    // doing every md5 while the rest of the cluster idles). A
+    // raw-doc repartition is tiny (it moves text bytes, not exploded
+    // shingle rows) and buys full-width parallelism for the dominant
+    // hashing pass; both self-join consumers sit above the SAME
+    // repartition exchange, which AQE reuses.
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol).as("doc_id"),
+        array_distinct(shingles(col(textCol), shingleWidth)).as("shs"))
+      // declarative parity: a doc with no shingles produces no sketch
+      // rows (its explode emits nothing), so it never reaches banding
+      .where(size(col("shs")) > 0)
+    val banded = sh.select(
+      col("doc_id"),
+      posexplode(
+        call_function(
+          graft.plans.GraftFunctions.MinHashBandsName,
+          col("shs"), lit(bands), lit(rowsPerBand)))
+        .as(Seq("band", "band_hash")))
+    bandPairs(banded)
   }
 
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum of
@@ -284,6 +337,64 @@ object Dedup {
         round(col("inter") / (col("nwa") + col("nwb") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Sequence-level (span) dedup — the paragraph-dedup analog for a
+    * corpus without document structure, after Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * public): repeated token sequences are removed corpus-wide, not
+    * just whole-document dups. Documents are cut into non-overlapping
+    * `spanWords`-token spans (trailing partial span included); a span
+    * survives only at its FIRST corpus occurrence (ordered by doc id,
+    * then position). Returns per-doc span counts and the reassembled
+    * deduped text.
+    *
+    * Scale shape: explode to one row per span, fingerprint with md5,
+    * one groupBy(fingerprint) keeps the min (doc, pos) occurrence
+    * (map-side combine), join back on fingerprint (shuffle bounded by
+    * span count), then one groupBy(doc) reassembles kept spans in
+    * order. No pairwise joins at all — cost is linear in corpus tokens,
+    * which is what makes span dedup viable where pair-based near-dup
+    * methods need blocking.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = 10
+  ): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            // greatest(..., 0): an empty token list still yields one
+            // (empty) span — sequence(0, -1) would descend, not stop.
+            sequence(
+              lit(0),
+              greatest(
+                ceil(size(col("toks")) / lit(spanWords.toDouble)).cast("int") - 1, lit(0))),
+            i => concat_ws(" ", slice(col("toks"), i * spanWords + 1, lit(spanWords)))))
+          .as(Seq("pos", "span")))
+      .withColumn("fp", md5(col("span")))
+    val first = spans
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("fp"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    spans
+      .join(first, "fp")
+      .withColumn("keep", col("doc_id") === col("fdoc") && col("pos") === col("fpos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("span"))))),
+            s => s.getField("span"))).as("text_dedup"))
   }
 
   /** Dedup cluster resolution: connected components over a near-dup

@@ -308,6 +308,85 @@ object FeatureStore {
     * exposes in its dashboard/metadata (count, nulls, min/max/avg,
     * distinct entities).
     */
+  /** Per-feature distribution drift between a reference window
+    * (ts < splitTs) and the current window (ts >= splitTs): the
+    * Population Stability Index over `nBuckets` fixed-width buckets
+    * whose edges come from the REFERENCE window's min/max — the
+    * standard production monitor for "did this feature's distribution
+    * move since training" (PSI; public risk-modeling practice,
+    * conventional read: <0.1 stable, >0.25 action).
+    *
+    * Engineering choices, all for cross-engine determinism and scale:
+    * fixed-width buckets (quantile edges are engine-ambiguous under
+    * ties), current-window values clamped into [0, nBuckets-1] so
+    * out-of-range drift lands in the edge buckets, frequencies floored
+    * at 1e-6 before the log ratio (zero-bucket guard), PSI rounded to
+    * 6dp. Plan: one tiny per-feature stats aggregate (broadcast), one
+    * (feature, bucket) aggregate per window with map-side combine, a
+    * features x buckets frame to make empty buckets explicit — no
+    * window functions, no sort, scan-bound at any corpus size.
+    */
+  def featureDrift(
+      events: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      tsCol: String,
+      splitTs: String,
+      nBuckets: Int = 10
+  ): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val split = lit(splitTs).cast("timestamp")
+    val base = events.select(
+      col(featureCol).as("feature"),
+      col(valueCol).cast("double").as("v"),
+      (col(tsCol) < split).as("is_ref"))
+    val refStats = base
+      .where(col("is_ref"))
+      .groupBy(col("feature"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("w", (col("mx") - col("mn")) / nBuckets)
+    val bucketed = base
+      .join(broadcast(refStats), "feature")
+      .withColumn(
+        "bucket",
+        when(col("w") === 0.0, lit(0)).otherwise(
+          least(
+            greatest(floor((col("v") - col("mn")) / col("w")).cast("int"), lit(0)),
+            lit(nBuckets - 1))))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    // explicit (feature x bucket) frame: buckets empty in BOTH windows
+    // still contribute their floored frequencies to the PSI sum
+    val frame = refStats
+      .select(col("feature"))
+      .withColumn("bucket", explode(sequence(lit(0), lit(nBuckets - 1))))
+    val eps = 1e-6
+    frame
+      .join(bucketed, Seq("feature", "bucket"), "left_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+      .withColumn("t_ref", sum(col("c_ref")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))))
+      .withColumn("t_cur", sum(col("c_cur")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))))
+      .withColumn("pa", greatest(col("c_ref") / col("t_ref"), lit(eps)))
+      .withColumn("pb", greatest(col("c_cur") / col("t_cur"), lit(eps)))
+      // per-bucket term rounded to 12dp and summed as exact decimals:
+      // a plain double sum is partition-order-dependent, which would
+      // make the 6dp psi value irreproducible across engines
+      .withColumn(
+        "term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 12)
+          .cast("decimal(28,12)"))
+      .groupBy(col("feature"))
+      .agg(
+        sum(col("c_ref")).as("n_ref"),
+        sum(col("c_cur")).as("n_cur"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.25)
+  }
+
   def featureStats(
       events: DataFrame,
       groupCol: String,

@@ -104,6 +104,24 @@ object Similarity {
     knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
       (q, n) => -l2Sq(q, n))
 
+  /** Exact top-k MAX-INNER-PRODUCT neighbors — the third hnswlib space
+    * (InnerProductSpace; reference: embeddinghub/embeddingstore/index.h
+    * instantiates the index over a pluggable space). MIPS is the
+    * natural retrieval objective for non-normalized two-tower
+    * embeddings. Same scale shape as [[knnBruteForce]]; the kernel is
+    * the native codegen'd graft_dot expression and the heap score is
+    * the raw inner product (higher = closer).
+    */
+  def knnBruteForceIp(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame =
+    knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
+      (q, n) => dotNative(q, n))
+
   /** Generic bounded-heap top-k per group (posexploded to ranks) —
     * public: useful beyond knn wherever "k best per key" is needed.
     */

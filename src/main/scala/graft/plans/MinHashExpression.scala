@@ -1,0 +1,167 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass portable-MinHash LSH band hashes over a shingle
+  * array: the whole sketch — `bands * rowsPerBand` md5-derived min-hash
+  * lanes folded into `bands` band hashes — as a single projected
+  * column, no explode, no aggregation.
+  *
+  * Bit-identical to the declarative md5-portable pipeline in
+  * `Dedup.minhashLsh` (spec-checked): lane `2g` / `2g+1` are the two
+  * 64-bit hex halves of `md5("<g>:" || shingle)` minimized over
+  * shingles (fixed-width lowercase hex min-compares exactly like the
+  * unsigned 64-bit value), and band `b` is `md5` of its
+  * `rowsPerBand` lanes joined with `,` — so the existing external SQL
+  * oracle reproduces this expression unchanged.
+  *
+  * Why native: the declarative shape evaluates Spark's `Md5`
+  * expression `numHashes/2` times per exploded shingle row — each call
+  * allocates a fresh MessageDigest and hex string, and the signature
+  * needs a 16-aggregate groupBy pass. Here the digest is reused across
+  * the whole row's loop, only the running minima allocate, and the
+  * band hashes leave in one pass — a sketch-per-document job becomes a
+  * pure scan, which is the shape that matters when the corpus is
+  * 100 TB and the sketch pass is the dominant scan.
+  *
+  * (Reference relationship: near-dup candidate generation is part of
+  * graft's LLM-pipeline extension surface; the classic algorithm is
+  * Broder's minhash + banding as popularized in MMDS ch.3 — public.)
+  */
+case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+  require((bands * rowsPerBand) % 2 == 0, "portable minhash needs an even lane count")
+  // the kernel renders the "<g>:" seed prefix with at most two digits
+  require(bands * rowsPerBand <= 200, "lane count capped at 200 (two-digit seed groups)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_bands needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MinHashBands.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = ($cls).compute($arr, $bands, $rowsPerBand);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private val digestLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** One-pass sketch kernel. Null shingle entries are skipped (matching
+    * the declarative pipeline, where a null shingle contributes no
+    * aggregate row); a row with no usable shingles yields all-null
+    * lanes in the declarative pipeline, which md5's concat_ws turns
+    * into hashes of empty lane strings — reproduced here.
+    */
+  def compute(shingles: ArrayData, bands: Int, rowsPerBand: Int): GenericArrayData = {
+    val numHashes = bands * rowsPerBand
+    val groups = numHashes / 2
+    val md = digestLocal.get()
+    // minima as primitive unsigned longs; hex rendering only at the end
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, -1L) // 0xffff... = unsigned max
+    var sawAny = false
+    val n = shingles.numElements()
+    var t = 0
+    while (t < n) {
+      if (!shingles.isNullAt(t)) {
+        sawAny = true
+        val sh = shingles.getUTF8String(t).getBytes
+        var g = 0
+        while (g < groups) {
+          md.reset()
+          // "<g>:" prefix in ASCII — identical bytes to the declarative
+          // concat(lit(s"$g:"), sh) for any g
+          var gv = g
+          if (gv >= 10) md.update((('0' + gv / 10)).toByte)
+          md.update((('0' + gv % 10)).toByte)
+          md.update(':'.toByte)
+          md.update(sh)
+          val d = md.digest()
+          val hi = bytesToLongBE(d, 0)
+          val lo = bytesToLongBE(d, 8)
+          if (java.lang.Long.compareUnsigned(hi, mins(2 * g)) < 0) mins(2 * g) = hi
+          if (java.lang.Long.compareUnsigned(lo, mins(2 * g + 1)) < 0) mins(2 * g + 1) = lo
+          g += 1
+        }
+      }
+      t += 1
+    }
+    // Band hash b = md5 over "lane,lane,lane,lane" of 16-hex-char lanes.
+    // With no shingles at all, the declarative concat_ws over all-null
+    // lanes yields md5("") per band — mirror via empty lane strings.
+    val out = new Array[Any](bands)
+    val laneHex = new Array[Byte](16)
+    var b = 0
+    while (b < bands) {
+      md.reset()
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) md.update(','.toByte)
+        if (sawAny) {
+          longToHexBytes(mins(b * rowsPerBand + r), laneHex)
+          md.update(laneHex)
+        }
+        r += 1
+      }
+      out(b) = UTF8String.fromString(toHex(md.digest()))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def bytesToLongBE(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def longToHexBytes(v: Long, out: Array[Byte]): Unit = {
+    var i = 0
+    while (i < 16) {
+      out(i) = hexChars(((v >>> ((15 - i) * 4)) & 0xf).toInt).toByte
+      i += 1
+    }
+  }
+
+  private def toHex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(hexChars((d(i) >> 4) & 0xf)); sb.append(hexChars(d(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -96,6 +96,82 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native inner product Σ a_i·b_i — the third hnswlib space.
+  *
+  * The reference's index is built over a pluggable hnswlib space;
+  * graft covers all three: cosine (above), l2 (below), and this ip
+  * kernel (reference: embeddinghub/embeddingstore/index.h picks the
+  * space; hnswlib ships InnerProductSpace alongside cosine/l2).
+  * Max-inner-product ranking is the natural similarity for
+  * non-normalized learned embeddings (e.g. recommendation towers).
+  * Same codegen rationale and null semantics as [[CosineSimilarity]];
+  * accumulation is sequential double precision, bit-identical to the
+  * HOF fold and a list-ordered SQL oracle.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case other =>
+        throw new IllegalArgumentException(s"graft_dot: unsupported element type $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $acc;
+          }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native squared euclidean distance — the PQ / L2-kmeans kernel.
   * Same rationale as [[CosineSimilarity]]: the HOF formulation
   * (`aggregate(zip_with(...))`) is CodegenFallback (interpreted per
@@ -294,6 +370,8 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val L2SqName = "graft_l2sq"
   val AdcName = "graft_adc"
+  val DotName = "graft_dot"
+  val MinHashBandsName = "graft_minhash_bands"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -159,4 +159,46 @@ class AnalyticsSpec extends AnyFunSuite {
       .toMap
     assert(out == Map(1L -> ((1L, 90.0))))
   }
+
+  test("q2 picks the min-unit-cost supplier per part within the region, keeping ties") {
+    val part = Seq((1L, "p1", 2), (2L, "p2", 2), (3L, "p3", 9)).toDF("p_partkey", "p_name", "p_size")
+    val supp = Seq((10L, "s10", 0, 5.0), (20L, "s20", 0, 7.0), (30L, "s30", 1, 9.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nat = Seq((0, "n0", 0), (1, "n1", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val li = Seq(
+      // part 1: s10 charges unit 2.0 (and once 4.0); s20 charges 3.0 -> s10 wins
+      (1L, 10L, 2.0, 4.0), (1L, 10L, 1.0, 4.0), (1L, 20L, 2.0, 6.0),
+      // part 2: s10 and s20 tie at unit 5.0 -> both kept
+      (2L, 10L, 1.0, 5.0), (2L, 20L, 2.0, 10.0),
+      // part 3: size 9 -> filtered out; s30 is EUROPE -> filtered out
+      (3L, 10L, 1.0, 1.0), (1L, 30L, 1.0, 0.5)
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val out = Analytics
+      .q2MinCostSupplier(part, supp, nat, reg, li, maxSize = 3, regionName = "ASIA")
+      .collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("s_name")) ->
+        r.getAs[Double]("supply_cost"))
+      .toMap
+    assert(out == Map((1L, "s10") -> 2.0, (2L, "s10") -> 5.0, (2L, "s20") -> 5.0))
+  }
+
+  test("q11 keeps parts whose value exceeds the fraction of the nation total") {
+    val supp = Seq((10L, 0), (20L, 1)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((0, "N0"), (1, "N1")).toDF("n_nationkey", "n_name")
+    val li = Seq(
+      // nation N0 (supplier 10) totals: part 1 = 800, part 2 = 150, part 3 = 50
+      (1L, 10L, 800.0, 0.0),
+      (2L, 10L, 300.0, 0.5),
+      (3L, 10L, 50.0, 0.0),
+      // supplier 20 is N1 -> ignored
+      (1L, 20L, 9999.0, 0.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    // total = 1000; fraction 0.1 -> threshold 100 -> parts 1 and 2 kept
+    val out = Analytics.q11ImportantParts(supp, nat, li, "N0", fraction = 0.1)
+      .collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Double]("part_value"))
+      .toMap
+    assert(out == Map(1L -> 800.0, 2L -> 150.0))
+  }
 }

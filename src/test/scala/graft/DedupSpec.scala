@@ -142,6 +142,67 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("native minhash band kernel is bit-identical to the declarative portable pipeline") {
+    val corpus = sources.Tables.load(spark, GraftTestSession.Sf0001, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("n_bands")
+    val declarative = Dedup
+      .minhashLsh(corpus, "doc_id", "text", portableHashes = true)
+      .collect().map(key).toMap
+    val native = Dedup
+      .minhashLshNative(corpus, "doc_id", "text")
+      .collect().map(key).toMap
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
+  test("native minhash band kernel: two-digit seed groups and empty-shingle rows") {
+    import org.apache.spark.sql.functions.col
+    // 11 groups (bands=11, rowsPerBand=2 -> 22 lanes) exercises g >= 10
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "z y x w v u"))
+      .toDF("doc_id", "text")
+    val declarative = Dedup
+      .minhashLsh(docs, "doc_id", "text", bands = 11, rowsPerBand = 2, portableHashes = true)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("n_bands"))
+      .toMap
+    val native = Dedup
+      .minhashLshNative(docs, "doc_id", "text", bands = 11, rowsPerBand = 2)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("n_bands"))
+      .toMap
+    assert(native == declarative)
+    assert(native((1L, 2L)) == 11L)
+    // a doc shorter than the shingle width drops out of both pipelines
+    val tiny = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshNative(tiny, "doc_id", "text").where(col("a") === 1L).count() == 0)
+  }
+
+  test("spanDedup keeps a repeated span only at its first corpus occurrence") {
+    import org.apache.spark.sql.functions.col
+    // span width 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [a b][c d]
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"), r.getAs[String]("text_dedup"))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, "a b c d"))) // first occurrence of both spans
+    assert(out(2L) == ((2L, 1L, "x y")))     // "a b" already seen in doc 1
+    assert(out(3L) == ((2L, 0L, "")))        // exact dup of doc 1: nothing survives
+  }
+
+  test("spanDedup keeps the trailing partial span and intra-doc repeats dedup too") {
+    // width 3 over 7 tokens: [a b c][a b c][z] — 2nd span dups the 1st
+    val docs = Seq((1L, "a b c a b c z")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 3).collect()(0)
+    assert(out.getAs[Long]("n_spans") == 3L)
+    assert(out.getAs[Long]("n_kept") == 2L)
+    assert(out.getAs[String]("text_dedup") == "a b c z")
+  }
+
   test("simhash band derivation guarantees candidate recall up to maxHamming") {
     // maxHamming = 7 must derive 8 bands (pigeonhole), in both bit widths.
     for (portable <- Seq(true, false)) {

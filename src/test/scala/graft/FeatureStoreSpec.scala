@@ -186,4 +186,37 @@ class FeatureStoreSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("entity")).sorted.toSeq
     assert(page == (123L until 140L).toSeq)
   }
+
+  test("featureDrift: identical windows score ~0, a shifted window drifts") {
+    val ref = (0 until 100).map(i => ("stable", ts("2024-01-01 00:00:00"), i % 10 * 1.0)) ++
+      (0 until 100).map(i => ("shifted", ts("2024-01-01 00:00:00"), i % 10 * 1.0))
+    val cur = (0 until 100).map(i => ("stable", ts("2024-02-01 00:00:00"), i % 10 * 1.0)) ++
+      // shifted feature: all current mass lands in the top reference bucket
+      (0 until 100).map(_ => ("shifted", ts("2024-02-01 00:00:00"), 9.0))
+    val events = (ref ++ cur).toDF("event_type", "ts", "value")
+    val out = FeatureStore
+      .featureDrift(events, "event_type", "value", "ts", "2024-01-15 00:00:00")
+      .collect()
+      .map(r => r.getAs[String]("feature") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("psi"), r.getAs[Boolean]("drifted"))))
+      .toMap
+    val (nr, nc, psiStable, dStable) = out("stable")
+    assert(nr == 100L && nc == 100L)
+    assert(math.abs(psiStable) < 1e-9 && !dStable)
+    val (_, _, psiShifted, dShifted) = out("shifted")
+    assert(psiShifted > 0.25 && dShifted)
+  }
+
+  test("featureDrift: constant reference (zero width) puts everything in bucket 0") {
+    val events = (
+      (0 until 50).map(_ => ("c", ts("2024-01-01 00:00:00"), 5.0)) ++
+      (0 until 50).map(_ => ("c", ts("2024-02-01 00:00:00"), 5.0))
+    ).toDF("event_type", "ts", "value")
+    val r = FeatureStore
+      .featureDrift(events, "event_type", "value", "ts", "2024-01-15 00:00:00")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("psi")) < 1e-9)
+    assert(!r.getAs[Boolean]("drifted"))
+  }
 }

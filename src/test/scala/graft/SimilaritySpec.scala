@@ -194,4 +194,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
     assert(got.size == 15)
   }
+
+  test("knnBruteForceIp matches a window-sorted exact inner-product reference") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+    val got = Similarity.knnBruteForceIp(emb, q, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    // reference: HOF dot + full window sort, desc score, asc-id tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id").asc)
+    val want = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("ip", VectorFunctions.dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got == want)
+    assert(got.size == 15)
+  }
+
+  test("native graft_dot agrees with the HOF inner product") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings").limit(50)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .where(col("a") < col("b")).limit(200)
+    val diffs = pairs
+      .withColumn("nat", VectorFunctions.dotNative(col("va"), col("vb")))
+      .withColumn("hof", VectorFunctions.dot(col("va"), col("vb")))
+      .where(abs(col("nat") - col("hof")) > 1e-12)
+      .count()
+    assert(diffs == 0L)
+  }
 }
