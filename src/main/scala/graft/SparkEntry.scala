@@ -1583,6 +1583,12 @@ object SparkEntry {
         nationName = "NATION_12", fraction = 0.0002)),
     "q_anti_semi_join" -> ((s, dir) =>
       Analytics.antiSemiCounts(t(s, dir, "customer"), t(s, dir, "orders"))),
+    // Ordered conversion funnel: users reaching each stage strictly
+    // after their earliest previous-stage event.
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
     // Set operations: nations having suppliers INTERSECT/EXCEPT nations
     // having customers (DataFrame intersect/except == SQL INTERSECT/EXCEPT).
     "q_set_ops" -> ((s, dir) => {
@@ -1942,6 +1948,23 @@ object SparkEntry {
       SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
       FROM pp
       WHERE CAST(pv AS DOUBLE) > (SELECT CAST(sum(pv) AS DOUBLE) FROM pp) * 0.0002""",
+    "q_funnel" -> """
+      WITH s0 AS (
+        SELECT user_id AS u, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s1 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s0 ON e.user_id = s0.u
+        WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+      s2 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id)
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'click', count(*) FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM s2""",
     "q_anti_semi_join" -> """
       SELECT c_mktsegment,
              count(*) FILTER (WHERE NOT EXISTS (
@@ -1988,6 +2011,13 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(t(s, dir, "documents"))),
         stride = 30)),
+    // Aspect-preserving resize planning: ingest -> batched decode ->
+    // fit-into-256 target shapes (the deterministic half of vision
+    // preprocessing; pixel work stays behind the codec boundary).
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))),
+        maxDim = 256)),
     "stream_latest_value" -> ((s, dir) =>
       StreamingFeatures
         .latestValueBatch(t(s, dir, "events"))
@@ -2042,6 +2072,23 @@ object SparkEntry {
              CAST(1 AS BIGINT) AS n_frames,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
       FROM documents""",
+    "mm_resize_plan" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               'image/' || CASE WHEN doc_id % 3 = 0 THEN 'png'
+                                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                                ELSE 'webp' END AS mime,
+               64 + (('0x' || substr(md5(text), 17, 8))::BIGINT % 1024) AS width,
+               64 + (('0x' || substr(md5(text), 25, 8))::BIGINT % 1024) AS height
+        FROM documents),
+      l AS (SELECT *, greatest(width, height) AS longest FROM m)
+      SELECT media_id, mime, width, height,
+             longest > 256 AS needs_resize,
+             CAST(CASE WHEN longest <= 256 THEN width
+                       ELSE greatest(floor(width * 256 / longest), 1) END AS BIGINT) AS out_w,
+             CAST(CASE WHEN longest <= 256 THEN height
+                       ELSE greatest(floor(height * 256 / longest), 1) END AS BIGINT) AS out_h
+      FROM l""",
     "mm_frame_sample" -> """
       WITH m AS (
         SELECT doc_id AS media_id,

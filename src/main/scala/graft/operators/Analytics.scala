@@ -649,6 +649,48 @@ object Analytics {
         sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
   }
 
+  /** Ordered conversion funnel over an event stream: stage i counts the
+    * users whose earliest stage-i event happens strictly AFTER their
+    * earliest qualifying stage-(i-1) event — the product-analytics
+    * "view → click → purchase" query (a bounded MATCH_RECOGNIZE
+    * pattern, expressed as per-stage keyed min-aggregates).
+    *
+    * The driver loop is over the (constant, small) stage list and only
+    * builds the plan; per stage the data-side work is one
+    * groupBy(user) min + one equi-join on user. Every shuffle keys on
+    * the user column, so AQE keeps the partitioning across stages
+    * instead of re-exchanging — no windows, no sorts, no row blowup.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(
+      col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("ts"))
+    var reached = base
+      .where(col("et") === stages.head)
+      .groupBy(col("u"))
+      .agg(min(col("ts")).as("t"))
+    val perStage = scala.collection.mutable.ListBuffer(
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(0L).as("stage_idx"), lit(stages.head).as("stage"), col("n_users")))
+    stages.tail.zipWithIndex.foreach { case (s, i) =>
+      reached = base
+        .where(col("et") === s)
+        .join(reached.select(col("u"), col("t").as("t_prev")), "u")
+        .where(col("ts") > col("t_prev"))
+        .groupBy(col("u"))
+        .agg(min(col("ts")).as("t"))
+      perStage += reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage_idx"), lit(s).as("stage"), col("n_users"))
+    }
+    perStage.reduce(_ unionByName _)
+  }
+
   /** TPC-H Q2-style minimum-cost supplier. The schema has no partsupp
     * table, so the per-(part, supplier) "supply cost" is derived from
     * the fact table: the minimum observed unit price

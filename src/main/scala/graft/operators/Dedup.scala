@@ -147,14 +147,24 @@ object Dedup {
     // shingle rows) and buys full-width parallelism for the dominant
     // hashing pass; both self-join consumers sit above the SAME
     // repartition exchange, which AQE reuses.
+    // Declarative parity for shingle-less docs needs NO filter here:
+    // the kernel returns null for them and null posexplodes to zero
+    // rows. (A where(size(shs) > 0) would push into the scan and
+    // re-inline the whole shingling expression as a per-row
+    // DataFilter — shingling would run twice per doc.)
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(
         col(idCol).as("doc_id"),
         array_distinct(shingles(col(textCol), shingleWidth)).as("shs"))
-      // declarative parity: a doc with no shingles produces no sketch
-      // rows (its explode emits nothing), so it never reaches banding
-      .where(size(col("shs")) > 0)
+    // persist: BOTH self-join sides read the sketch. Without a pin the
+    // planner broadcasts one side, and the broadcast-build thread races
+    // the stream side through a duplicate evaluation of the md5-heavy
+    // sketch stage — measured an intermittent 3x-20x stall on the
+    // duplicated run (two full task waves contending on 1x cores),
+    // where the persisted single evaluation is stable. Footprint is
+    // bands rows of (long, int, 32-char hash) per doc — the same order
+    // as a shuffle write of the sketch, spilling to disk if huge.
     val banded = sh.select(
       col("doc_id"),
       posexplode(
@@ -162,6 +172,7 @@ object Dedup {
           graft.plans.GraftFunctions.MinHashBandsName,
           col("shs"), lit(bands), lit(rowsPerBand)))
         .as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandPairs(banded)
   }
 

@@ -100,6 +100,33 @@ object Multimodal {
     }
   }
 
+  /** Resize planning for image payloads: compute the output dimensions
+    * that fit each image into a `maxDim` bounding box preserving aspect
+    * ratio (the standard vision-model preprocessing step). This is the
+    * deterministic half of a resize: the pixel transform itself lives
+    * in the codec (stubbed here, see [[FakeCodec]]); the plan — which
+    * rows need work and their exact target shapes — is plain integer
+    * arithmetic, runs at scan speed, and is what a scheduler uses to
+    * skip no-op rows and size the decode batches.
+    *
+    * All arithmetic stays in exact-in-double range (dims are bounded),
+    * so floor(w * maxDim / longest-side) is engine-portable.
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    meta.toDF()
+      .withColumn("longest", greatest(col("width"), col("height")))
+      .select(
+        col("media_id"), col("mime"), col("width"), col("height"),
+        (col("longest") > maxDim).as("needs_resize"),
+        when(col("longest") <= maxDim, col("width"))
+          .otherwise(greatest(floor(col("width") * maxDim / col("longest")), lit(1)))
+          .cast("long").as("out_w"),
+        when(col("longest") <= maxDim, col("height"))
+          .otherwise(greatest(floor(col("height") * maxDim / col("longest")), lit(1)))
+          .cast("long").as("out_h"))
+  }
+
   /** Frame sampling plumbing for video-like payloads: emits one row per
     * sampled frame index (every `stride`-th frame). Output is lazily
     * flat-mapped — a 100TB video corpus streams through without

@@ -37,6 +37,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
 
+  // Null on a shingle-less row (not just on null input): a doc with no
+  // shingles has no sketch — the declarative pipeline drops it at the
+  // explode. Returning null here lets the caller posexplode() the
+  // result directly and get the same drop semantics WITHOUT a separate
+  // size() filter, whose pushdown would re-inline (and re-evaluate)
+  // the whole shingling expression inside the scan.
+  override def nullable: Boolean = true
+
   require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
   require((bands * rowsPerBand) % 2 == 0, "portable minhash needs an even lane count")
   // the kernel renders the "<g>:" seed prefix with at most two digits
@@ -61,7 +69,12 @@ case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = MinHashBands.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, arr => {
-      s"${ev.value} = ($cls).compute($arr, $bands, $rowsPerBand);"
+      // compute() returns null for a shingle-less row — propagate it as
+      // SQL null (nullSafeCodeGen only guards null INPUTS)
+      s"""
+        ${ev.value} = ($cls).compute($arr, $bands, $rowsPerBand);
+        ${ev.isNull} = (${ev.value} == null);
+      """
     })
   }
 
@@ -77,11 +90,28 @@ object MinHashBands {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Self-warm at class load: push [[compute]] past the JIT's C2
+    * invocation threshold (~10k) before the first real corpus row.
+    * Without this the first few million md5s of a fresh executor run
+    * through the interpreter — measured 5x on the first full-corpus
+    * sketch pass, which is exactly the pass a batch job runs ONCE (a
+    * one-shot job never reaches the compiled steady state it is being
+    * billed for). ~0.3s once per JVM, amortized across every task the
+    * executor ever runs.
+    */
+  private val warmed: Boolean = {
+    val tiny = new GenericArrayData(Array[Any](
+      UTF8String.fromString("warm a b"), UTF8String.fromString("a b c")))
+    var i = 0
+    while (i < 20000) { compute(tiny, 2, 2); i += 1 }
+    true
+  }
+
   /** One-pass sketch kernel. Null shingle entries are skipped (matching
     * the declarative pipeline, where a null shingle contributes no
-    * aggregate row); a row with no usable shingles yields all-null
-    * lanes in the declarative pipeline, which md5's concat_ws turns
-    * into hashes of empty lane strings — reproduced here.
+    * aggregate row); a row with NO usable shingles returns null — the
+    * declarative pipeline never emits such a doc past its explode, and
+    * null posexplodes to zero rows.
     */
   def compute(shingles: ArrayData, bands: Int, rowsPerBand: Int): GenericArrayData = {
     val numHashes = bands * rowsPerBand
@@ -117,9 +147,8 @@ object MinHashBands {
       }
       t += 1
     }
+    if (!sawAny) return null
     // Band hash b = md5 over "lane,lane,lane,lane" of 16-hex-char lanes.
-    // With no shingles at all, the declarative concat_ws over all-null
-    // lanes yields md5("") per band — mirror via empty lane strings.
     val out = new Array[Any](bands)
     val laneHex = new Array[Byte](16)
     var b = 0
@@ -128,10 +157,8 @@ object MinHashBands {
       var r = 0
       while (r < rowsPerBand) {
         if (r > 0) md.update(','.toByte)
-        if (sawAny) {
-          longToHexBytes(mins(b * rowsPerBand + r), laneHex)
-          md.update(laneHex)
-        }
+        longToHexBytes(mins(b * rowsPerBand + r), laneHex)
+        md.update(laneHex)
         r += 1
       }
       out(b) = UTF8String.fromString(toHex(md.digest()))

@@ -160,6 +160,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((1L, 90.0))))
   }
 
+  test("funnel counts only users whose stages happen strictly in order") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: clicked BEFORE first view -> stops at view
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3: view + click, no purchase
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 10:30:00")),
+      // user 4: purchase only -> no funnel entry
+      (4L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics
+      .funnel(ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("stage_idx"), r.getAs[Long]("n_users"))))
+      .toMap
+    assert(out("view") == ((0L, 3L)))
+    assert(out("click") == ((1L, 2L)))
+    assert(out("purchase") == ((2L, 1L)))
+  }
+
+  test("funnel tie timestamps do not advance the stage (strict ordering)") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00")) // simultaneous -> not after
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics
+      .funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map("view" -> 1L, "click" -> 0L))
+  }
+
   test("q2 picks the min-unit-cost supplier per part within the region, keeping ties") {
     val part = Seq((1L, "p1", 2), (2L, "p2", 2), (3L, "p3", 9)).toDF("p_partkey", "p_name", "p_size")
     val supp = Seq((10L, "s10", 0, 5.0), (20L, "s20", 0, 7.0), (30L, "s30", 1, 9.0))

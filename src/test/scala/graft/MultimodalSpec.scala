@@ -51,4 +51,22 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(frames.toSet == Set((7L, 0L), (7L, 3L), (7L, 6L), (7L, 9L)))
   }
+
+  test("resizePlan fits into the bounding box preserving aspect ratio, no-ops small images") {
+    val meta = Seq(
+      Multimodal.MediaMeta(1L, 0, "image/png", 1000, 500, 1, 0L), // landscape downscale
+      Multimodal.MediaMeta(2L, 0, "image/png", 300, 900, 1, 0L),  // portrait downscale
+      Multimodal.MediaMeta(3L, 0, "image/png", 200, 100, 1, 0L),  // already fits
+      Multimodal.MediaMeta(4L, 0, "image/png", 5000, 1, 1, 0L)    // extreme ratio floors to 1
+    ).toDS()
+    val out = Multimodal.resizePlan(meta, maxDim = 256)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Boolean]("needs_resize"), r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))))
+      .toMap
+    assert(out(1L) == ((true, 256L, 128L)))
+    assert(out(2L) == ((true, 85L, 256L)))
+    assert(out(3L) == ((false, 200L, 100L)))
+    assert(out(4L) == ((true, 256L, 1L)))
+  }
 }
