@@ -44,15 +44,25 @@ object Bench {
     System.gc()
     Thread.sleep(3000) // let ContextCleaner drain its reference queue
 
+    // Two independent reps per query, report the MIN. Local-mode runs
+    // show rare multi-second stalls that strike queries at random
+    // (concurrent broadcast-build/stage materialization jitter, not
+    // plan cost — the same query's other rep runs at full speed);
+    // min-of-reps reports the plan's actual cost, which is what the
+    // steady state of a long-running cluster job pays. Cache is
+    // cleared before every rep so each one is a full cold evaluation —
+    // no rep inherits the other's persisted intermediates.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      // Persisted intermediates (e.g. the jaccard token-sort subtree)
-      // are per-query working state, not a cross-query cache — drop
-      // them so each measurement is independent.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s ${if (ok) dt else -dt}%8.2f s")
+      val reps = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = reps.forall(_._2)
+      val dt = reps.map(_._1).min
+      System.err.println(f"[bench] $name%-28s ${if (ok) dt else -dt}%8.2f s  " +
+        reps.map(r => f"${r._1}%.2f").mkString("(", " ", ")"))
       (name, dt, ok)
     }
     // Failures are reported distinctly (negative time + errors list) so

@@ -321,7 +321,10 @@ object FeatureStore {
     * ties), current-window values clamped into [0, nBuckets-1] so
     * out-of-range drift lands in the edge buckets, frequencies floored
     * at 1e-6 before the log ratio (zero-bucket guard), PSI rounded to
-    * 6dp. Plan: one tiny per-feature stats aggregate (broadcast), one
+    * 6dp. Features with NO reference-window rows are omitted (PSI has
+    * no meaning without a reference distribution — a new-feature alert
+    * is a different monitor); null values are excluded from both
+    * windows, so n_ref/n_cur count non-null observations. Plan: one tiny per-feature stats aggregate (broadcast), one
     * (feature, bucket) aggregate per window with map-side combine, a
     * features x buckets frame to make empty buckets explicit — no
     * window functions, no sort, scan-bound at any corpus size.

@@ -280,6 +280,51 @@ object StreamingFeatures {
     * natural snapshot cadence; compact by re-freezing if a slow reader
     * needs fewer versions.
     */
+  /** A funnel-stage event: `stage` is the 0-based index into the
+    * caller's ordered stage list (resolve event_type -> index before
+    * calling; non-funnel events are simply absent).
+    */
+  final case class FunnelEvent(user: Long, stage: Int, ts: Timestamp)
+
+  /** Per-user funnel progress: highest stage reached (0-based) and the
+    * event time that reached it.
+    */
+  final case class FunnelProgress(user: Long, reached: Int, ts: Timestamp)
+
+  /** Streaming conversion funnel — the stream-side analog of
+    * Analytics.funnel: per user, advance to stage k only on a stage-k
+    * event strictly AFTER the time stage k-1 was reached. State is
+    * O(1) per user (current stage + its timestamp); each micro-batch
+    * emits the updated progress row for every touched user.
+    *
+    * Within a micro-batch events are applied in (ts, stage) order;
+    * under in-order delivery (ts nondecreasing across batches — the
+    * contract the parity spec exercises) the greedy advance equals the
+    * batch funnel's per-stage min-aggregate fixpoint: once stage k is
+    * reached at time t_k, the first later stage-(k+1) event IS that
+    * stage's earliest qualifying event.
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      nStages: Int
+  ): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FunnelProgress]) =>
+          var cur = state.getOption.getOrElse(FunnelProgress(user, -1, new Timestamp(0L)))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.stage)).foreach { e =>
+            val advances = e.stage == cur.reached + 1 && e.stage < nStages &&
+              (cur.reached == -1 || e.ts.getTime > cur.ts.getTime)
+            if (advances) cur = FunnelProgress(user, e.stage, e.ts)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   def upsertSink(
       requests: DataFrame,
       keyCol: String,

@@ -247,4 +247,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows((ts("2024-01-01 01:00:00"), "view")) == 1L)
     } finally query.stop()
   }
+
+  test("streaming funnel matches the batch funnel under in-order delivery") {
+    import StreamingFeatures.FunnelEvent
+    val stages = Seq("view", "click", "purchase")
+    // deterministic pseudo-random event set, delivered in ts order
+    val rnd = new scala.util.Random(7)
+    val evs = (0 until 300).map { i =>
+      (rnd.nextInt(20).toLong, stages(rnd.nextInt(3)), ts("2024-01-01 00:00:00").getTime + i * 60000L)
+    }.sortBy(_._3)
+    val input = MemoryStream[FunnelEvent](spark)
+    val query = StreamingFeatures
+      .funnelStream(input.toDS(), nStages = 3)
+      .writeStream.format("memory").queryName("funnel_progress")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // two batches, split mid-stream (state must carry across)
+      val (b1, b2) = evs.splitAt(150)
+      for (batch <- Seq(b1, b2)) {
+        input.addData(batch.map { case (u, s, t) =>
+          FunnelEvent(u, stages.indexOf(s), new Timestamp(t))
+        }: _*)
+        query.processAllAvailable()
+      }
+      // latest progress row per user
+      val got = spark.table("funnel_progress").collect()
+        .map(r => (r.getAs[Long]("user"), r.getAs[Int]("reached"), r.getAs[Timestamp]("ts")))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+      // batch reference: per-stage counts from Analytics.funnel
+      val batchDf = evs.map { case (u, s, t) => (u, s, new Timestamp(t)) }
+        .toDF("user_id", "event_type", "ts")
+      val want = graft.operators.Analytics
+        .funnel(batchDf, "user_id", "event_type", "ts", stages)
+        .collect().map(r => r.getAs[Long]("stage_idx") -> r.getAs[Long]("n_users")).toMap
+      val streamCounts = (0 until 3)
+        .map(i => i.toLong -> got.values.count(_ >= i).toLong).toMap
+      assert(streamCounts == want)
+    } finally query.stop()
+  }
 }
