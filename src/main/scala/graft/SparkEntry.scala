@@ -505,6 +505,25 @@ object SparkEntry {
         "vec_id", "embedding",
         m = 16, dims = 64, ksub = 32, iterations = 2,
         nCells = 8, coarseIterations = 3, nProbe = 3, k = 5)),
+    // Incremental index maintenance: build IVF-PQ on the corpus MINUS
+    // the delta, upsert the delta with the frozen artifacts (no
+    // re-training), emit the merged encoded corpus. Codes are emitted
+    // as a comma string — deterministic and hashable either way, and
+    // scalar columns keep the driver's row-sort well-defined.
+    "emb_index_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Quantization.buildIvfPq(
+        emb.where(col("vec_id") >= 10), "vec_id", "embedding",
+        m = 16, dims = 64, ksub = 32, iterations = 2,
+        nCells = 8, coarseIterations = 3)
+      Quantization
+        .upsertIvfPq(idx, emb.where(col("vec_id") < 10), "vec_id", "embedding", 16, 64)
+        .encoded
+        .select(
+          col("vec_id"),
+          col("cell").cast("long").as("cell"),
+          concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("codes"))
+    }),
     // Filtered ANN (the vector-db "metadata predicate" search): the
     // label filter composes BEFORE the scan, so Catalyst pushes it
     // into the parquet read and the kNN scores only the surviving
@@ -529,6 +548,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnBruteForceIp(
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    // 1-bit binary sketches + hamming top-k (the 32x compression tier).
+    "emb_knn_binary" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Quantization.knnBinaryHamming(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", dims = 64, k = 5)
     }),
     // Storage-tier int8 scalar quantization with per-vector
     // reconstruction-error stats (the 4x embedding compression knob).
@@ -850,6 +875,100 @@ object SparkEntry {
       WHERE rank <= 5"""
   }
 
+  /** Incremental-maintenance oracle: the IVF-PQ chain with TRAINING
+    * restricted to the old corpus (vec_id >= 10) and ENCODING covering
+    * every row — the unrolled twin of buildIvfPq(old) +
+    * upsertIvfPq(delta) with frozen artifacts. CTE structure mirrors
+    * ivfPqOracleSql; only the FROM sources differ (train vs all).
+    */
+  private val ivfPqUpsertOracleSql: String = {
+    val dsub = PqDsub
+    // coarse Lloyd trained on `train` only
+    def kassign(cent: String, name: String, src: String) = s"""
+      $name AS (
+        SELECT vec_id, centroid_id AS cell FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM (
+            SELECT vec_id, centroid_id,
+                   sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+            FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
+              FROM $src e CROSS JOIN $cent c)
+            GROUP BY vec_id, centroid_id))
+        WHERE rn = 1)"""
+    def kmstep(assignName: String, name: String) = s"""
+      $name AS (
+        SELECT cell AS centroid_id, list(c ORDER BY pos) AS centroid FROM (
+          SELECT a.cell, u.pos, avg(u.x) AS c
+          FROM (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM train) u
+          JOIN $assignName a ON u.vec_id = a.vec_id
+          GROUP BY a.cell, u.pos)
+        GROUP BY cell)"""
+    // PQ Lloyd trained on train-residual subvectors only
+    def passign(cent: String, name: String, src: String) = s"""
+      $name AS (
+        SELECT subspace, vec_id, centroid_id AS cell FROM (
+          SELECT s.subspace AS subspace, s.vec_id AS vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY s.subspace, s.vec_id
+                                    ORDER BY ${sqlL2("s.subvec", "c.centroid", dsub)}, c.centroid_id) AS rn
+          FROM $src s JOIN $cent c ON c.subspace = s.subspace)
+        WHERE rn = 1)"""
+    def pmstep(a: String, name: String) = s"""
+      $name AS (
+        SELECT subspace, cell AS centroid_id, list(c ORDER BY pos) AS centroid FROM (
+          SELECT a.subspace AS subspace, a.cell AS cell, u.pos, avg(u.x) AS c
+          FROM (SELECT subspace, vec_id, unnest(subvec) AS x,
+                       generate_subscripts(subvec, 1) AS pos FROM subt) u
+          JOIN $a a ON u.vec_id = a.vec_id AND u.subspace = a.subspace
+          GROUP BY a.subspace, a.cell, u.pos)
+        GROUP BY subspace, cell)"""
+    s"""
+      WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+      ks0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+               list_transform(embedding, x -> x::DOUBLE) AS centroid
+        FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 8)),
+      ${kassign("ks0", "ka1", "train")}, ${kmstep("ka1", "kc1")},
+      ${kassign("kc1", "ka2", "train")}, ${kmstep("ka2", "kc2")},
+      ${kassign("kc2", "ka3", "train")}, ${kmstep("ka3", "kc3")},
+      ${kassign("kc3", "cassign", "embeddings")},
+      resid AS (
+        SELECT e.vec_id, a.cell,
+               list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS r
+        FROM embeddings e
+        JOIN cassign a ON a.vec_id = e.vec_id
+        JOIN kc3 c ON c.centroid_id = a.cell),
+      suba AS (
+        SELECT vec_id, j AS subspace,
+               r[(j * $dsub + 1):((j + 1) * $dsub)] AS subvec
+        FROM resid, (SELECT unnest(range($PqM)) AS j)),
+      subt AS (SELECT * FROM suba WHERE vec_id >= 10),
+      s0 AS (
+        SELECT subspace,
+               CAST(row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+               subvec AS centroid
+        FROM subt WHERE vec_id IN (SELECT vec_id FROM train ORDER BY vec_id LIMIT $PqKsub)),
+      ${passign("s0", "a1", "subt")}, ${pmstep("a1", "c1")},
+      ${passign("c1", "a2", "subt")}, ${pmstep("a2", "c2")},
+      cb AS (
+        SELECT subspace,
+               CAST(row_number() OVER (PARTITION BY subspace ORDER BY centroid_id) - 1 AS INT) AS centroid_id,
+               centroid
+        FROM c2),
+      ${passign("cb", "acodes", "suba")},
+      enc AS (
+        SELECT vec_id, list(cell ORDER BY subspace) AS codes
+        FROM acodes GROUP BY vec_id)
+      SELECT e.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             array_to_string(list_transform(e.codes, x -> CAST(x AS VARCHAR)), ',') AS codes
+      FROM enc e JOIN resid r ON r.vec_id = e.vec_id"""
+  }
+
   private def embOracles: Map[String, String] = Map(
     "corpus_cluster_profile" -> s"""
       WITH $kmeansCtes, ${kmeansAssignCte("c3", "a4")}
@@ -887,6 +1006,24 @@ object SparkEntry {
                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= 5""",
+    "emb_knn_binary" -> """
+      WITH s AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> CASE WHEN embedding[i + 1] <= 0 THEN 0::BIGINT
+                              WHEN i = 63 THEN ((-9223372036854775807)::BIGINT - 1)
+                              ELSE (1::BIGINT << i) END)) AS BIGINT) AS sk
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               bit_count(xor(q.sk, n.sk)) AS h
+        FROM s q JOIN s n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
     "emb_knn_ip" -> """
       WITH scored AS (
         SELECT qid AS query_id, nvid AS neighbor_id, sum(x * y) AS ip FROM (
@@ -920,6 +1057,7 @@ object SparkEntry {
              round(sum(err) / count(*), 6) AS mean_abs_err
       FROM cc GROUP BY vec_id""",
     "emb_knn_ivfpq" -> ivfPqOracleSql,
+    "emb_index_upsert" -> ivfPqUpsertOracleSql,
     "emb_pq_codebooks" -> s"""
       WITH $pqPrefixCtes
       SELECT CAST(subspace AS BIGINT) AS subspace,

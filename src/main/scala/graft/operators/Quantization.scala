@@ -271,6 +271,69 @@ object Quantization {
     IvfPqIndex(coarse, cb, pinned)
   }
 
+  /** Encode rows with a FROZEN index's artifacts (coarse cells +
+    * residual codebooks), no re-training: nearest coarse cell →
+    * residual → PQ codes. This is the delta path of incremental index
+    * maintenance — O(|rows|) work against broadcast-sized artifacts.
+    */
+  def encodeWithIndex(
+      index: IvfPqIndex,
+      rows: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(rows.sparkSession)
+    val assigned = Similarity
+      .nearestCentroid(
+        rows, keyCol, vecCol,
+        index.coarse.select(col("cell").as("centroid_id"), col("c_vec").as("centroid")))
+      .withColumnRenamed("assigned", "cell")
+    val resid = rows
+      .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assigned, "vec_id")
+      .join(broadcast(index.coarse), "cell")
+      .select(
+        col("vec_id"), col("cell"),
+        zip_with(col("v"), col("c_vec"), (x, y) => x.cast("double") - y).as("r"))
+    pqEncode(resid, "vec_id", "r", m, dims, index.codebooks)
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+  }
+
+  /** Incremental IVF-PQ maintenance — the index-layer analog of the
+    * embeddinghub Set/MultiSet write path (reference:
+    * embeddinghub/embeddingstore/embedding_store.proto:13-16, whose
+    * server re-inserts into the live HNSW): merge a vector delta into
+    * an EXISTING index without re-training. Delta rows are encoded
+    * with the frozen coarse/PQ artifacts ([[encodeWithIndex]]) and
+    * upserted into the encoded corpus last-writer-wins (anti-join on
+    * the delta keys, then union — the same shape as
+    * FeatureStore.materializeIncremental).
+    *
+    * Scale: work is O(|delta|) + one anti-join on the changed-key set
+    * (broadcastable at daily-delta sizes); the surviving encoded rows
+    * stream through untouched, and the quantizer never re-trains —
+    * which is the only viable cadence at 100 TB (periodic re-train is
+    * a separate, rarer job; recall degrades only as the data
+    * distribution drifts away from the frozen codebooks — monitor
+    * with FeatureStore.featureDrift over e.g. vector norms).
+    */
+  def upsertIvfPq(
+      index: IvfPqIndex,
+      delta: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int
+  ): IvfPqIndex = {
+    val deltaEnc = encodeWithIndex(index, delta, keyCol, vecCol, m, dims)
+    val merged = index.encoded
+      .join(delta.select(col(keyCol).as("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(deltaEnc)
+    index.copy(encoded = merged)
+  }
+
   /** Probe a built IVF-PQ index: nProbe nearest cells per query, ADC
     * over the residual codes of just those cells.
     */
@@ -428,6 +491,50 @@ object Quantization {
     * and reconstruct exactly. Error accumulation is a sequential fold
     * in dimension order — deterministic and reproducible externally.
     */
+  /** 1-bit-per-dimension binary sketch packed into a single BIGINT
+    * (bit i = 1 iff vec[i] > 0) — the extreme end of the storage-
+    * compression ladder (int8 = 4x, PQ m=16 = 16x, this = 32x for
+    * 64-dim float32): a 100 TB embedding corpus collapses to ~3 TB of
+    * longs, and candidate generation becomes xor + popcount at scan
+    * speed. Static per-bit terms (no variable shifts, no HOF) keep the
+    * whole sketch inside one codegen'd projection.
+    */
+  def binarySketch(vec: Column, dims: Int): Column = {
+    require(dims > 0 && dims <= 64, s"binarySketch packs into one long, got dims=$dims")
+    (0 until dims)
+      .map(i => when(element_at(vec, i + 1) > 0f, lit(1L << i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact top-k by HAMMING distance over binary sketches: broadcast
+    * query sketches x one narrow corpus scan (two longs per row) into
+    * the bounded-heap top-k. The heap score composes
+    * (hamming, neighbor_id) into one strictly-unique double
+    * (hamming * 2^44 + id, exact in double's 53-bit mantissa), so
+    * ranking is fully deterministic despite hamming's heavy ties —
+    * equivalent to ORDER BY hamming, neighbor_id.
+    */
+  def knnBinaryHamming(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(keyCol).as("neighbor_id"), binarySketch(col(vecCol), dims).as("skn"))
+    val q = broadcast(
+      queries.select(col(keyCol).as("query_id"), binarySketch(col(vecCol), dims).as("skq")))
+    val scored = c
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn(
+        "sim",
+        -(bit_count(col("skn").bitwiseXOR(col("skq"))).cast("double") * math.pow(2, 44) +
+          col("neighbor_id").cast("double")))
+    Similarity.topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
+  }
+
   def int8Quantize(space: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     // Per-row min/scale as TOP-LEVEL projection columns feeding a
     // Generate (explode) boundary — each is computed once per vector.

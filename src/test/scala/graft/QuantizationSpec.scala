@@ -104,6 +104,47 @@ class QuantizationSpec extends AnyFunSuite {
     assert(rIvfPq >= rRaw - 0.1, s"IVF-PQ recall $rIvfPq collapsed vs raw PQ $rRaw")
   }
 
+  test("upsertIvfPq equals encoding the full corpus with the frozen artifacts") {
+    val old = emb.where(col("vec_id") >= 10)
+    val delta = emb.where(col("vec_id") < 10)
+    val idx = Quantization.buildIvfPq(old, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2, nCells = 8, coarseIterations = 3,
+      pinEncoded = true)
+    val merged = Quantization.upsertIvfPq(idx, delta, "vec_id", "embedding", 16, 64)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cell"), r.getAs[Seq[Int]]("codes").toList))).toMap
+    val got = key(merged.encoded.select(col("vec_id"), col("cell"), col("codes")))
+    // reference: encode EVERYTHING with the same frozen artifacts
+    val want = key(Quantization.encodeWithIndex(idx, emb, "vec_id", "embedding", 16, 64)
+      .select(col("vec_id"), col("cell"), col("codes")))
+    assert(got == want)
+    assert(got.size == emb.count())
+    // old rows' codes are untouched by the upsert
+    val before = key(idx.encoded.select(col("vec_id"), col("cell"), col("codes")))
+    assert(before.forall { case (k2, v) => got(k2) == v })
+  }
+
+  test("upsertIvfPq makes delta vectors findable by the probe") {
+    val old = emb.where(col("vec_id") >= 10)
+    val delta = emb.where(col("vec_id") < 10)
+    val idx = Quantization.buildIvfPq(old, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2, nCells = 8, coarseIterations = 3)
+    val updated = Quantization.upsertIvfPq(idx, delta, "vec_id", "embedding", 16, 64)
+    // probe with exact DUPLICATES of the delta vectors under fresh ids:
+    // each duplicate's ADC distance to its delta twin is the bare
+    // quantization error — with a full probe the twin must rank in the
+    // top-5, which can only happen if the upsert put it in the index
+    val dupes = delta.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val out = Quantization.probeIvfPq(
+      updated, dupes, "vec_id", "embedding", m = 16, dims = 64, nProbe = 8, k = 5)
+    assert(out.count() == delta.count() * 5)
+    val twinHits = out
+      .where(col("query_id") - 10000L === col("neighbor_id"))
+      .count()
+    assert(twinHits == delta.count(), s"only $twinHits of ${delta.count()} twins found")
+  }
+
   test("pqKnn is deterministic and recalls most of the exact top-k") {
     val q = emb.where(col("vec_id") < 10)
     val a = Quantization.pqKnn(emb, q, "vec_id", "embedding",
@@ -184,6 +225,43 @@ class QuantizationSpec extends AnyFunSuite {
       nCells = 4, coarseIterations = 1, k = 5,
       targetRecall = 1.0, maxProbe = 2)
     assert(vac.contains(1))
+  }
+
+  test("binarySketch packs sign bits and hamming kNN matches a window-sorted reference") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark
+    import sp.implicits._
+    // constructed vectors with known sign patterns
+    val rows = Seq(
+      (1L, Array.fill(64)(1.0f)),                                  // all ones
+      (2L, Array.fill(64)(-1.0f)),                                 // all zero bits
+      (3L, Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f))   // low half set
+    ).toDF("vec_id", "embedding")
+    val sk = rows.select(col("vec_id"), Quantization.binarySketch(col("embedding"), 64).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == -1L)                  // all 64 bits set
+    assert(sk(2L) == 0L)
+    assert(sk(3L) == 0x00000000ffffffffL)  // bits 0..31
+    // kNN on the corpus vs an explicit window sort on (hamming, id)
+    val emb2 = emb
+    val q = emb2.where(col("vec_id") < 5)
+    val got = Quantization.knnBinaryHamming(emb2, q, "vec_id", "embedding", 64, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val s = emb2.select(col("vec_id"), Quantization.binarySketch(col("embedding"), 64).as("sk"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("h").asc, col("neighbor_id").asc)
+    val want = s.select(col("vec_id").as("neighbor_id"), col("sk").as("skn"))
+      .join(broadcast(s.select(col("vec_id").as("query_id"), col("sk").as("skq"))
+        .where(col("query_id") < 5)), col("neighbor_id") =!= col("query_id"))
+      .withColumn("h", bit_count(col("skn").bitwiseXOR(col("skq"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got == want)
+    assert(got.size == 15)
   }
 
   test("int8Quantize: constant vectors are exact, codes span the grid") {
