@@ -1427,8 +1427,49 @@ object SparkEntry {
     // Tokenizer training: the first 3 BPE merge rules learned from the
     // corpus (distributed pair counts, greedy merge application).
     "text_bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeMerges(t(s, dir, "documents"), "doc_id", "text", merges = 3))
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "doc_id", "text", merges = 3)),
+    // BM25 ranked retrieval: top-10 docs for 3 fixed keyword queries.
+    // Per-term scores rounded to 12dp + decimal-summed (order-free),
+    // ranks tie-break on doc_id — hash-reproducible cross-engine.
+    "text_bm25_topk" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val q = Bm25DemoQueries
+        .flatMap { case (id, terms) => terms.map(id -> _) }
+        .toDF("query_id", "term")
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text", q, k = 10)
+    }),
+    // Hybrid search: fuse semantic (cosine kNN over embeddings) and
+    // lexical (BM25 more-like-this over the query doc's own tokens)
+    // rank lists with exact-integer reciprocal-rank fusion. The two
+    // retrieval legs are the already-verified operators; fusion adds
+    // zero float risk (integer points per rank).
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val vecList = Similarity
+        .knnBruteForce(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qTerms = docs
+        .where(col("doc_id") < 5)
+        .select(
+          col("doc_id").as("query_id"),
+          explode(TextFunctions.distinctTokens(col("text"))).as("term"))
+      val textList = Search
+        .bm25TopK(docs, "doc_id", "text", qTerms, k = 10, selfExclude = true)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Search.rrfFuse(vecList, textList, c = 60, maxRank = 10, k = 10)
+    })
   )
+
+  /** Fixed keyword queries for text_bm25_topk (terms from the synthetic
+    * vocabulary, mixed document frequencies).
+    */
+  private val Bm25DemoQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join"),
+    2L -> Seq("vector", "scan", "filter"),
+    3L -> Seq("customer", "order", "slow"))
 
   /** Demo blocklist for text_scrub (vocabulary terms — the corpus is
     * synthetic lowercase words; production swaps in PII regexes).
@@ -1627,8 +1668,96 @@ object SparkEntry {
       UNION ALL SELECT 2, string_split(p,' ')[1], string_split(p,' ')[2],
              replace(p,' ','@@'), n FROM m2
       UNION ALL SELECT 3, string_split(p,' ')[1], string_split(p,' ')[2],
-             replace(p,' ','@@'), n FROM m3"""
+             replace(p,' ','@@'), n FROM m3""",
+    "text_bm25_topk" -> {
+      val ql = Bm25DemoQueries
+        .flatMap { case (id, terms) => terms.map(t => s"($id, '$t')") }
+        .mkString(", ")
+      s"""
+      WITH ql AS (SELECT * FROM (VALUES $ql) AS v(query_id, term)),
+      ${bm25Ctes(selfExclude = false)}
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank,
+             CAST(score_dec AS DOUBLE) AS score
+      FROM bm25_ranked WHERE rank <= 10"""
+    },
+    "search_hybrid_rrf" -> {
+      val scale = graft.operators.Search.rrfScale(60, 10)
+      s"""
+      WITH ql AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents WHERE doc_id < 5),
+      ${bm25Ctes(selfExclude = true)},
+      vscored AS (
+        SELECT qid AS query_id, nvid AS doc_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 5)
+        GROUP BY qid, nvid),
+      vlist AS (
+        SELECT query_id, doc_id, rank FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+          FROM vscored)
+        WHERE rank <= 10),
+      pts AS (
+        SELECT query_id, doc_id, CAST($scale // (60 + rank) AS BIGINT) AS pts FROM vlist
+        UNION ALL
+        SELECT query_id, doc_id, CAST($scale // (60 + rank) AS BIGINT) AS pts
+        FROM bm25_ranked WHERE rank <= 10),
+      fused AS (
+        SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score
+        FROM pts GROUP BY query_id, doc_id)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, rrf_score FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank,
+               rrf_score
+        FROM fused)
+      WHERE rank <= 10"""
+    }
   )
+
+  /** Shared BM25 WITH-clause body (expects a preceding `ql(query_id,
+    * term)` CTE; yields `bm25_ranked(query_id, doc_id, rank,
+    * score_dec)`). Expression-identical to Search.bm25TopK — constants
+    * appear as the same ops ((1.2 + 1.0), (1.0 - 0.75)), per-term
+    * scores round to 12dp then sum as DECIMAL(28,12).
+    */
+  private def bm25Ctes(selfExclude: Boolean): String = {
+    val self = if (selfExclude) "WHERE doc_id <> query_id" else ""
+    s"""bm25_base AS (
+        SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS dl FROM documents),
+      bm25_stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM bm25_base),
+      bm25_tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok IN (SELECT DISTINCT term FROM ql)
+        GROUP BY doc_id, tok),
+      bm25_df AS (SELECT tok, count(*) AS df FROM bm25_tf GROUP BY tok),
+      bm25_scored AS (
+        SELECT ql.query_id, bm25_tf.doc_id,
+               CAST(round(
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+                 (tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))),
+                 12) AS DECIMAL(28,12)) AS term_score
+        FROM bm25_tf
+        JOIN bm25_df USING (tok)
+        JOIN bm25_base USING (doc_id)
+        JOIN ql ON bm25_tf.tok = ql.term
+        CROSS JOIN bm25_stats),
+      bm25_perdoc AS (
+        SELECT query_id, doc_id, sum(term_score) AS score_dec
+        FROM bm25_scored $self
+        GROUP BY query_id, doc_id),
+      bm25_ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rank,
+               score_dec
+        FROM bm25_perdoc)"""
+  }
 
   // ---------------------------------------------------------------- //
   // Analytics / SQL-transformation engine                            //

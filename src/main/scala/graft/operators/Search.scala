@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Full-text ranked retrieval + hybrid (keyword ∪ vector) search — the
+  * query-serving complement to the corpus-prep operators: the same
+  * engine that dedups and curates the corpus can answer "which
+  * documents match this query" over it, lexically (BM25), semantically
+  * (kNN, see [[Similarity]]), or fused (reciprocal-rank fusion, the
+  * standard hybrid-search combiner).
+  *
+  * Scale shape: BM25 is two map-side-combined aggregations over the
+  * token stream (term frequencies pruned to the query vocabulary
+  * BEFORE the shuffle, so the exchange carries only query-term hits)
+  * plus broadcast joins of the tiny per-term/corpus statistics. RRF is
+  * pure integer arithmetic over two rank lists.
+  *
+  * Cross-engine exactness: per-term BM25 scores are rounded to 12dp
+  * and summed as DECIMAL(28,12) (order-free), ranks break ties on
+  * doc_id, and RRF scores are EXACT integers — each rank contributes
+  * `SCALE / (c + rank)` where SCALE = lcm(c+1..c+maxRank), so fusion
+  * is hash-reproducible in any engine with 64-bit integers.
+  */
+object Search {
+
+  /** BM25 (Robertson/Spärck Jones; the Lucene-style `ln(1 + ...)`
+    * positive idf) top-k documents per query.
+    *
+    * `queries`: (query_id: long, term: string) rows — one row per query
+    * term; duplicate terms in one query are collapsed (standard bag-of-
+    * words query with binary query-side tf). The query table is small
+    * by construction and is broadcast.
+    *
+    * `selfExclude`: drop candidates whose doc_id equals the query_id —
+    * the more-like-this mode, where queries ARE corpus documents.
+    *
+    * Plan: tokenize → explode (dl attached pre-explode so no second
+    * pass over the corpus) → broadcast-semi-prune to query vocabulary →
+    * ONE groupBy(doc, term) with map-side combine → broadcast df/corpus
+    * stats → per-term score → decimal sum per (query, doc) → per-query
+    * rank window. The window partitions on query_id (never global);
+    * production fan-out is many queries, so the ranking stage is as
+    * parallel as the query batch.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      selfExclude: Boolean = false
+  ): DataFrame = {
+    val qTerms = queries.select(col("query_id"), col("term")).distinct()
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("dl"),
+      tokens(col(textCol)).as("toks"))
+    // Corpus stats: one tiny row, broadcast — never a driver collect.
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .join(broadcast(qTerms.select(col("term").as("tok")).distinct()), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Constants are built EXPRESSION-IDENTICALLY to the SQL oracle
+    // ((k1 + 1), (1 - b) as ops, not pre-folded Scala doubles): IEEE
+    // fold order must match for bit-equal scores across engines.
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(broadcast(stats))
+      .join(broadcast(qTerms), col("tok") === col("term"))
+      .withColumn(
+        "idf",
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "norm",
+        col("dl").cast("double") * col("n_docs") / col("sum_dl"))
+      .withColumn(
+        "term_score",
+        round(
+          col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("norm"))),
+          12).cast("decimal(28,12)"))
+    val perDoc = scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_dec"))
+    val candidates =
+      if (selfExclude) perDoc.where(col("doc_id") =!= col("query_id")) else perDoc
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_dec").desc, col("doc_id"))
+    candidates
+      .select(
+        col("query_id"), col("doc_id"),
+        row_number().over(w).cast("long").as("rank"),
+        // decimal → double cast is exact-input deterministic in every
+        // engine; never round() a double for output (engines disagree
+        // on rendering-vs-binary half-up).
+        col("score_dec").cast("double").as("score"))
+      .where(col("rank") <= k)
+  }
+
+  /** lcm(c+1 .. c+maxRank) — the exact-integer RRF scale. For the
+    * standard c=60, maxRank<=10 this is ~1.4e14; sums of a few lists
+    * stay far below 2^63.
+    */
+  def rrfScale(c: Int, maxRank: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (c + 1 to c + maxRank).map(_.toLong).reduce((a, x) => a / gcd(a, x) * x)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two ranked
+    * lists, in EXACT integer arithmetic: contribution of rank r is
+    * SCALE/(c+r) with SCALE = lcm(c+1..c+maxRank), which every (c+r)
+    * divides — so scores are integers, fusion is order-free, and the
+    * result hashes identically in any engine. Candidates appearing in
+    * only one list keep their single contribution (standard RRF).
+    *
+    * Inputs: (query_id, doc_id, rank) with 1 <= rank <= maxRank.
+    * Output: top-k fused per query with the integer rrf_score.
+    */
+  def rrfFuse(
+      listA: DataFrame,
+      listB: DataFrame,
+      c: Int,
+      maxRank: Int,
+      k: Int
+  ): DataFrame = {
+    val scale = rrfScale(c, maxRank)
+    def contrib(l: DataFrame) = l.select(
+      col("query_id"), col("doc_id"),
+      (lit(scale) / (lit(c.toLong) + col("rank"))).cast("long").as("pts"))
+    val fused = contrib(listA)
+      .unionByName(contrib(listB))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("pts")).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("doc_id"))
+    fused
+      .select(
+        col("query_id"), col("doc_id"),
+        row_number().over(w).cast("long").as("rank"),
+        col("rrf_score"))
+      .where(col("rank") <= k)
+  }
+}

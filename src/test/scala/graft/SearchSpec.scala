@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Search
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  // d1: "rare" twice in a short doc; d2: one hit in a long doc;
+  // d3: only common terms; d4: no query terms at all.
+  private lazy val corpus = Seq(
+    (1L, "rare rare common"),
+    (2L, "rare common common common common common common common"),
+    (3L, "common common common"),
+    (4L, "other words entirely")
+  ).toDF("doc_id", "text")
+
+  private lazy val q = Seq((1L, "rare"), (1L, "common")).toDF("query_id", "term")
+
+  test("bm25 ranks repeated rare terms in short docs first; no-hit docs absent") {
+    val out = Search.bm25TopK(corpus, "doc_id", "text", q, k = 10)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(p => p(0) > p(1)), "scores strictly ordered here")
+    assert(scores.forall(_ > 0.0), "ln(1+x) idf keeps scores positive")
+  }
+
+  test("bm25 score matches the closed form on a hand-checked cell") {
+    // Doc 3 matches only "common" (tf=3, dl=3). N=4, sum_dl=17,
+    // df(common)=3. Reproduce Search's exact expression shape.
+    val n = 4.0; val sumDl = 17.0; val df = 3.0; val tf = 3.0; val dl = 3.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val norm = dl * 4L / sumDl
+    val raw = idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * norm))
+    val expected = BigDecimal(raw).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val got = Search.bm25TopK(corpus, "doc_id", "text", q, k = 10)
+      .where(col("doc_id") === 3).select(col("score")).head().getDouble(0)
+    assert(math.abs(got - expected.toDouble) < 1e-12)
+  }
+
+  test("bm25 rank ties break on doc_id and selfExclude drops the query doc") {
+    val twins = Seq((7L, "x y"), (5L, "x y"), (9L, "x y")).toDF("doc_id", "text")
+    val tq = Seq((5L, "x")).toDF("query_id", "term")
+    val all = Search.bm25TopK(twins, "doc_id", "text", tq, k = 10)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(all == Seq(5L, 7L, 9L), "equal scores must order by doc_id")
+    val excl = Search.bm25TopK(twins, "doc_id", "text", tq, k = 10, selfExclude = true)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(excl == Seq(7L, 9L))
+  }
+
+  test("rrfScale is the exact lcm and divides every rank denominator") {
+    assert(Search.rrfScale(2, 3) == 60L) // lcm(3,4,5)
+    val s = Search.rrfScale(60, 10)
+    (61 to 70).foreach(d => assert(s % d == 0L, s"$s % $d"))
+    assert(s < (1L << 53), "scale must stay exactly representable as a double")
+  }
+
+  test("rrfFuse: both-list docs beat single-list docs; points are exact integers") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(a, b, c = 60, maxRank = 10, k = 10)
+      .orderBy(col("rank")).collect()
+    val scale = Search.rrfScale(60, 10)
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rrf_score")).toMap
+    assert(byDoc(10L) == scale / 61 + scale / 62)
+    assert(byDoc(11L) == scale / 62)
+    assert(byDoc(12L) == scale / 61)
+    assert(out.head.getAs[Long]("doc_id") == 10L, "two mid ranks outrank one top rank here")
+  }
+
+  test("rrfFuse equal scores break ties by doc_id") {
+    val a = Seq((1L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 8L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(a, b, c = 60, maxRank = 10, k = 10)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(8L, 20L))
+  }
+}
