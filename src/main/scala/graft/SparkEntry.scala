@@ -576,8 +576,64 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           count_distinct(col("lang")).as("n_langs"),
           sum(col("n_chars")).as("total_chars"))
+    }),
+    // Centrality over the similarity graph: PageRank on the directed
+    // 3-NN cosine graph — "which vectors are central" for
+    // representative selection. Edge list pinned once (the expensive
+    // kNN must not re-run per PR iteration); the fixed-point integer
+    // iteration schedule is unrolled into the oracle.
+    "graph_pagerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      Graph.pageRank(edges, dampingPct = 85, iterations = 3)
+        .select(col("id").as("node_id"), col("pr_units"), col("pagerank"))
     })
   )
+
+  /** Unrolled 3-iteration PageRank (dampingPct 85) over the directed
+    * 3-NN cosine graph — the same FIXED-POINT INTEGER schedule as
+    * Graph.pageRank: mass in 1e-12 units (BIGINT), every transfer a
+    * truncating integer division, so no float enters the iteration in
+    * either engine. DuckDB's sum(BIGINT) widens to HUGEINT — cast back.
+    */
+  private lazy val pageRankOracleSql: String = {
+    def iter(prev: String, name: String): String = s"""
+      $name AS (
+        SELECT nodes.id,
+               (15 * 1000000000000 // 100 // nn) + (85 * coalesce(sm.s, 0) // 100) AS pr
+        FROM nodes
+        LEFT JOIN (
+          SELECT e.dst AS id, CAST(sum(p.pr // od.od) AS BIGINT) AS s
+          FROM edges e
+          JOIN $prev p ON p.id = e.src
+          JOIN od ON od.src = e.src
+          GROUP BY e.dst) sm ON sm.id = nodes.id
+        CROSS JOIN n)"""
+    s"""
+      WITH escored AS (
+        SELECT qid AS src, nvid AS dst,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
+        GROUP BY qid, nvid),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+          FROM escored) WHERE rank <= 3),
+      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      n AS (SELECT count(*) AS nn FROM nodes),
+      od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      pr0 AS (
+        SELECT id, 1000000000000 // nn AS pr FROM nodes CROSS JOIN n),
+      ${iter("pr0", "pr1")},
+      ${iter("pr1", "pr2")},
+      ${iter("pr2", "pr3")}
+      SELECT id AS node_id, CAST(pr AS BIGINT) AS pr_units,
+             CAST(pr AS BIGINT) / 1000000000000.0 AS pagerank
+      FROM pr3"""
+  }
 
   private val centroidCte = """
       cd AS (
@@ -1113,6 +1169,7 @@ object SparkEntry {
       SELECT vec_id AS query_id, round(1.0, 4) AS recall
       FROM embeddings WHERE vec_id < 10""",
     "emb_kmeans" -> kmeansOracleSql,
+    "graph_pagerank" -> pageRankOracleSql,
     "emb_upsert" -> """
       WITH delta AS (
         SELECT vec_id, list_reverse(embedding) AS embedding, label + 1000 AS label

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived similarity graphs — the curation step
+  * AFTER near-dup/kNN edges exist: connected components (see
+  * [[Dedup.connectedComponents]]) answers "which docs are the same",
+  * PageRank answers "which docs are central" (representative-document
+  * selection, seed ranking for active curation).
+  *
+  * Scale shape: one iteration = one join edges⋈pr on src (shuffle on
+  * the edge key) + one map-side-combined aggregation on dst + a
+  * broadcast of the 1-row node-count — the textbook distributed PR
+  * round. Iterations chain as Catalyst plans; pin (`localCheckpoint`)
+  * or durably `checkpoint` the edge list once — callers building edges
+  * from an expensive kNN should pass a pinned frame.
+  *
+  * Exactness: FIXED-POINT INTEGER arithmetic. Rank mass lives as a
+  * BIGINT count of 1e-12 units and every transfer is a truncating
+  * integer division — no floating point anywhere in the iteration, so
+  * the schedule is bit-reproducible in any engine and under any
+  * partitioning / summation order (a double formulation compounds a
+  * round-half boundary per term per round; integer units make the
+  * question disappear). Truncation loses < 1 unit (1e-12) per term —
+  * immaterial next to the teleport mass.
+  */
+object Graph {
+
+  /** 1 unit = 1e-12 of total rank mass. */
+  val Units: Long = 1000000000000L
+
+  /** Directed kNN edge list: src → its top-k cosine neighbors. The demo
+    * edge builder runs exact brute force (broadcast queries); at corpus
+    * scale swap in the IVF-PQ probe ([[Quantization.probeIvfPq]]) —
+    * PageRank below is agnostic to how edges were built.
+    */
+  def knnGraph(space: DataFrame, keyCol: String, vecCol: String, k: Int): DataFrame =
+    Similarity
+      .knnBruteForce(space, space, keyCol, vecCol, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+
+  /** PageRank with teleport `1 - damping`, no dangling-mass
+    * redistribution (dangling nodes leak their mass — the common
+    * practical simplification; a kNN graph has uniform out-degree k
+    * and no dangling nodes at all). `dampingPct` is the damping factor
+    * in integer percent (85 = 0.85) so the damped transfer stays in
+    * exact integer arithmetic. Returns every node with its rank after
+    * `iterations` rounds from the uniform start, as both raw units and
+    * the double `pagerank` (exact: units < 2^53).
+    */
+  def pageRank(edges: DataFrame, dampingPct: Int, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0,100)")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val nStats = nodes.agg(count(lit(1)).as("nn"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val pr0 = nodes
+      .crossJoin(broadcast(nStats))
+      .select(col("id"), expr(s"${Units}L div nn").as("pr"))
+    val teleport = expr(s"${(100 - dampingPct)} * ${Units}L div 100 div nn")
+    val last = (1 to iterations).foldLeft(pr0) { (pr, _) =>
+      val contrib = edges
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("pr div od").as("c"))
+      val sums = contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
+      nodes
+        .join(sums, Seq("id"), "left")
+        .crossJoin(broadcast(nStats))
+        .select(
+          col("id"),
+          (teleport + expr(s"$dampingPct * coalesce(s, 0L) div 100")).as("pr"))
+    }
+    last.select(
+      col("id"),
+      col("pr").as("pr_units"),
+      (col("pr") / lit(Units.toDouble)).as("pagerank"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+import graft.sources.Tables
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), dampingPct = 85, iterations = iters)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pr_units")).toMap
+
+  test("uniform ring keeps the uniform distribution (exact fixed point)") {
+    val pr = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    // 1e12 div 3 = 333333333333; each round: teleport 50000000000 +
+    // 85% of the single inbound contribution — identical at every node.
+    assert(pr.values.toSet.size == 1, s"ring must stay uniform: $pr")
+    assert(pr(1L) == 50000000000L + 85L * 333333333333L / 100L)
+  }
+
+  test("hub with two spokes pointing at it concentrates mass, exactly") {
+    // 2 -> 1, 3 -> 1, 1 -> 2. Hand-unroll one iteration from uniform:
+    val third = Graph.Units / 3              // 333333333333
+    val tp = 15L * Graph.Units / 100 / 3     // teleport per node
+    val pr1 = ranks(Seq((2L, 1L), (3L, 1L), (1L, 2L)), iters = 1)
+    assert(pr1(1L) == tp + 85L * (third + third) / 100L)
+    assert(pr1(2L) == tp + 85L * third / 100L)
+    assert(pr1(3L) == tp) // nothing points at 3
+    assert(pr1(1L) > pr1(2L) && pr1(2L) > pr1(3L))
+  }
+
+  test("mass never exceeds 1 and truncation leak is bounded") {
+    val pr = ranks(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), iters = 3)
+    val total = pr.values.sum
+    assert(total <= Graft.UnitsTotal)
+    // Each of the <=10 divisions per round truncates < 1 unit; with
+    // teleport repaying 15% the total stays within a loose 1e-9 slack.
+    assert(total > Graft.UnitsTotal - 1000L, s"leak too large: $total")
+  }
+
+  private object Graft { val UnitsTotal: Long = Graph.Units }
+
+  test("knnGraph emits exactly k out-edges per node, excluding self") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("d")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(deg == Seq(3L))
+    assert(edges.where(col("src") === col("dst")).count() == 0)
+  }
+}
