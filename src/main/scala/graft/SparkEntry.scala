@@ -152,6 +152,12 @@ object SparkEntry {
     "fs_feature_drift" -> ((s, dir) =>
       FeatureStore.featureDrift(
         t(s, dir, "events"), "event_type", "value", "ts", "2024-01-15 00:00:00")),
+    // Row-level feature-quality gate: per-feature z-score outliers
+    // (|z| > 3) from exact-decimal moments — ingest validation before
+    // values reach materialization.
+    "fs_outlier_values" -> ((s, dir) =>
+      FeatureStore.featureOutliers(
+        t(s, dir, "events"), "event_id", "event_type", "value", zThreshold = 3.0)),
     // UpdateMaterialization parity: materialize the first half of the
     // stream, incrementally merge the second half — must equal the
     // full recompute (which is exactly what the oracle computes).
@@ -285,6 +291,20 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value,
              count(DISTINCT user_id) AS n_entities
       FROM events GROUP BY event_type""",
+    "fs_outlier_values" -> """
+      WITH m1 AS (
+        SELECT event_type AS feature, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svd,
+               CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sv2d
+        FROM events GROUP BY event_type),
+      m2 AS (
+        SELECT feature, svd / n AS mean,
+               sqrt(sv2d / n - (svd / n) * (svd / n)) AS std
+        FROM m1)
+      SELECT event_id, feature, value, (value - mean) / std AS z
+      FROM events JOIN m2 ON events.event_type = m2.feature
+      WHERE std > 0 AND abs((value - mean) / std) > 3.0""",
     "fs_feature_drift" -> """
       WITH base AS (
         SELECT event_type AS feature, value::DOUBLE AS v,
@@ -1485,6 +1505,10 @@ object SparkEntry {
     // corpus (distributed pair counts, greedy merge application).
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "doc_id", "text", merges = 3)),
+    // Tokenizer application: encode every doc with the 3 learned merge
+    // rules (greedy replace chain over the double-spaced encoding).
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text", merges = 3)),
     // BM25 ranked retrieval: top-10 docs for 3 fixed keyword queries.
     // Per-term scores rounded to 12dp + decimal-summed (order-free),
     // ranks tie-break on doc_id — hash-reproducible cross-engine.
@@ -1726,6 +1750,32 @@ object SparkEntry {
              replace(p,' ','@@'), n FROM m2
       UNION ALL SELECT 3, string_split(p,' ')[1], string_split(p,' ')[2],
              replace(p,' ','@@'), n FROM m3""",
+    // Same unrolled 3-round schedule as text_bpe_merges, but carrying
+    // doc_id through the replace chain and emitting per-doc counts.
+    "text_bpe_encode" -> {
+      def round(prev: String, c: String, m: String, tn: String): String = s"""
+      $c AS (
+        SELECT p, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS p
+          FROM (SELECT string_split(trim(t), '  ') AS tk FROM $prev))
+        GROUP BY p),
+      $m AS (SELECT p, n FROM $c ORDER BY n DESC, p LIMIT 1),
+      $tn AS (
+        SELECT doc_id, replace(t, (SELECT ' '||replace(p,' ','  ')||' ' FROM $m),
+                                  (SELECT ' '||replace(p,' ','@@')||' ' FROM $m)) AS t
+        FROM $prev)"""
+      s"""
+      WITH t1 AS (
+        SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS t
+        FROM documents WHERE text IS NOT NULL),
+      ${round("t1", "c1", "m1", "t2")},
+      ${round("t2", "c2", "m2", "t3")},
+      ${round("t3", "c3", "m3", "t4")}
+      SELECT doc_id, len(string_split(trim(t), '  ')) AS n_tokens_bpe,
+             len(list_filter(string_split(trim(t), '  '), x -> contains(x, '@@')))
+               AS n_merged_tokens
+      FROM t4"""
+    },
     "text_bm25_topk" -> {
       val ql = Bm25DemoQueries
         .flatMap { case (id, terms) => terms.map(t => s"($id, '$t')") }

@@ -390,6 +390,46 @@ object FeatureStore {
       .withColumn("drifted", col("psi") > 0.25)
   }
 
+  /** Per-feature z-score outlier gate — the row-level companion of the
+    * distribution-level [[featureDrift]] monitor: flag observations
+    * more than `zThreshold` standard deviations from their feature's
+    * mean (ingest validation / bad-sensor triage before values reach
+    * materialization). Population std from one tiny per-feature
+    * aggregate (broadcast back over the scan); moments are EXACT
+    * decimal sums (values are fixed-point in practice; 18,4 here), so
+    * mean/std — and therefore every emitted z — are bit-reproducible
+    * regardless of partition order. Zero-variance features emit no
+    * outliers (z is undefined).
+    */
+  def featureOutliers(
+      events: DataFrame,
+      idCol: String,
+      featureCol: String,
+      valueCol: String,
+      zThreshold: Double
+  ): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,4)")
+    val moments = events
+      .groupBy(col(featureCol).as("feature"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("svd"),
+        sum(dec * dec).cast("double").as("sv2d"))
+      .select(
+        col("feature"),
+        (col("svd") / col("n")).as("mean"),
+        sqrt(col("sv2d") / col("n") - (col("svd") / col("n")) * (col("svd") / col("n")))
+          .as("std"))
+    events
+      .join(broadcast(moments), col(featureCol) === col("feature"))
+      .where(col("std") > 0 && abs((col(valueCol) - col("mean")) / col("std")) > zThreshold)
+      .select(
+        col(idCol),
+        col("feature"),
+        col(valueCol).as("value"),
+        ((col(valueCol) - col("mean")) / col("std")).as("z"))
+  }
+
   def featureStats(
       events: DataFrame,
       groupCol: String,

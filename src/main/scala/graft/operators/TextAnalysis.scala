@@ -283,6 +283,36 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "lhs", "rhs", "merged", "n_pairs")
   }
 
+  /** Apply learned BPE merges to encode the corpus — the tokenize-the-
+    * corpus step that follows [[bpeMerges]] training. The merge table
+    * is tiny by construction (vocab-sized); applying it is `merges`
+    * chained `replace` projections over the same double-spaced
+    * encoding the trainer used (greedy left-to-right, engine-portable
+    * — see bpeMerges), i.e. scan-speed per merge rule at any corpus
+    * size. Null-text docs carry no tokens and are omitted (same rule
+    * as training). Returns per-doc post-merge token counts plus how
+    * many emitted tokens are merged pairs.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    val table = bpeMerges(docs, idCol, textCol, merges).collect() // <= `merges` rows
+    var enc = docs
+      .where(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        concat(lit(" "), replace(col(textCol), lit(" "), lit("  ")), lit(" ")).as("t"))
+    table.foreach { r =>
+      val (x, y, m) =
+        (r.getAs[String]("lhs"), r.getAs[String]("rhs"), r.getAs[String]("merged"))
+      enc = enc.select(
+        col("doc_id"), replace(col("t"), lit(s" $x  $y "), lit(s" $m ")).as("t"))
+    }
+    val toks = split(trim(col("t")), "  ")
+    enc.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens_bpe"),
+      size(filter(toks, t => t.contains("@@"))).cast("long").as("n_merged_tokens"))
+  }
+
   /** BPE-ish subword token counting: greedy regex chunking — letter
     * runs capped at 4 chars, single digits, single punctuation — as a
     * cheap deterministic proxy for a byte-pair tokenizer's token count

@@ -208,6 +208,24 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(psiShifted > 0.25 && dShifted)
   }
 
+  test("featureOutliers flags only |z|>threshold rows; zero-variance emits none") {
+    // Feature "a": 99 values at 10.0 and one at 1000.0 — the spike's z
+    // is ~sqrt(99) ≈ 9.95 and every 10.0 sits at z ≈ -0.1.
+    // Feature "b": constant → std = 0 → no rows at all.
+    val rows =
+      (1L to 99L).map(i => (i, "a", 10.0)) ++ Seq((100L, "a", 1000.0)) ++
+        (200L to 250L).map(i => (i, "b", 7.0))
+    val events = rows.toDF("event_id", "event_type", "value")
+    val out = FeatureStore
+      .featureOutliers(events, "event_id", "event_type", "value", zThreshold = 3.0)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("event_id") == 100L)
+    assert(out(0).getAs[String]("feature") == "a")
+    val z = out(0).getAs[Double]("z")
+    assert(math.abs(z - math.sqrt(99.0)) < 1e-9, s"z=$z")
+  }
+
   test("featureDrift: constant reference (zero width) puts everything in bucket 0") {
     val events = (
       (0 until 50).map(_ => ("c", ts("2024-01-01 00:00:00"), 5.0)) ++

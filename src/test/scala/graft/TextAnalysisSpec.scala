@@ -172,6 +172,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, "t7", 1L)))
   }
 
+  test("bpeEncode applies learned merges greedily and counts merged tokens") {
+    // "a b" is the most frequent pair (4 occurrences) -> merge 1 =
+    // a@@b. Doc 1 "a b a b c": both pairs merge (greedy non-overlap)
+    // -> [a@@b, a@@b, c]. With merges=1 nothing else changes.
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b x y"),
+      (3L, "x y z a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_bpe"), r.getAs[Long]("n_merged_tokens"))))
+      .toMap
+    assert(out(1L) == ((3L, 2L))) // 5 tokens - 2 merges
+    assert(out(2L) == ((3L, 1L))) // a@@b x y
+    assert(out(3L) == ((4L, 1L))) // x y z a@@b
+  }
+
+  test("bpeEncode drops null-text docs and keeps unmergeable docs intact") {
+    val docs = Seq(
+      (1L, "p q p q p q"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_bpe"), r.getAs[Long]("n_merged_tokens"))))
+      .toMap
+    assert(!out.contains(2L))
+    assert(out(1L)._1 < 6L, "repeated pair must have merged")
+    assert(out(3L) == ((1L, 0L)))
+  }
+
   test("subword counts chunk greedily into <=4-char pieces") {
     val docs = Seq(
       (1L, "hello world42 spark!"), // hell,o + worl,d,4,2 + spar,k,! = 9
