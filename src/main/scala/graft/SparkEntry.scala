@@ -406,6 +406,19 @@ object SparkEntry {
         Similarity.knnIvf(emb, q, "vec_id", "embedding", "label", k = 5, nProbe = 1000),
         Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5))
     }),
+    // Matryoshka-style truncation eval: how much recall does retrieval
+    // at the first 16 of 64 dims keep vs full-dim exact top-5? The
+    // dimension-reduction acceptance gate (16 dims = 4x cheaper scan;
+    // same machinery as emb_ivf_recall, lossy axis = dims not cells).
+    "emb_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      Similarity.recall(
+        Similarity.knnBruteForce(
+          trunc, trunc.where(col("vec_id") < 10), "vec_id", "embedding", 5),
+        Similarity.knnBruteForce(
+          emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5))
+    }),
     // embeddinghub Set/MultiSet write path: upsert a delta (25 updated
     // vectors + 5 inserts, both derived deterministically from the
     // table) into the space; last-writer-wins per key. Updates flip the
@@ -1190,6 +1203,42 @@ object SparkEntry {
       FROM embeddings WHERE vec_id < 10""",
     "emb_kmeans" -> kmeansOracleSql,
     "graph_pagerank" -> pageRankOracleSql,
+    "emb_matryoshka_recall" -> """
+      WITH tsc AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding[1:16])::DOUBLE AS x,
+                 unnest(n.embedding[1:16])::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid),
+      tlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM tsc) WHERE rank <= 5),
+      esc AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid),
+      elist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM esc) WHERE rank <= 5),
+      hits AS (
+        SELECT t.query_id, count(*) AS n_hits
+        FROM tlist t JOIN elist e
+          ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id),
+      kk AS (SELECT query_id, count(*) AS k FROM elist GROUP BY query_id)
+      SELECT kk.query_id, round(coalesce(n_hits, 0) / k, 4) AS recall
+      FROM kk LEFT JOIN hits ON hits.query_id = kk.query_id""",
     "emb_upsert" -> """
       WITH delta AS (
         SELECT vec_id, list_reverse(embedding) AS embedding, label + 1000 AS label
@@ -1487,6 +1536,10 @@ object SparkEntry {
     // Gopher-style repetition/quality gates with keep/drop verdict.
     "text_gopher_filter" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+    // Unigram-LM quality score (CCNet shape): per-doc average token
+    // negative log-likelihood under the corpus unigram distribution.
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
     // Train/eval decontamination: docs sharing a 4-gram with the
     // held-out benchmark slice (doc_id % 50 == 0).
     "text_decontaminate" -> ((s, dir) => {
@@ -1750,6 +1803,17 @@ object SparkEntry {
              replace(p,' ','@@'), n FROM m2
       UNION ALL SELECT 3, string_split(p,' ')[1], string_split(p,' ')[2],
              replace(p,' ','@@'), n FROM m3""",
+    "text_lm_score" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tt AS (SELECT count(*) AS tt FROM toks),
+      nll AS (
+        SELECT doc_id,
+               CAST(round(-ln(CAST(c AS DOUBLE) / tt), 12) AS DECIMAL(28,12)) AS nll
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+      FROM nll GROUP BY doc_id""",
     // Same unrolled 3-round schedule as text_bpe_merges, but carrying
     // doc_id through the replace chain and emitting per-doc counts.
     "text_bpe_encode" -> {

@@ -161,6 +161,40 @@ object TextAnalysis {
           lit(0)))
   }
 
+  /** Unigram-LM quality score — the CCNet-shape "how surprising is
+    * this document under a language model" filter, with the LM being
+    * the corpus's own unigram distribution (production swaps in a
+    * pretrained n-gram model; the plan shape is identical). Per doc:
+    * average negative log-likelihood of its tokens — high avg_nll =
+    * rare-token noise, very low = boilerplate repetition; CCNet keeps
+    * the middle of the distribution. Perplexity = exp(avg_nll)
+    * (left to callers: exp is the one op here whose last ulp is not
+    * pinned cross-engine).
+    *
+    * Plan: one vocabulary aggregation + one join back on token (the
+    * scale path — a 100 TB vocabulary outgrows any broadcast) + one
+    * per-doc aggregation, all map-side combined. NLL terms are
+    * 12dp-rounded and decimal-summed so the score is partition-order
+    * independent and engine-reproducible.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("tt"))
+    toks
+      .join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        round(-log(col("c").cast("double") / col("tt")), 12)
+          .cast("decimal(28,12)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("snll"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("snll").cast("double") / col("n_tokens")).as("avg_nll"))
+  }
+
   /** Benchmark decontamination — drop/flag training documents sharing
     * any word n-gram with an evaluation set (the n-gram-overlap rule
     * used for LLM train/test hygiene, e.g. GPT-3 appendix C). The

@@ -218,6 +218,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == 15)
   }
 
+  test("matryoshka truncation: 64-dim 'truncation' has recall 1.0, 16-dim is in [0,1]") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+    def truncated(d: Int) = {
+      val t = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      Similarity.knnBruteForce(t, t.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }
+    val full = Similarity.recall(truncated(64), exact)
+      .collect().map(_.getAs[Double]("recall"))
+    assert(full.forall(_ == 1.0), "64-dim slice IS the full vector")
+    val r16 = Similarity.recall(truncated(16), exact)
+      .collect().map(_.getAs[Double]("recall"))
+    assert(r16.nonEmpty && r16.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("native graft_dot agrees with the HOF inner product") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings").limit(50)
     val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))

@@ -172,6 +172,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, "t7", 1L)))
   }
 
+  test("lmScore: rare tokens raise avg_nll; values match the closed form") {
+    // Corpus tokens: a a b  ->  p(a)=2/3, p(b)=1/3.
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_nll"))))
+      .toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - -math.log(2.0 / 3.0)) < 1e-9)
+    assert(math.abs(out(2L)._2 - -math.log(1.0 / 3.0)) < 1e-9)
+    assert(out(2L)._2 > out(1L)._2, "rarer tokens must be more surprising")
+  }
+
   test("bpeEncode applies learned merges greedily and counts merged tokens") {
     // "a b" is the most frequent pair (4 occurrences) -> merge 1 =
     // a@@b. Doc 1 "a b a b c": both pairs merge (greedy non-overlap)
