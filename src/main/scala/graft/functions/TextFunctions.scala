@@ -32,22 +32,38 @@ object TextFunctions {
   def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles as strings ("w1 w2 ... wn"). Bigrams get a
-    * zip_with fast path (no per-position array slice): `concat` of a
-    * null pad yields null, which the filter drops — same output as the
-    * general path.
+  /** let-binding for Column expressions: evaluate `value` ONCE per row
+    * and reference the result as a lambda variable inside `body`.
+    * Catalyst has no let form, and referencing a sub-expression (e.g. a
+    * `split`) inside a higher-order-function lambda re-evaluates it per
+    * ELEMENT — O(len²) for token arrays. `transform` over a one-element
+    * array passes the EVALUATED element to the lambda, giving exactly
+    * let semantics: bindArray(tokens(text))(t => ...slice(t, i, w)...).
+    */
+  def bindArray(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"), built by
+    * zipping n shifted slices of the token array. Every reference to
+    * the tokenization sits OUTSIDE the lambdas, so `split` evaluates n
+    * times per row — a lambda-body `slice(tokens(text), i, n)` would
+    * re-tokenize per POSITION, turning shingling O(len²) per row
+    * (measured 4x wall on the 4-gram decontamination pass). zip_with
+    * pads the shorter (shifted) side with null and `concat` of null is
+    * null, so trailing partial windows drop in the final filter.
     */
   def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle width must be >= 1")
     val t = tokens(text)
-    if (n == 2) {
+    if (n == 1) t
+    else {
+      val shifted = (1 to n).map {
+        case 1 => t
+        case k => slice(t, lit(k), greatest(size(t) - (k - 1), lit(0)))
+      }
       filter(
-        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b)),
+        shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))),
         x => x.isNotNull)
-    } else {
-      filter(
-        transform(t, (_, i) => concat_ws(" ", slice(t, i + lit(1), lit(n)))),
-        (_, i) => i <= size(t) - n)
     }
   }
 

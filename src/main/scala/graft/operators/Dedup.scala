@@ -375,20 +375,21 @@ object Dedup {
       spanWords: Int = 10
   ): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    // bindArray: the token array must be a BOUND lambda value — slicing
+    // a projected `split` column inside the span lambda gets re-inlined
+    // by CollapseProject and re-splits the doc once per span.
+    val spanArr = graft.functions.TextFunctions.bindArray(split(col(textCol), " ")) { toks =>
+      transform(
+        // greatest(..., 0): an empty token list still yields one
+        // (empty) span — sequence(0, -1) would descend, not stop.
+        sequence(
+          lit(0),
+          greatest(
+            ceil(size(toks) / lit(spanWords.toDouble)).cast("int") - 1, lit(0))),
+        i => concat_ws(" ", slice(toks, i * spanWords + 1, lit(spanWords))))
+    }
     val spans = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .select(
-        col("doc_id"),
-        posexplode(
-          transform(
-            // greatest(..., 0): an empty token list still yields one
-            // (empty) span — sequence(0, -1) would descend, not stop.
-            sequence(
-              lit(0),
-              greatest(
-                ceil(size(col("toks")) / lit(spanWords.toDouble)).cast("int") - 1, lit(0))),
-            i => concat_ws(" ", slice(col("toks"), i * spanWords + 1, lit(spanWords)))))
-          .as(Seq("pos", "span")))
+      .select(col(idCol).as("doc_id"), posexplode(spanArr).as(Seq("pos", "span")))
       .withColumn("fp", md5(col("span")))
     val first = spans
       .groupBy(col("fp"))

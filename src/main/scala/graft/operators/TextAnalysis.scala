@@ -235,21 +235,21 @@ object TextAnalysis {
       stride: Int
   ): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
-    val t = tokens(col(textCol))
-    // The slice is built once per window; emit its length alongside the
-    // re-joined text from the same transform instead of re-splitting
-    // the chunk string downstream.
+    // bindArray: the tokenization must enter the window lambda as a
+    // BOUND value — slicing `tokens(text)` directly inside it would
+    // re-split the document once per window (O(len²/stride) per row).
+    val windows = bindArray(tokens(col(textCol))) { t =>
+      transform(
+        sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride)),
+        st => {
+          val w = slice(t, st + 1, lit(chunkSize))
+          struct(concat_ws(" ", w).as("chunk"), size(w).as("n"))
+        })
+    }
     docs
       .select(
         col(idCol).as("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride)),
-            st => {
-              val w = slice(t, st + 1, lit(chunkSize))
-              struct(concat_ws(" ", w).as("chunk"), size(w).as("n"))
-            }))
-          .as(Seq("chunk_idx", "c")))
+        posexplode(windows).as(Seq("chunk_idx", "c")))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
