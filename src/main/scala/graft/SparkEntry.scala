@@ -152,6 +152,16 @@ object SparkEntry {
     "fs_feature_drift" -> ((s, dir) =>
       FeatureStore.featureDrift(
         t(s, dir, "events"), "event_type", "value", "ts", "2024-01-15 00:00:00")),
+    // Tolerance as-of join (merge_asof backward + tolerance): each
+    // purchase gets the user's most recent click VALUE, but only if
+    // that click is at most 2 hours old — stale matches null out.
+    "fs_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      FeatureStore.asofJoin(
+        ev.where(col("event_type") === "purchase"), "user_id", "ts", "event_id",
+        ev.where(col("event_type") === "click"), "user_id", "value", "ts", "event_id",
+        toleranceUs = Some(2L * 3600L * 1000000L))
+    }),
     // Row-level feature-quality gate: per-feature z-score outliers
     // (|z| > 3) from exact-decimal moments — ingest validation before
     // values reach materialization.
@@ -291,6 +301,26 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value,
              count(DISTINCT user_id) AS n_entities
       FROM events GROUP BY event_type""",
+    "fs_asof_tolerance" -> """
+      WITH u AS (
+        SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, NULL AS v
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, value
+        FROM events WHERE event_type = 'click'),
+      f AS (
+        SELECT entity, ts, kind, tb,
+               last_value(CASE WHEN kind = 0 THEN struct_pack(mts := ts, mval := v) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY entity ORDER BY ts, kind, tb
+                       ROWS UNBOUNDED PRECEDING) AS mv
+        FROM u)
+      SELECT entity, tb AS left_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(mv.mts) >= epoch_us(ts) - 7200000000 THEN mv.mval END
+               AS matched_value,
+             CASE WHEN epoch_us(mv.mts) >= epoch_us(ts) - 7200000000 THEN epoch_us(mv.mts) END
+               AS matched_ts_us
+      FROM f WHERE kind = 1""",
     "fs_outlier_values" -> """
       WITH m1 AS (
         SELECT event_type AS feature, count(*) AS n,

@@ -199,6 +199,58 @@ object FeatureStore {
       .select(col("entity") +: col("ts") +: col("label") +: featCols.map(col): _*)
   }
 
+  /** Generic as-of join with a staleness tolerance — pandas
+    * `merge_asof(direction='backward', tolerance=...)` / Flink temporal
+    * join surface, generalizing [[trainingSet]]'s PIT machinery: every
+    * left row gets the right side's latest (value, ts) with
+    * right.ts <= left.ts, but only if that match is no staler than
+    * `toleranceUs` microseconds — otherwise null (a feature too old to
+    * trust is no feature). Same scale shape as the PIT join: tagged
+    * union, ONE shuffle on the join key, one sorted window — never the
+    * O(|left| x |right|) inequality-join blowup. Right rows at the
+    * exact left ts are visible (inclusive boundary), and equal-ts
+    * right rows resolve to the highest tiebreak, so the result is
+    * total-order deterministic.
+    */
+  def asofJoin(
+      left: DataFrame,
+      leftEntity: String,
+      leftTs: String,
+      leftTiebreak: String,
+      right: DataFrame,
+      rightEntity: String,
+      rightValue: String,
+      rightTs: String,
+      rightTiebreak: String,
+      toleranceUs: Option[Long] = None
+  ): DataFrame = {
+    val vType = right.schema(rightValue).dataType
+    val l = left.select(
+      col(leftEntity).as("entity"), col(leftTs).as("ts"),
+      lit(1).as("kind"), col(leftTiebreak).cast("long").as("tb"),
+      lit(null).cast(vType).as("v"))
+    val r = right.select(
+      col(rightEntity).as("entity"), col(rightTs).as("ts"),
+      lit(0).as("kind"), col(rightTiebreak).cast("long").as("tb"),
+      col(rightValue).as("v"))
+    val w = Window
+      .partitionBy(col("entity"))
+      .orderBy(col("ts"), col("kind"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).withColumn(
+      "mv",
+      last(when(col("kind") === 0, struct(col("ts").as("mts"), col("v").as("mval"))),
+        ignoreNulls = true).over(w))
+    val fresh = toleranceUs.fold(lit(true))(t =>
+      unix_micros(col("mv.mts")) >= unix_micros(col("ts")) - t)
+    filled
+      .where(col("kind") === 1)
+      .select(
+        col("entity"), col("tb").as("left_id"), unix_micros(col("ts")).as("ts_us"),
+        when(fresh, col("mv.mval")).as("matched_value"),
+        when(fresh, unix_micros(col("mv.mts"))).as("matched_ts_us"))
+  }
+
   /** Batch features (OfflineStoreBatchFeature, provider/offline.go:515):
     * the latest value of each named feature per entity, one row per
     * entity, one column per feature. Partial-aggregated then pivoted.

@@ -208,6 +208,36 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(psiShifted > 0.25 && dShifted)
   }
 
+  test("asofJoin: backward match within tolerance, stale/no-match null, ties by tiebreak") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L), // clicks at 9:30 & 9:40 -> latest fresh
+      (2L, ts("2024-01-01 10:00:00"), 102L), // only a 7:00 click -> stale, nulls
+      (3L, ts("2024-01-01 10:00:00"), 103L), // no clicks at all -> nulls
+      (4L, ts("2024-01-01 10:00:00"), 104L)  // two clicks AT 10:00 -> higher event_id
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, 1.0, ts("2024-01-01 09:30:00"), 11L),
+      (1L, 2.0, ts("2024-01-01 09:40:00"), 12L),
+      (2L, 9.0, ts("2024-01-01 07:00:00"), 13L),
+      (4L, 5.0, ts("2024-01-01 10:00:00"), 14L),
+      (4L, 6.0, ts("2024-01-01 10:00:00"), 15L)
+    ).toDF("user_id", "value", "ts", "event_id")
+    val out = FeatureStore
+      .asofJoin(
+        left, "user_id", "ts", "event_id",
+        right, "user_id", "value", "ts", "event_id",
+        toleranceUs = Some(2L * 3600L * 1000000L))
+      .collect()
+      .map(r => r.getAs[Long]("entity") ->
+        ((Option(r.getAs[java.lang.Double]("matched_value")),
+          Option(r.getAs[java.lang.Long]("matched_ts_us")))))
+      .toMap
+    assert(out(1L)._1.contains(2.0), "latest fresh click wins")
+    assert(out(2L) == ((None, None)), "match older than tolerance nulls out")
+    assert(out(3L) == ((None, None)), "no right rows at all")
+    assert(out(4L)._1.contains(6.0), "equal-ts ties resolve to highest tiebreak")
+  }
+
   test("featureOutliers flags only |z|>threshold rows; zero-variance emits none") {
     // Feature "a": 99 values at 10.0 and one at 1000.0 — the spike's z
     // is ~sqrt(99) ≈ 9.95 and every 10.0 sits at z ≈ -0.1.
