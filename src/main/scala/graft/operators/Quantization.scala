@@ -491,6 +491,55 @@ object Quantization {
     * and reconstruct exactly. Error accumulation is a sequential fold
     * in dimension order — deterministic and reproducible externally.
     */
+  /** Deterministic ±1 sign for random-projection cell (i, j): +1 iff
+    * the first hex digit of md5("<seed>:<j>:<i>") is 0-7. Content-keyed
+    * like Sampling's hash thresholds: any engine with md5 reproduces
+    * the projection matrix exactly — no RNG state, no seed files.
+    */
+  def rpSign(seed: String, i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** Achlioptas-style dense ±1 random projection to `outDims`
+    * dimensions: out_j = Σ_i vec[i]·s(i,j) / sqrt(outDims), signs from
+    * [[rpSign]]. Johnson–Lindenstrauss distance preservation with a
+    * data-independent matrix — the projection needs no training pass
+    * (vs PQ/k-means), so it applies in a pure narrow projection at scan
+    * speed; the matrix itself is plan-time constant (dims×outDims
+    * signs folded into the expression).
+    *
+    * Exactness: each signed term is the float element exactly negated
+    * (±1 multiply introduces no rounding), rounded to 12dp and summed
+    * as DECIMAL — so the sum is order-free and the emitted double
+    * (decimal / outDims-sqrt, exact for power-of-4 outDims) is
+    * bit-reproducible in any engine.
+    */
+  def randomProjection(
+      vec: Column,
+      dims: Int,
+      outDims: Int,
+      seed: String = "rp"
+  ): Column = {
+    require(dims >= 1 && outDims >= 1, "dims and outDims must be >= 1")
+    val scale = math.sqrt(outDims.toDouble)
+    val outs = (0 until outDims).map { j =>
+      val s = (1 to dims).map { i =>
+        val term = element_at(vec, i).cast("double") * lit(rpSign(seed, i, j))
+        round(term, 12).cast("decimal(28,12)")
+      // Renormalize after EVERY add: a bare `+` chain grows the result
+      // precision by 1 per step, and past 38 Spark trades scale for
+      // precision (allowPrecisionLoss), silently truncating to ~6dp by
+      // the 64th term. The cast back to (28,12) is exact here (|sum|
+      // bounded far below 16 integer digits) and keeps every add
+      // full-scale.
+      }.reduce((a, b) => (a + b).cast("decimal(28,12)"))
+      (s.cast("double") / lit(scale)).as(s"p$j")
+    }
+    array(outs: _*)
+  }
+
   /** 1-bit-per-dimension binary sketch packed into a single BIGINT
     * (bit i = 1 iff vec[i] > 0) — the extreme end of the storage-
     * compression ladder (int8 = 4x, PQ m=16 = 16x, this = 32x for

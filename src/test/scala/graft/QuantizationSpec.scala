@@ -281,6 +281,33 @@ class QuantizationSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("max_abs_err") <= 2.0 / 255.0 / 2.0 + 5e-7)
   }
 
+  test("randomProjection: deterministic, sign-balanced, and JL-ish on average") {
+    val signs = for (i <- 1 to 64; j <- 0 until 16) yield Quantization.rpSign("rp", i, j)
+    val plus = signs.count(_ == 1.0).toDouble / signs.size
+    assert(plus > 0.4 && plus < 0.6, s"md5 signs should be near-balanced, got $plus")
+    val proj = emb
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("orig"),
+        Quantization.randomProjection(col("embedding"), 64, 16).as("p"))
+      .where(col("vec_id") < 40)
+    val again = emb
+      .select(col("vec_id"), Quantization.randomProjection(col("embedding"), 64, 16).as("p"))
+      .where(col("vec_id") < 40)
+    assert(proj.select(col("vec_id"), col("p")).exceptAll(again).count() == 0L,
+      "projection must be bit-deterministic")
+    // JL sanity: mean squared-norm ratio across 40 vectors is near 1
+    // (each coordinate has unit-variance signs; 16 dims is coarse, so
+    // only the AVERAGE is tight).
+    def sq(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    val ratios = proj
+      .select((sq(col("p")) / sq(col("orig"))).as("r"))
+      .collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.5, s"mean norm ratio drifted: $mean")
+  }
+
   test("int8Quantize reconstruction error is bounded by half a grid step corpus-wide") {
     val stats = Quantization.int8Quantize(emb, "vec_id", "embedding")
     val halfStep = emb.select(
