@@ -491,6 +491,101 @@ object Quantization {
     * and reconstruct exactly. Error accumulation is a sequential fold
     * in dimension order — deterministic and reproducible externally.
     */
+  /** Rotate every vector by a plan-time constant matrix: y = R·x
+    * (rows of `rot` are output coordinates). Narrow projection — the
+    * matrix broadcasts inside the plan as a literal; no shuffle.
+    */
+  def rotate(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      rot: Seq[Seq[Double]]
+  ): DataFrame = {
+    val r = typedLit(rot)
+    space.select(
+      col(keyCol).as("vec_id"),
+      transform(
+        r,
+        row => aggregate(
+          zip_with(row, transform(col(vecCol), x => x.cast("double")), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v)).as("vec"))
+  }
+
+  /** Decode PQ codes back to their reconstructed vectors (sub-centroid
+    * concatenation) — the ŷ used for error measurement and OPQ's
+    * Procrustes step.
+    */
+  def pqReconstruct(encoded: DataFrame, codebooks: DataFrame): DataFrame =
+    encoded
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "cell")))
+      .join(codebooks.withColumnRenamed("centroid_id", "cell"), Seq("subspace", "cell"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("centroid")))).as("sc"))
+      .select(
+        col("vec_id"),
+        flatten(transform(col("sc"), p => p.getField("centroid"))).as("recon"))
+
+  /** Mean squared PQ reconstruction error of a (vec, recon) pairing —
+    * the quantization-quality scalar OPQ minimizes.
+    */
+  def pqMse(space: DataFrame, keyCol: String, vecCol: String, recon: DataFrame): Double =
+    space
+      .select(col(keyCol).as("vec_id"), transform(col(vecCol), x => x.cast("double")).as("x"))
+      .join(recon, "vec_id")
+      .select(
+        aggregate(
+          zip_with(col("x"), col("recon"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("e"))
+      .agg(avg(col("e")))
+      .head().getDouble(0)
+
+  /** OPQ — optimized product quantization (Ge et al., CVPR'13,
+    * non-parametric solver): learn an orthogonal rotation R that
+    * minimizes PQ reconstruction error by alternating (a) train+encode
+    * PQ on the rotated corpus, (b) solve the orthogonal Procrustes
+    * problem R = V·Uᵀ from the SVD of A = Σ x·ŷᵀ. The cross-covariance
+    * A is a d×d aggregate computed distributively (two posexplodes +
+    * one (i,j) sum — d² cells, collected once per iteration: 4096
+    * doubles for d=64, the only driver-side data); the SVD is a d×d
+    * driver-side Breeze call, same pattern as the CC loop's scalar
+    * fixpoint reads. Spec-verified (orthogonality + error vs plain PQ);
+    * no SQL oracle — LAPACK SVD has no cross-engine bit contract.
+    */
+  def opqRotation(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      pqIterations: Int,
+      opqIterations: Int
+  ): Seq[Seq[Double]] = {
+    var rot: Seq[Seq[Double]] =
+      Seq.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to opqIterations) {
+      val rotated = rotate(space, keyCol, vecCol, rot).localCheckpoint()
+      val cb = pqCodebooks(rotated, "vec_id", "vec", m, dims, ksub, pqIterations)
+        .localCheckpoint()
+      val recon = pqReconstruct(pqEncode(rotated, "vec_id", "vec", m, dims, cb), cb)
+      val cells = space
+        .select(col(keyCol).as("vec_id"), transform(col(vecCol), x => x.cast("double")).as("x"))
+        .join(recon, "vec_id")
+        .select(col("vec_id"), posexplode(col("x")).as(Seq("i", "xi")), col("recon"))
+        .select(col("i"), posexplode(transform(col("recon"), y => col("xi") * y)).as(Seq("j", "v")))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("v")).as("a"))
+        .collect()
+      val a = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
+      cells.foreach(r => a(r.getAs[Int]("i"), r.getAs[Int]("j")) = r.getAs[Double]("a"))
+      val s = breeze.linalg.svd(a)
+      // max tr(R·A), A = U·S·Vᵀ  ⇒  R = V·Uᵀ
+      val rNew = s.Vt.t * s.U.t
+      rot = Seq.tabulate(dims, dims)((out, in) => rNew(out, in))
+    }
+    rot
+  }
+
   /** Deterministic ±1 sign for random-projection cell (i, j): +1 iff
     * the first hex digit of md5("<seed>:<j>:<i>") is 0-7. Content-keyed
     * like Sampling's hash thresholds: any engine with md5 reproduces

@@ -281,6 +281,33 @@ class QuantizationSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("max_abs_err") <= 2.0 / 255.0 / 2.0 + 5e-7)
   }
 
+  test("opqRotation learns an orthogonal rotation that does not hurt PQ error") {
+    val dims = 64
+    val rot = Quantization.opqRotation(
+      emb, "vec_id", "embedding", m = 8, dims = dims, ksub = 16,
+      pqIterations = 2, opqIterations = 2)
+    // R orthogonal: row dot products = identity within LAPACK noise.
+    for (i <- 0 until dims; j <- i until dims by 7) {
+      val d = (0 until dims).map(k => rot(i)(k) * rot(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"R row dot ($i,$j) = $d")
+    }
+    // Quantization error: OPQ-rotated PQ must match or beat plain PQ.
+    def mseOf(sp: org.apache.spark.sql.DataFrame, vecCol: String): Double = {
+      val cb = Quantization
+        .pqCodebooks(sp, "vec_id", vecCol, m = 8, dims = dims, ksub = 16, iterations = 2)
+        .localCheckpoint()
+      Quantization.pqMse(
+        sp, "vec_id", vecCol,
+        Quantization.pqReconstruct(
+          Quantization.pqEncode(sp, "vec_id", vecCol, m = 8, dims = dims, cb), cb))
+    }
+    val plain = mseOf(emb, "embedding")
+    val opq = mseOf(
+      Quantization.rotate(emb, "vec_id", "embedding", rot).localCheckpoint(), "vec")
+    assert(opq <= plain * 1.02, s"OPQ mse $opq vs plain $plain")
+  }
+
   test("randomProjection: deterministic, sign-balanced, and JL-ish on average") {
     val signs = for (i <- 1 to 64; j <- 0 until 16) yield Quantization.rpSign("rp", i, j)
     val plus = signs.count(_ == 1.0).toDouble / signs.size
