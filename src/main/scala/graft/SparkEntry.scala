@@ -2023,6 +2023,20 @@ object SparkEntry {
         first(col("o_orderkey")).over(w).as("first_order"))
     }),
     "q_topk_per_group" -> ((s, dir) => Analytics.topKPerGroup(t(s, dir, "orders"), 3)),
+    // True RANGE frame: trailing-24h spend per user at every event —
+    // equal-ts peers share the frame (ROWS frames cannot express this).
+    "q_window_range" -> ((s, dir) =>
+      Analytics.trailingRangeSum(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        trailingUs = 24L * 3600L * 1000000L)),
+    // Time-series densification: per-type daily counts with empty days
+    // zero-filled across the corpus date span.
+    "q_gapfill_daily" -> ((s, dir) =>
+      Analytics.gapfillDaily(t(s, dir, "events"), "event_type", "ts")),
+    // SCD type-2 history build: validity intervals per (user, value)
+    // observation, open-ended for the current row.
+    "fs_scd2_intervals" -> ((s, dir) =>
+      Analytics.scd2Intervals(t(s, dir, "events"), "user_id", "value", "ts", "event_id")),
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
     "q_events_pivot" -> ((s, dir) =>
       Analytics.eventPivot(
@@ -2225,6 +2239,34 @@ object SparkEntry {
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_window_range" -> """
+      SELECT user_id AS entity, event_id, epoch_us(ts) AS ts_us,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_sum
+      FROM events""",
+    "q_gapfill_daily" -> """
+      WITH c AS (
+        SELECT event_type AS grp,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d0,
+               max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d1
+        FROM events),
+      frame AS (
+        SELECT grp, unnest(range(d0, d1 + 1)) AS day
+        FROM (SELECT DISTINCT event_type AS grp FROM events) CROSS JOIN span)
+      SELECT grp, CAST(day AS BIGINT) AS day, CAST(coalesce(n, 0) AS BIGINT) AS n
+      FROM frame LEFT JOIN c USING (grp, day)""",
+    "fs_scd2_intervals" -> """
+      SELECT user_id AS entity, value, epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts, 1) OVER w) AS valid_to_us,
+             lead(ts, 1) OVER w IS NULL AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q_topk_per_group" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,

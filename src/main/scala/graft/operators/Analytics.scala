@@ -110,6 +110,78 @@ object Analytics {
       row_number().over(w).cast("long").as("order_seq"))
   }
 
+  /** Trailing event-time RANGE window: per entity, the value sum over
+    * the last `trailingUs` microseconds INCLUDING the current row's
+    * instant — a true RANGE frame (all equal-ts peers join the frame,
+    * unlike a ROWS frame), the time-decayed-feature shape. One shuffle
+    * on the entity; the frame bound is data, not row-count, so skewed
+    * event rates need no re-tuning.
+    */
+  def trailingRangeSum(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      trailingUs: Long
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(entityCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-trailingUs, Window.currentRow)
+    events.select(
+      col(entityCol).as("entity"),
+      col(idCol).as("event_id"),
+      unix_micros(col(tsCol)).as("ts_us"),
+      sum(col(valueCol).cast("decimal(18,4)")).over(w).cast("double").as("trailing_sum"))
+  }
+
+  /** Daily gap-filled counts per group: one row for EVERY (group, day)
+    * in the corpus's [min, max] date span, zero-filled — the time-series
+    * densification every dashboard/forecast pipeline needs (a bare
+    * groupBy silently omits empty days). Frame = groups × day sequence
+    * (two tiny broadcasts); counts join in with one shuffle. Days are
+    * emitted as epoch-day integers (timezone-proof and engine-exact).
+    */
+  def gapfillDaily(events: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+    val counts = events
+      .groupBy(col(groupCol).as("grp"), day.cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = events.agg(
+      min(day).cast("long").as("d0"), max(day).cast("long").as("d1"))
+    val frame = events.select(col(groupCol).as("grp")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("grp"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    frame
+      .join(counts, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** SCD type-2 interval build: turn an event stream into validity
+    * intervals — each (entity, value) observation is valid from its
+    * own timestamp until the entity's next observation (null = still
+    * current). The dimension-table history build: one entity-partitioned
+    * window, no self-join.
+    */
+  def scd2Intervals(
+      events: DataFrame,
+      entityCol: String,
+      valueCol: String,
+      tsCol: String,
+      idCol: String
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    events.select(
+      col(entityCol).as("entity"),
+      col(valueCol).as("value"),
+      unix_micros(col(tsCol)).as("valid_from_us"),
+      unix_micros(lead(col(tsCol), 1).over(w)).as("valid_to_us"),
+      lead(col(tsCol), 1).over(w).isNull.as("is_current"))
+  }
+
   /** Top-k rows per group (top orders per customer). */
   def topKPerGroup(orders: DataFrame, k: Int): DataFrame = {
     val w = Window

@@ -13,6 +13,58 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("trailingRangeSum: RANGE frame spans trailing time and equal-ts peers") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 12:00:00"), 2.0),
+      (3L, 1L, ts("2024-01-02 06:00:00"), 4.0),  // 24h window: 12:00 + self
+      (4L, 2L, ts("2024-01-01 00:00:00"), 8.0),  // equal-ts peers
+      (5L, 2L, ts("2024-01-01 00:00:00"), 16.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics
+      .trailingRangeSum(ev, "user_id", "ts", "event_id", "value", 24L * 3600L * 1000000L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("trailing_sum"))
+      .toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 3.0)
+    assert(out(3L) == 6.0, "event at -18h in frame, event at -30h out")
+    assert(out(4L) == 24.0 && out(5L) == 24.0, "equal-ts peers share the frame")
+  }
+
+  test("gapfillDaily zero-fills missing days across the corpus span") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 05:00:00")),
+      ("a", ts("2024-01-04 05:00:00")),
+      ("b", ts("2024-01-02 00:00:00"))
+    ).toDF("event_type", "ts")
+    val out = Analytics.gapfillDaily(ev, "event_type", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("day")) -> r.getAs[Long]("n"))
+      .toMap
+    val d0 = 19723L // 2024-01-01 epoch day
+    assert(out.size == 8, "2 groups x 4 days")
+    assert(out(("a", d0)) == 1L && out(("a", d0 + 1)) == 0L &&
+      out(("a", d0 + 2)) == 0L && out(("a", d0 + 3)) == 1L)
+    assert(out(("b", d0 + 1)) == 1L && out(("b", d0)) == 0L)
+  }
+
+  test("scd2Intervals closes each observation at the next and keeps the last open") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-03 00:00:00"), 2.0),
+      (3L, 11L, ts("2024-01-02 00:00:00"), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.scd2Intervals(ev, "user_id", "value", "ts", "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("entity"), r.getAs[Double]("value")) ->
+        ((Option(r.getAs[java.lang.Long]("valid_to_us")), r.getAs[Boolean]("is_current"))))
+      .toMap
+    assert(out((10L, 1.0)) == ((Some(ts("2024-01-03 00:00:00").getTime * 1000L), false)))
+    assert(out((10L, 2.0)) == ((None, true)))
+    assert(out((11L, 9.0)) == ((None, true)))
+  }
+
   test("sessionize splits on the inactivity gap") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 00:00:00")),
