@@ -2023,6 +2023,27 @@ object SparkEntry {
         first(col("o_orderkey")).over(w).as("first_order"))
     }),
     "q_topk_per_group" -> ((s, dir) => Analytics.topKPerGroup(t(s, dir, "orders"), 3)),
+    // Bucketed range join (no native Spark operator): count orders
+    // falling inside sampled 3-day campaign windows — day-bucket
+    // explode + equi-join + exact residual, never a nested-loop
+    // theta join.
+    "q_range_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val windows = orders
+        .where(col("o_orderkey") % 991 === 0)
+        .select(
+          col("o_orderkey").as("window_id"),
+          col("o_orderdate").cast("timestamp").as("w_start"),
+          date_add(col("o_orderdate"), 3).cast("timestamp").as("w_end"))
+      Analytics
+        .pointInRangeJoin(
+          orders.select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("p_ts")),
+          "o_orderkey", "p_ts",
+          windows, "window_id", "w_start", "w_end",
+          bucketUs = 86400L * 1000000L)
+        .groupBy(col("interval_id").as("window_id"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
     // True RANGE frame: trailing-24h spend per user at every event —
     // equal-ts peers share the frame (ROWS frames cannot express this).
     "q_window_range" -> ((s, dir) =>
@@ -2239,6 +2260,14 @@ object SparkEntry {
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_range_join" -> """
+      WITH w AS (
+        SELECT o_orderkey AS window_id, o_orderdate AS d0,
+               o_orderdate + INTERVAL 3 DAY AS d1
+        FROM orders WHERE o_orderkey % 991 = 0)
+      SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_points
+      FROM w JOIN orders p ON p.o_orderdate BETWEEN w.d0 AND w.d1
+      GROUP BY w.window_id""",
     "q_window_range" -> """
       SELECT user_id AS entity, event_id, epoch_us(ts) AS ts_us,
              CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (

@@ -182,6 +182,48 @@ object Analytics {
       lead(col(tsCol), 1).over(w).isNull.as("is_current"))
   }
 
+  /** Point-in-interval (range) join — a shape Spark has no native
+    * operator for: the naive formulation is a theta join
+    * (`p.ts BETWEEN i.start AND i.end`) that Spark executes as
+    * broadcast-nested-loop or cartesian. Instead: quantize the time
+    * axis at `bucketUs`, explode each interval into the buckets it
+    * covers, equi-join points on bucket (a plain shuffled/broadcast
+    * hash join), and apply the exact BETWEEN as a residual filter.
+    * Work scales with |points| + Σ interval-span/bucket — pick
+    * `bucketUs` near the typical interval length so each interval
+    * explodes into O(1) buckets. Inclusive on both interval ends.
+    *
+    * Returns the matched (interval_id, point_id) pairs; aggregate
+    * downstream as needed.
+    */
+  def pointInRangeJoin(
+      points: DataFrame,
+      pointId: String,
+      pointTs: String,
+      intervals: DataFrame,
+      intervalId: String,
+      startTs: String,
+      endTs: String,
+      bucketUs: Long
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val p = points.select(
+      col(pointId).as("point_id"),
+      col(pointTs).as("p_ts"),
+      (unix_micros(col(pointTs)) / bucketUs).cast("long").as("bucket"))
+    val iv = intervals
+      .select(
+        col(intervalId).as("interval_id"),
+        col(startTs).as("i_start"),
+        col(endTs).as("i_end"),
+        explode(sequence(
+          (unix_micros(col(startTs)) / bucketUs).cast("long"),
+          (unix_micros(col(endTs)) / bucketUs).cast("long"))).as("bucket"))
+    p.join(iv, Seq("bucket"))
+      .where(col("p_ts") >= col("i_start") && col("p_ts") <= col("i_end"))
+      .select(col("interval_id"), col("point_id"), col("p_ts"))
+  }
+
   /** Top-k rows per group (top orders per customer). */
   def topKPerGroup(orders: DataFrame, k: Int): DataFrame = {
     val w = Window

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Analytics
@@ -12,6 +13,30 @@ class AnalyticsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("pointInRangeJoin matches the naive theta join, inclusive on both ends") {
+    val points = (0 until 50)
+      .map(i => (i.toLong, ts(f"2024-01-01 ${i / 4}%02d:${(i % 4) * 15}%02d:00")))
+      .toDF("pid", "p_ts")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:30:00")), // crosses buckets
+      (101L, ts("2024-01-01 05:07:00"), ts("2024-01-01 05:08:00")), // matches nothing
+      (102L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))  // single instant
+    ).toDF("iid", "i_start", "i_end")
+    val got = Analytics
+      .pointInRangeJoin(points, "pid", "p_ts", intervals, "iid", "i_start", "i_end",
+        bucketUs = 3600L * 1000000L)
+      .select("interval_id", "point_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .where(col("p_ts") >= col("i_start") && col("p_ts") <= col("i_end"))
+      .select(col("iid"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.contains((100L, 4L)) && got.contains((100L, 10L)), "boundary points included")
+    assert(!got.exists(_._1 == 101L))
+    assert(got.contains((102L, 0L)), "zero-length interval keeps its instant")
+  }
 
   test("trailingRangeSum: RANGE frame spans trailing time and equal-ts peers") {
     val ev = Seq(
