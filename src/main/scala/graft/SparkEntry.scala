@@ -162,6 +162,10 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "user_id", "value", "ts", "event_id",
         toleranceUs = Some(2L * 3600L * 1000000L))
     }),
+    // Leave-one-out target encoding of event_type by value — the
+    // high-cardinality categorical encoder (no self-label leakage).
+    "fs_target_encode" -> ((s, dir) =>
+      FeatureStore.targetEncodeLoo(t(s, dir, "events"), "event_id", "event_type", "value")),
     // Row-level feature-quality gate: per-feature z-score outliers
     // (|z| > 3) from exact-decimal moments — ingest validation before
     // values reach materialization.
@@ -321,6 +325,16 @@ object SparkEntry {
              CASE WHEN epoch_us(mv.mts) >= epoch_us(ts) - 7200000000 THEN epoch_us(mv.mts) END
                AS matched_ts_us
       FROM f WHERE kind = 1""",
+    "fs_target_encode" -> """
+      WITH s AS (
+        SELECT event_type AS category, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,4))) AS sy
+        FROM events GROUP BY event_type)
+      SELECT event_id, category, value AS target,
+             CASE WHEN n > 1
+                  THEN CAST(sy - CAST(value AS DECIMAL(18,4)) AS DOUBLE) / (n - 1)
+             END AS loo_encoding
+      FROM events JOIN s ON events.event_type = s.category""",
     "fs_outlier_values" -> """
       WITH m1 AS (
         SELECT event_type AS feature, count(*) AS n,
@@ -1628,6 +1642,30 @@ object SparkEntry {
         .toDF("query_id", "term")
       Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text", q, k = 10)
     }),
+    // MMR diversity re-rank: greedy maximal-marginal-relevance over a
+    // 20-candidate cosine front (lambda = 0.5) — near-duplicates of
+    // already-picked results fall behind novel ones.
+    "search_mmr_rerank" -> ((s, dir) => {
+      // The candidate pool pins eagerly below — the native cosine must
+      // be registered before that first evaluation, not inside
+      // mmrRerank.
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rel").desc, col("doc_id"))
+      val cands = emb
+        .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+        .join(q, col("doc_id") =!= col("query_id"))
+        .withColumn("rel", VectorFunctions.cosine(col("q_vec"), col("vec")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rel"), col("vec"))
+        .localCheckpoint() // each greedy round re-reads the pool
+      Search.mmrRerank(cands, k = 5, lambda = 0.5)
+    }),
     // Hybrid search: fuse semantic (cosine kNN over embeddings) and
     // lexical (BM25 more-like-this over the query doc's own tokens)
     // rank lists with exact-integer reciprocal-rank fusion. The two
@@ -1905,6 +1943,63 @@ object SparkEntry {
       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank,
              CAST(score_dec AS DOUBLE) AS score
       FROM bm25_ranked WHERE rank <= 10"""
+    },
+    "search_mmr_rerank" -> {
+      // Unrolled 5-step greedy MMR: candidate front + pairwise sims
+      // once, then per step an excluded-max-sim aggregate and an
+      // argmax (row_number on (score DESC, doc_id)).
+      def step(t: Int): String = s"""
+      m$t AS (
+        SELECT c.query_id, c.doc_id, c.rel, max(ps.sim) AS ms
+        FROM cands c
+        JOIN sel${t - 1} s ON s.query_id = c.query_id
+        JOIN psim ps ON ps.query_id = c.query_id AND ps.da = c.doc_id AND ps.db = s.doc_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel${t - 1} z
+          WHERE z.query_id = c.query_id AND z.doc_id = c.doc_id)
+        GROUP BY c.query_id, c.doc_id, c.rel),
+      p$t AS (
+        SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY 0.5 * rel - (1.0 - 0.5) * ms DESC, doc_id) AS rn
+          FROM m$t) WHERE rn = 1),
+      sel$t AS (
+        SELECT * FROM sel${t - 1}
+        UNION ALL SELECT query_id, doc_id, $t AS rank FROM p$t)"""
+      s"""
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS doc_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS rel FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 5)
+        GROUP BY qid, nvid),
+      cands AS (
+        SELECT query_id, doc_id, rel FROM (
+          SELECT query_id, doc_id, rel,
+                 row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+          FROM scored) WHERE rk <= 20),
+      pv AS (
+        SELECT c.query_id, c.doc_id, e.embedding
+        FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id),
+      psim AS (
+        SELECT query_id, da, db,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+                 unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+          FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id)
+        GROUP BY query_id, da, db),
+      p1 AS (
+        SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY 0.5 * rel DESC, doc_id) AS rn
+          FROM cands) WHERE rn = 1),
+      sel1 AS (SELECT query_id, doc_id, 1 AS rank FROM p1),
+      ${step(2)}, ${step(3)}, ${step(4)}, ${step(5)}
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM sel5"""
     },
     "search_hybrid_rrf" -> {
       val scale = graft.operators.Search.rrfScale(60, 10)

@@ -442,6 +442,34 @@ object FeatureStore {
       .withColumn("drifted", col("psi") > 0.25)
   }
 
+  /** Leave-one-out target encoding — the classic high-cardinality
+    * categorical encoder: each row's category becomes the mean target
+    * of OTHER rows in that category, (Σy − y)/(n−1), so a row never
+    * leaks its own label into its feature. Singleton categories encode
+    * null. One tiny per-category aggregate broadcast back over the
+    * scan; sums are exact decimals, so every encoding is
+    * partition-order independent.
+    */
+  def targetEncodeLoo(
+      rows: DataFrame,
+      idCol: String,
+      categoryCol: String,
+      targetCol: String
+  ): DataFrame = {
+    val dec = col(targetCol).cast("decimal(18,4)")
+    val stats = rows
+      .groupBy(col(categoryCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(dec).as("sy"))
+    rows
+      .join(broadcast(stats), col(categoryCol) === col("category"))
+      .select(
+        col(idCol),
+        col("category"),
+        col(targetCol).as("target"),
+        when(col("n") > 1, (col("sy") - dec).cast("double") / (col("n") - 1))
+          .as("loo_encoding"))
+  }
+
   /** Per-feature z-score outlier gate — the row-level companion of the
     * distribution-level [[featureDrift]] monitor: flag observations
     * more than `zThreshold` standard deviations from their feature's

@@ -108,6 +108,56 @@ object Search {
       .where(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — diversify a candidate list: greedily pick the result
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near-
+    * duplicates of already-chosen results fall behind novel ones.
+    *
+    * `candidates`: (query_id, doc_id, rel, vec) — a SMALL per-query
+    * pool (a kNN front, typically 10–100 rows/query; pin it — each of
+    * the k greedy rounds references it). Each round is one join of the
+    * pool against the ≤(round−1)-row selected set, one max-sim
+    * aggregate, and one argmax per query — all tiny, all distributed
+    * per query; k stays a constant (result-page size), so the
+    * sequential rounds are bounded plan depth, not data passes.
+    * Ties break toward the smaller doc_id (argmax on (score, −id)).
+    * Returns (query_id, doc_id, rank) with rank = selection order.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
+    graft.plans.GraftFunctions.register(candidates.sparkSession)
+    import graft.functions.VectorFunctions.cosine
+    def pickBest(scored: DataFrame, rank: Int): DataFrame =
+      scored
+        .groupBy(col("query_id"))
+        .agg(max_by(
+          struct(col("doc_id"), col("vec")),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(
+          col("query_id"), col("best.doc_id").as("doc_id"),
+          col("best.vec").as("vec"), lit(rank.toLong).as("rank"))
+    val round1 = pickBest(
+      candidates.withColumn("score", lit(lambda) * col("rel")), 1)
+    val (sel, _) = (2 to k).foldLeft((round1, candidates)) { case ((selected, pool), r) =>
+      val remaining = pool.join(
+        selected.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"),
+        "left_anti")
+      val scored = remaining
+        .join(
+          selected.select(col("query_id"), col("vec").as("s_vec")), Seq("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(
+          first(col("rel")).as("rel"),
+          first(col("vec")).as("vec"),
+          max(cosine(col("vec"), col("s_vec"))).as("ms"))
+        .withColumn(
+          "score", lit(lambda) * col("rel") - (lit(1.0) - lit(lambda)) * col("ms"))
+      (selected.unionByName(pickBest(scored, r)), pool)
+    }
+    sel.select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
   /** lcm(c+1 .. c+maxRank) — the exact-integer RRF scale. For the
     * standard c=60, maxRank<=10 this is ~1.4e14; sums of a few lists
     * stay far below 2^63.

@@ -238,6 +238,20 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out(4L)._1.contains(6.0), "equal-ts ties resolve to highest tiebreak")
   }
 
+  test("targetEncodeLoo excludes the row's own label; singleton categories null") {
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 9.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = FeatureStore.targetEncodeLoo(rows, "event_id", "event_type", "value")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("loo_encoding")))
+      .toMap
+    assert(out(1L).contains(2.5) && out(2L).contains(2.0) && out(3L).contains(1.5))
+    assert(out(4L).isEmpty, "n=1 has no leave-one-out mean")
+  }
+
   test("featureOutliers flags only |z|>threshold rows; zero-variance emits none") {
     // Feature "a": 99 values at 10.0 and one at 1000.0 — the spike's z
     // is ~sqrt(99) ≈ 9.95 and every 10.0 sits at z ≈ -0.1.

@@ -74,6 +74,32 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("doc_id") == 10L, "two mid ranks outrank one top rank here")
   }
 
+  test("mmrRerank demotes the near-duplicate of an already-selected result") {
+    // Query direction (1,0,0,0). Doc 10 and its twin 11 both align
+    // with it; doc 12 is orthogonal-ish with lower relevance. Pure
+    // relevance order is 10, 11, 12 — MMR must pick the diverse 12
+    // before the twin 11.
+    val cands = Seq(
+      (1L, 10L, 1.0, Seq(1.0f, 0.0f, 0.001f, 0.0f)),
+      (1L, 11L, 0.999, Seq(1.0f, 0.0f, 0.0f, 0.001f)),
+      (1L, 12L, 0.4, Seq(0.1f, 1.0f, 0.0f, 0.0f))
+    ).toDF("query_id", "doc_id", "rel", "vec")
+    val out = Search.mmrRerank(cands, k = 3, lambda = 0.5)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(10L, 12L, 11L), s"got $out")
+  }
+
+  test("mmrRerank with lambda=1 reduces to pure relevance ranking") {
+    val cands = Seq(
+      (1L, 20L, 0.9, Seq(1.0f, 0.0f)),
+      (1L, 21L, 0.8, Seq(1.0f, 0.01f)),
+      (1L, 22L, 0.7, Seq(0.0f, 1.0f))
+    ).toDF("query_id", "doc_id", "rel", "vec")
+    val out = Search.mmrRerank(cands, k = 3, lambda = 1.0)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(20L, 21L, 22L))
+  }
+
   test("rrfFuse equal scores break ties by doc_id") {
     val a = Seq((1L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 8L, 1L)).toDF("query_id", "doc_id", "rank")
