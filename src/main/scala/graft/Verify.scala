@@ -15,9 +15,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Per-process warehouse: bucketed-table queries DROP/recreate
+      // their tables, so two concurrent JVMs (e.g. Verify + the test
+      // suite) sharing one dir race each other's catalogs.
       .config(
         "spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+        System.getProperty("java.io.tmpdir") +
+          s"/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
