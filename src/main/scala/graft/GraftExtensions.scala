@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{AdcDistance, CosineSimilarity, DotProduct, GraftFunctions, L2SquaredDistance, MinHashBands, SimHash64}
+import graft.plans.{AdcDistance, CosineSimilarity, DotProduct, GraftFunctions, L2SquaredDistance, MinHashBands, SignedProjection, SimHash64}
 
 /** Spark-idiomatic packaging of graft's native expressions: set
   *
@@ -51,6 +51,20 @@ object GraftExtensions {
           s"graft_minhash_bands $what must be an int literal, got $other")
       }
       MinHashBands(exprs(0), litInt(exprs(1), "bands"), litInt(exprs(2), "rowsPerBand"))
+    }),
+    GraftFunctions.RpName -> (exprs => {
+      def litInt(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_rp $what must be an int literal, got $other")
+      }
+      val seed = exprs(3) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_rp seed must be a string literal, got $other")
+      }
+      SignedProjection(exprs(0), litInt(exprs(1), "dims"), litInt(exprs(2), "outDims"), seed)
     })
   )
 

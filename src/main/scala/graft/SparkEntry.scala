@@ -453,13 +453,18 @@ object SparkEntry {
     // Deterministic ±1 random projection 64 -> 16 dims (Achlioptas /
     // JL): the training-free dimension-reduction transform — the
     // projection matrix is md5-derived, so any engine reproduces it.
-    "emb_random_projection" -> ((s, dir) =>
+    // Runs the native graft_rp kernel: the declarative 1024-term tree
+    // cost seconds of optimizer+Janino work per plan and overflowed
+    // the 64KB generated-method limit into interpreted eval.
+    "emb_random_projection" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          posexplode(Quantization.randomProjection(col("embedding"), 64, 16))
+          posexplode(Quantization.randomProjectionNative(col("embedding"), 64, 16))
             .as(Seq("out_dim", "p")))
-        .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("p"))),
+        .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("p"))
+    }),
     // Matryoshka-style truncation eval: how much recall does retrieval
     // at the first 16 of 64 dims keep vs full-dim exact top-5? The
     // dimension-reduction acceptance gate (16 dims = 4x cheaper scan;
@@ -1257,21 +1262,17 @@ object SparkEntry {
       FROM embeddings WHERE vec_id < 10""",
     "emb_kmeans" -> kmeansOracleSql,
     "graph_pagerank" -> pageRankOracleSql,
-    "emb_random_projection" -> """
-      WITH rp AS (
-        SELECT i, j,
-               CASE WHEN substr(md5('rp:' || j || ':' || i), 1, 1) < '8'
-                    THEN 1.0 ELSE -1.0 END AS s
-        FROM range(1, 65) t(i) CROSS JOIN range(0, 16) u(j)),
-      terms AS (
-        SELECT vec_id, j, CAST(round(x * s, 12) AS DECIMAL(28,12)) AS term FROM (
-          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                 unnest(embedding)::DOUBLE AS x
-          FROM embeddings) e
-        JOIN rp USING (i))
-      SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
-             CAST(sum(term) AS DOUBLE) / sqrt(16.0) AS p
-      FROM terms GROUP BY vec_id, j""",
+    // The oracle unrolls the SAME left-associated double fold the
+    // Spark expression evaluates, with the same md5-derived ±1 signs
+    // (Quantization.rpSign) baked in as literals — sequential double
+    // adds are bit-identical when the fold order matches.
+    "emb_random_projection" -> (0 until 16).map { j =>
+      val chain = (1 to 64)
+        .map(i => s"embedding[$i]::DOUBLE * (${Quantization.rpSign("rp", i, j)})")
+        .mkString(" + ")
+      s"""SELECT vec_id, CAST($j AS BIGINT) AS out_dim, ($chain) / sqrt(16.0) AS p
+          FROM embeddings"""
+    }.mkString("\n      UNION ALL "),
     "emb_matryoshka_recall" -> """
       WITH tsc AS (
         SELECT qid AS query_id, nvid AS neighbor_id,

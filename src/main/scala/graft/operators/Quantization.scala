@@ -591,11 +591,22 @@ object Quantization {
     * like Sampling's hash thresholds: any engine with md5 reproduces
     * the projection matrix exactly — no RNG state, no seed files.
     */
-  def rpSign(seed: String, i: Int, j: Int): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$seed:$j:$i".getBytes("UTF-8"))
-    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
-  }
+  def rpSign(seed: String, i: Int, j: Int): Double =
+    graft.plans.SignedProjection.sign(seed, i, j)
+
+  /** Native codegen'd form of [[randomProjection]] — the production
+    * path: one compact expression node (graft_rp) instead of a
+    * dims×outDims-term tree, identical output bit-for-bit (same signs,
+    * same ascending-i double accumulation per output dim).
+    */
+  def randomProjectionNative(
+      vec: Column,
+      dims: Int,
+      outDims: Int,
+      seed: String = "rp"
+  ): Column =
+    call_function(
+      graft.plans.GraftFunctions.RpName, vec, lit(dims), lit(outDims), lit(seed))
 
   /** Achlioptas-style dense ±1 random projection to `outDims`
     * dimensions: out_j = Σ_i vec[i]·s(i,j) / sqrt(outDims), signs from
@@ -606,10 +617,13 @@ object Quantization {
     * signs folded into the expression).
     *
     * Exactness: each signed term is the float element exactly negated
-    * (±1 multiply introduces no rounding), rounded to 12dp and summed
-    * as DECIMAL — so the sum is order-free and the emitted double
-    * (decimal / outDims-sqrt, exact for power-of-4 outDims) is
-    * bit-reproducible in any engine.
+    * (±1 multiply introduces no rounding) and the per-output sum is a
+    * SEQUENTIAL left fold in dimension order — plain double adds whose
+    * order is pinned by the expression shape, so any engine evaluating
+    * the same fold reproduces the result bit-for-bit (the oracle emits
+    * the identical left-associated chain). A decimal-summed variant
+    * was measured 15x slower: 1024 decimal ops per row blow Janino's
+    * 64KB method limit and drop the whole stage to interpreted mode.
     */
   def randomProjection(
       vec: Column,
@@ -620,17 +634,10 @@ object Quantization {
     require(dims >= 1 && outDims >= 1, "dims and outDims must be >= 1")
     val scale = math.sqrt(outDims.toDouble)
     val outs = (0 until outDims).map { j =>
-      val s = (1 to dims).map { i =>
-        val term = element_at(vec, i).cast("double") * lit(rpSign(seed, i, j))
-        round(term, 12).cast("decimal(28,12)")
-      // Renormalize after EVERY add: a bare `+` chain grows the result
-      // precision by 1 per step, and past 38 Spark trades scale for
-      // precision (allowPrecisionLoss), silently truncating to ~6dp by
-      // the 64th term. The cast back to (28,12) is exact here (|sum|
-      // bounded far below 16 integer digits) and keeps every add
-      // full-scale.
-      }.reduce((a, b) => (a + b).cast("decimal(28,12)"))
-      (s.cast("double") / lit(scale)).as(s"p$j")
+      val s = (1 to dims)
+        .map(i => element_at(vec, i).cast("double") * lit(rpSign(seed, i, j)))
+        .reduce(_ + _)
+      (s / lit(scale)).as(s"p$j")
     }
     array(outs: _*)
   }

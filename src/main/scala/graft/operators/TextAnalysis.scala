@@ -60,19 +60,23 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    // struct(score, negIdx) max ==> highest score, earliest (alphabetical)
-    // language on ties.
-    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
-      struct(
-        markerCount(toks, markers).as("score"),
-        lit(-i).as("ni"),
-        lit(lang).as("lang"))
+    // bindArray: ten marker counts over one BOUND tokenization — the
+    // inlined form re-split the text once per language per greatest()
+    // and its generated code took seconds to Janino-compile.
+    val best = bindArray(tokens(col(textCol))) { toks =>
+      // struct(score, negIdx) max ==> highest score, earliest
+      // (alphabetical) language on ties.
+      greatest(LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+        struct(
+          markerCount(toks, markers).as("score"),
+          lit(-i).as("ni"),
+          lit(lang).as("lang"))
+      }: _*)
     }
     docs.select(
       col(idCol).as("doc_id"),
-      greatest(scored: _*).getField("lang").as("lang_pred"),
-      greatest(scored: _*).getField("score").cast("long").as("marker_hits"))
+      best.getField("lang").as("lang_pred"),
+      best.getField("score").cast("long").as("marker_hits"))
   }
 
   /** Canonical-text fingerprint (md5 of normalized form). */

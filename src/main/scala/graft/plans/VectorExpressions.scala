@@ -372,6 +372,7 @@ object GraftFunctions {
   val AdcName = "graft_adc"
   val DotName = "graft_dot"
   val MinHashBandsName = "graft_minhash_bands"
+  val RpName = "graft_rp"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

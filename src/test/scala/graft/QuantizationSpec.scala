@@ -323,6 +323,14 @@ class QuantizationSpec extends AnyFunSuite {
       .where(col("vec_id") < 40)
     assert(proj.select(col("vec_id"), col("p")).exceptAll(again).count() == 0L,
       "projection must be bit-deterministic")
+    // Native kernel parity: graft_rp must reproduce the declarative
+    // fold bit-for-bit (same signs, same ascending-i accumulation).
+    graft.plans.GraftFunctions.register(spark)
+    val nat = emb
+      .select(col("vec_id"),
+        Quantization.randomProjectionNative(col("embedding"), 64, 16).as("p"))
+      .where(col("vec_id") < 40)
+    assert(again.exceptAll(nat).count() == 0L, "native kernel must match the declarative fold")
     // JL sanity: mean squared-norm ratio across 40 vectors is near 1
     // (each coordinate has unit-variance signs; 16 dims is coarse, so
     // only the AVERAGE is tight).
