@@ -1632,6 +1632,10 @@ object SparkEntry {
     // rules (greedy replace chain over the double-spaced encoding).
     "text_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text", merges = 3)),
+    // Per-doc TF-IDF keyword extraction: top-3 characteristic terms
+    // per document (cluster labeling / sparse-vector summarization).
+    "text_tfidf_top_terms" -> ((s, dir) =>
+      Search.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
     // BM25 ranked retrieval: top-10 docs for 3 fixed keyword queries.
     // Per-term scores rounded to 12dp + decimal-summed (order-free),
     // ranks tie-break on doc_id — hash-reproducible cross-engine.
@@ -1934,6 +1938,23 @@ object SparkEntry {
                AS n_merged_tokens
       FROM t4"""
     },
+    "text_tfidf_top_terms" -> """
+      WITH tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+               CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 12) AS DECIMAL(28,12))
+                 AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+      SELECT doc_id, term, rank, CAST(tfidf AS DOUBLE) AS tfidf FROM (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank,
+               tfidf
+        FROM scored) WHERE rank <= 3""",
     "text_bm25_topk" -> {
       val ql = Bm25DemoQueries
         .flatMap { case (id, terms) => terms.map(t => s"($id, '$t')") }

@@ -108,6 +108,43 @@ object Search {
       .where(col("rank") <= k)
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `k` terms of each
+    * document by tf·idf (idf = ln(N/df), raw tf) — the "what is this
+    * document about" summarizer feeding tag clouds, sparse retrieval
+    * vectors, and cluster labeling. Plan: one (doc, term) count with
+    * map-side combine, document frequencies aggregated from it,
+    * idf broadcast back, one per-doc rank window. Scores are
+    * 12dp-rounded decimals so ranking and output are engine-exact;
+    * ties break on the term string.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 12)
+          .cast("decimal(28,12)"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .select(
+        col("doc_id"), col("term"),
+        row_number().over(w).cast("long").as("rank"),
+        col("tfidf").cast("double").as("tfidf"))
+      .where(col("rank") <= k)
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
     * SIGIR'98) — diversify a candidate list: greedily pick the result
     * maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near-

@@ -74,6 +74,25 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("doc_id") == 10L, "two mid ranks outrank one top rank here")
   }
 
+  test("tfidfTopTerms surfaces distinctive terms over ubiquitous ones") {
+    // "common" appears in every doc (idf = ln(1) = 0); each doc's rare
+    // term must outrank it, repeated rare terms score highest.
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma")
+    ).toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Double]("tfidf"))))
+      .toMap
+    assert(out((1L, 1L))._1 == "alpha")
+    assert(math.abs(out((1L, 1L))._2 - 2.0 * math.log(3.0)) < 1e-9)
+    assert(out((2L, 1L))._1 == "beta" && out((3L, 1L))._1 == "gamma")
+    assert(out((1L, 2L)) == (("common", 0.0)), "idf of an everywhere-term is 0")
+  }
+
   test("mmrRerank demotes the near-duplicate of an already-selected result") {
     // Query direction (1,0,0,0). Doc 10 and its twin 11 both align
     // with it; doc 12 is orthogonal-ish with lower relevance. Pure
