@@ -465,6 +465,20 @@ object SparkEntry {
             .as(Seq("out_dim", "p")))
         .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("p"))
     }),
+    // RP-space retrieval acceptance gate: recall of top-5 cosine in
+    // the 16-dim md5-signed random projection vs full-dim exact — the
+    // same lossy-axis eval as matryoshka, but with the training-free
+    // JL transform that mixes ALL input dims instead of truncating.
+    "emb_rp_recall" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val rp = emb.select(
+        col("vec_id"),
+        Quantization.randomProjectionNative(col("embedding"), 64, 16).as("embedding"))
+      Similarity.recall(
+        Similarity.knnBruteForce(rp, rp.where(col("vec_id") < 10), "vec_id", "embedding", 5),
+        Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5))
+    }),
     // Matryoshka-style truncation eval: how much recall does retrieval
     // at the first 16 of 64 dims keep vs full-dim exact top-5? The
     // dimension-reduction acceptance gate (16 dims = 4x cheaper scan;
@@ -1273,6 +1287,49 @@ object SparkEntry {
       s"""SELECT vec_id, CAST($j AS BIGINT) AS out_dim, ($chain) / sqrt(16.0) AS p
           FROM embeddings"""
     }.mkString("\n      UNION ALL "),
+    "emb_rp_recall" -> {
+      val chains = (0 until 16).map { j =>
+        (1 to 64)
+          .map(i => s"embedding[$i]::DOUBLE * (${Quantization.rpSign("rp", i, j)})")
+          .mkString("(", " + ", s") / sqrt(16.0)")
+      }.mkString("list_value(", ", ", ")")
+      s"""
+      WITH rpv AS (SELECT vec_id, $chains AS v FROM embeddings),
+      tsc AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.v) AS x, unnest(n.v) AS y
+          FROM rpv q JOIN rpv n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid),
+      tlist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM tsc) WHERE rank <= 5),
+      esc AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid),
+      elist AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM esc) WHERE rank <= 5),
+      hits AS (
+        SELECT t.query_id, count(*) AS n_hits
+        FROM tlist t JOIN elist e
+          ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id),
+      kk AS (SELECT query_id, count(*) AS k FROM elist GROUP BY query_id)
+      SELECT kk.query_id, round(coalesce(n_hits, 0) / k, 4) AS recall
+      FROM kk LEFT JOIN hits ON hits.query_id = kk.query_id"""
+    },
     "emb_matryoshka_recall" -> """
       WITH tsc AS (
         SELECT qid AS query_id, nvid AS neighbor_id,
