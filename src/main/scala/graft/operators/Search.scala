@@ -174,8 +174,13 @@ object Search {
         .select(
           col("query_id"), col("best.doc_id").as("doc_id"),
           col("best.vec").as("vec"), lit(rank.toLong).as("rank"))
+    // Pin the (≤ queries×k row) selected set every round: it feeds the
+    // next round TWICE (scored-join and union), so an unpinned plan
+    // doubles per round — ~2^k subtrees by round k (an audit showed
+    // 400+ exchanges in the static k=5 plan). Each pin is a tiny
+    // eager materialization.
     val round1 = pickBest(
-      candidates.withColumn("score", lit(lambda) * col("rel")), 1)
+      candidates.withColumn("score", lit(lambda) * col("rel")), 1).localCheckpoint()
     val (sel, _) = (2 to k).foldLeft((round1, candidates)) { case ((selected, pool), r) =>
       val remaining = pool.join(
         selected.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"),
@@ -190,7 +195,7 @@ object Search {
           max(cosine(col("vec"), col("s_vec"))).as("ms"))
         .withColumn(
           "score", lit(lambda) * col("rel") - (lit(1.0) - lit(lambda)) * col("ms"))
-      (selected.unionByName(pickBest(scored, r)), pool)
+      (selected.unionByName(pickBest(scored, r)).localCheckpoint(), pool)
     }
     sel.select(col("query_id"), col("doc_id"), col("rank"))
   }
