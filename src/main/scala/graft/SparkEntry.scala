@@ -162,6 +162,19 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "user_id", "value", "ts", "event_id",
         toleranceUs = Some(2L * 3600L * 1000000L))
     }),
+    // Materialized-aggregate maintenance: stored per-user (sum, n)
+    // partials + the post-cut delta re-aggregate to exactly the full
+    // recompute (mergeable decimal partials — incremental ETL's core
+    // invariant, which is precisely what the oracle computes).
+    "fs_agg_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      FeatureStore
+        .mergeSumAggregate(
+          FeatureStore.sumAggregate(ev.where(col("ts") <= cut), "user_id", "value"),
+          ev.where(col("ts") > cut), "user_id", "value")
+        .select(col("entity"), col("total_dec").cast("double").as("total"), col("n"))
+    }),
     // Leave-one-out target encoding of event_type by value — the
     // high-cardinality categorical encoder (no self-label leakage).
     "fs_target_encode" -> ((s, dir) =>
@@ -325,6 +338,11 @@ object SparkEntry {
              CASE WHEN epoch_us(mv.mts) >= epoch_us(ts) - 7200000000 THEN epoch_us(mv.mts) END
                AS matched_ts_us
       FROM f WHERE kind = 1""",
+    "fs_agg_incremental" -> """
+      SELECT user_id AS entity,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM events GROUP BY user_id""",
     "fs_target_encode" -> """
       WITH s AS (
         SELECT event_type AS category, count(*) AS n,
@@ -1449,6 +1467,14 @@ object SparkEntry {
       Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)),
+    // Sub-quadratic embedding near-dup via random-hyperplane LSH
+    // (Charikar'02): md5-signed hyperplanes -> sign-bit sketch ->
+    // exact-band candidates -> exact-cosine verify. The data-adaptive
+    // counterpart of dedup_embedding's label blocking.
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingLshDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, planes = 16, bands = 4, cosFloor = 0.3)),
     "dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val edges = Dedup
@@ -1561,6 +1587,38 @@ object SparkEntry {
         GROUP BY a.doc_id, b.doc_id)
       SELECT a, b, round(inter / (nwa + nwb - inter), 6) AS jaccard
       FROM i WHERE round(inter / (nwa + nwb - inter), 6) >= 0.9""",
+    // Same md5-signed hyperplanes as emb_random_projection; sign bits
+    // summed as disjoint powers of two (== the OR fold), band bits by
+    // shift/mask, exact cosine verify on the originals.
+    "dedup_embedding_lsh" -> {
+      val chains = (0 until 16).map { j =>
+        (1 to 64)
+          .map(i => s"embedding[$i]::DOUBLE * (${Quantization.rpSign("rp", i, j)})")
+          .mkString("(", " + ", s") / sqrt(16.0)")
+      }.mkString("list_value(", ", ", ")")
+      val skBits = (0 until 16)
+        .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH rpv AS (SELECT vec_id, $chains AS v FROM embeddings),
+      sks AS (SELECT vec_id, $skBits AS sk FROM rpv),
+      banded AS (
+        SELECT vec_id, b, (sk >> (b * 4)) & 15 AS bh
+        FROM sks CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM banded x JOIN banded y
+          ON x.b = y.b AND x.bh = y.bh AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT a, b, sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))) AS cos FROM (
+          SELECT c.a, c.b,
+                 unnest(ea.embedding)::DOUBLE AS xa, unnest(eb.embedding)::DOUBLE AS xb
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b)
+        GROUP BY a, b)
+      SELECT a, b, round(cos, 6) AS cos_sim FROM scored WHERE round(cos, 6) >= 0.3"""
+    },
     "dedup_embedding" -> """
       SELECT a, b, round(cos_sim, 6) AS cos_sim FROM (
         SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cos_sim FROM (

@@ -605,4 +605,71 @@ object Dedup {
       .where(col("cos_sim") > threshold)
       .select(col("a"), col("b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** Embedding near-dups via random-HYPERPLANE LSH (Charikar STOC'02:
+    * sign(r·x) bits are a locality-sensitive family for cosine) — the
+    * fully sub-quadratic embedding-dedup path, composing two existing
+    * kernels: the md5-signed random projection supplies the
+    * hyperplanes (graft_rp), the sign bits pack into one BIGINT
+    * sketch, and candidates are pairs agreeing EXACTLY on one of
+    * `bands` bit-bands (same blocking shape as [[simhashDedup]]).
+    * Every emitted pair is verified with exact cosine on the original
+    * vectors, so precision is 1.0; banding trades recall for the
+    * candidate count, and — unlike [[embeddingDedup]]'s metadata
+    * blocking — bucket sizes track the DATA's angular structure, not
+    * a label's cardinality.
+    *
+    * Plan: one projection+sketch pass (pinned — consumed per band),
+    * band-hash shuffle, within-bucket id-pair join, verify join
+    * re-attaching vectors by id. Deterministic end to end: md5
+    * hyperplanes, exact double signs, exact band bits.
+    */
+  def embeddingLshDedup(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      dims: Int,
+      planes: Int,
+      bands: Int,
+      cosFloor: Double,
+      seed: String = "rp"
+  ): DataFrame = {
+    require(planes >= 1 && planes <= 64, s"planes must fit one long, got $planes")
+    require(bands >= 1 && planes % bands == 0, s"bands=$bands must divide planes=$planes")
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    val width = planes / bands
+    val rp = graft.operators.Quantization
+      .randomProjectionNative(col(vecCol), dims, planes, seed)
+    // bindArray: the sketch folds `planes` sign tests over ONE kernel
+    // evaluation — referencing the rp expression per bit would re-run
+    // the whole projection per plane.
+    val sk = bindArray(rp) { v =>
+      (0 until planes)
+        .map(i => when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(0L))
+        .reduce(_.bitwiseOR(_))
+    }
+    val sketches = space
+      .select(col(keyCol).as("id"), sk.as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    val banded = sketches.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sk"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bh")))
+    val x = banded.select(col("band"), col("bh"), col("id").as("a"))
+    val y = banded.select(col("band"), col("bh"), col("id").as("b"))
+    val cands = x.join(y, Seq("band", "bh"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val va = space.select(col(keyCol).as("a"), col(vecCol).as("va"))
+    val vb = space.select(col(keyCol).as("b"), col(vecCol).as("vb"))
+    cands
+      .join(va, "a")
+      .join(vb, "b")
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos_sim") >= cosFloor)
+      .select(col("a"), col("b"), col("cos_sim"))
+  }
 }

@@ -442,6 +442,32 @@ object FeatureStore {
       .withColumn("drifted", col("psi") > 0.25)
   }
 
+  /** Incremental additive-aggregate maintenance — the materialized-
+    * view refresh shape: a stored per-key (sum, count) aggregate plus
+    * a new-rows delta re-aggregates to EXACTLY the full recompute,
+    * because decimal sums and counts are mergeable partials. Cost
+    * scales with |delta| + |stored keys|, never the full history —
+    * the aggregate-table analog of [[materializeIncremental]].
+    * `stored` carries (entity, total_dec, n) as produced by
+    * [[sumAggregate]].
+    */
+  def sumAggregate(
+      rows: DataFrame,
+      keyCol: String,
+      valueCol: String
+  ): DataFrame =
+    rows
+      .groupBy(col(keyCol).as("entity"))
+      .agg(
+        sum(col(valueCol).cast("decimal(18,4)")).as("total_dec"),
+        count(lit(1)).as("n"))
+
+  def mergeSumAggregate(stored: DataFrame, deltaRows: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    stored
+      .unionByName(sumAggregate(deltaRows, keyCol, valueCol))
+      .groupBy(col("entity"))
+      .agg(sum(col("total_dec")).as("total_dec"), sum(col("n")).as("n"))
+
   /** Leave-one-out target encoding — the classic high-cardinality
     * categorical encoder: each row's category becomes the mean target
     * of OTHER rows in that category, (Σy − y)/(n−1), so a row never

@@ -5,6 +5,31 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
 class DedupSpec extends AnyFunSuite {
+
+  test("embeddingLshDedup finds identical vectors, verifies exactly, misses nothing it emits") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (0 until 8).map(i => math.cos(i * 0.7).toFloat)
+    val ortho = Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val space = Seq(
+      (1L, base), (2L, base),            // exact duplicates: must pair
+      (3L, base.map(x => (x * 1.01f))),  // near-duplicate: same signs
+      (4L, ortho)                        // far away
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingLshDedup(
+      space, "vec_id", "embedding", dims = 8, planes = 16, bands = 4, cosFloor = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    assert(out.contains((1L, 2L)), "identical vectors share every band")
+    assert(out((1L, 2L)) > 0.999999)
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)),
+      "same-sign scaling shares the full sketch")
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "the orthogonal vector fails the cosine floor even if banded together")
+    assert(out.values.forall(_ >= 0.9), "precision 1.0: every pair is verified")
+  }
   private lazy val spark = GraftTestSession.spark
   import spark.implicits._
 

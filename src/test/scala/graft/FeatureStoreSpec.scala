@@ -238,6 +238,21 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out(4L)._1.contains(6.0), "equal-ts ties resolve to highest tiebreak")
   }
 
+  test("mergeSumAggregate: stored partials + delta == full recompute") {
+    val stored = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0)).toDF("user_id", "value")
+    val delta = Seq((1L, 2.5), (3L, 4.0)).toDF("user_id", "value")
+    val merged = FeatureStore.mergeSumAggregate(
+      FeatureStore.sumAggregate(stored, "user_id", "value"),
+      delta, "user_id", "value")
+      .collect()
+      .map(r => r.getAs[Long]("entity") ->
+        ((r.getDecimal(1).doubleValue(), r.getAs[Long]("n"))))
+      .toMap
+    assert(merged(1L) == ((17.5, 3L)), "key in both sides merges")
+    assert(merged(2L) == ((7.0, 2L - 1L)), "stored-only key unchanged")
+    assert(merged(3L) == ((4.0, 1L)), "delta-only key inserts")
+  }
+
   test("targetEncodeLoo excludes the row's own label; singleton categories null") {
     val rows = Seq(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
