@@ -325,6 +325,57 @@ object StreamingFeatures {
       }
   }
 
+  /** Streaming materialized aggregate — the streaming counterpart of
+    * FeatureStore.mergeSumAggregate: each micro-batch's per-key
+    * (decimal-sum, count) partials merge into the durable aggregate
+    * table, frozen as a new immutable Spaces version per batch. Sink
+    * state is the versioned table, not executor memory, so the
+    * aggregate survives restarts and any reader can pin a version.
+    * Mergeable partials make the result independent of how rows were
+    * batched — the invariant the batch analog's oracle certifies.
+    */
+  def aggSink(
+      rows: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      root: String,
+      space: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val df = batch.toDF()
+        if (!df.isEmpty) {
+          val spark = df.sparkSession
+          val delta = graft.operators.FeatureStore.sumAggregate(df, keyCol, valueCol)
+          val merged =
+            if (graft.sources.Spaces.versions(spark, root, space).nonEmpty) {
+              val cur = graft.sources.Spaces.load(spark, root, space, None)
+                .select(
+                  col("entity"),
+                  col("total_dec").cast("decimal(28,4)").as("total_dec"),
+                  col("n"))
+              cur.unionByName(
+                delta.select(
+                  col("entity"),
+                  col("total_dec").cast("decimal(28,4)").as("total_dec"),
+                  col("n")))
+                .groupBy(col("entity"))
+                .agg(
+                  sum(col("total_dec")).cast("decimal(28,4)").as("total_dec"),
+                  sum(col("n")).as("n"))
+            } else {
+              delta.select(
+                col("entity"),
+                col("total_dec").cast("decimal(28,4)").as("total_dec"),
+                col("n"))
+            }
+          graft.sources.Spaces.freeze(merged, root, space)
+          ()
+        }
+      }
+      .start()
+
   def upsertSink(
       requests: DataFrame,
       keyCol: String,

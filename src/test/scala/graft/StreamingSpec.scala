@@ -187,6 +187,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("aggSink: batched partials merge to the exact full aggregate, versions immutable") {
+    val input = MemoryStream[(Long, Double)](spark)
+    val root = java.nio.file.Files.createTempDirectory("agg_sink").toString
+    val space = "totals"
+    val query = StreamingFeatures.aggSink(
+      input.toDS().toDF("user_id", "value"), "user_id", "value", root, space)
+    try {
+      input.addData((1L, 10.0), (1L, 2.5), (2L, 7.0))
+      query.processAllAvailable()
+      input.addData((1L, 0.5), (3L, 4.0))
+      query.processAllAvailable()
+      assert(graft.sources.Spaces.versions(spark, root, space) == Seq(1, 2))
+      val v2 = graft.sources.Spaces.load(spark, root, space, None)
+        .collect()
+        .map(r => r.getAs[Long]("entity") ->
+          ((r.getDecimal(1).doubleValue(), r.getAs[Long]("n"))))
+        .toMap
+      // exactly the one-shot aggregate of all five rows, however batched
+      assert(v2 == Map(1L -> ((13.0, 3L)), 2L -> ((7.0, 1L)), 3L -> ((4.0, 1L))))
+      val v1 = graft.sources.Spaces.load(spark, root, space, Some(1))
+        .collect().map(r => r.getAs[Long]("entity") -> r.getAs[Long]("n")).toMap
+      assert(v1 == Map(1L -> 2L, 2L -> 1L), "version 1 snapshot unchanged")
+    } finally {
+      query.stop()
+      graft.sources.Spaces.delete(spark, root, space)
+    }
+  }
+
   test("stream-stream attribution join pairs touches within the window only") {
     val touches = MemoryStream[(Long, Long, Timestamp)](spark)
     val convs = MemoryStream[(Long, Long, Timestamp)](spark)
