@@ -2286,6 +2286,11 @@ object SparkEntry {
     // zero-filled across the corpus date span.
     "q_gapfill_daily" -> ((s, dir) =>
       Analytics.gapfillDaily(t(s, dir, "events"), "event_type", "ts")),
+    // Cohort retention matrix: distinct active users per
+    // (first-active-week cohort, week offset) — product analytics'
+    // canonical retention view.
+    "q_retention_cohorts" -> ((s, dir) =>
+      Analytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts")),
     // SCD type-2 history build: validity intervals per (user, value)
     // observation, open-ended for the current row.
     "fs_scd2_intervals" -> ((s, dir) =>
@@ -2522,6 +2527,17 @@ object SparkEntry {
         FROM (SELECT DISTINCT event_type AS grp FROM events) CROSS JOIN span)
       SELECT grp, CAST(day AS BIGINT) AS day, CAST(coalesce(n, 0) AS BIGINT) AS n
       FROM frame LEFT JOIN c USING (grp, day)""",
+    "q_retention_cohorts" -> """
+      WITH w AS (
+        SELECT DISTINCT user_id AS entity,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+        FROM events),
+      c AS (SELECT entity, min(week) AS cohort_week FROM w GROUP BY entity)
+      SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+             CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+             CAST(count(DISTINCT w.entity) AS BIGINT) AS n_users
+      FROM w JOIN c ON w.entity = c.entity
+      GROUP BY 1, 2""",
     "fs_scd2_intervals" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS valid_from_us,
              epoch_us(lead(ts, 1) OVER w) AS valid_to_us,
@@ -2814,6 +2830,13 @@ object SparkEntry {
       Multimodal.resizePlan(
         Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))),
         maxDim = 256)),
+    // Audio framing plan: 25ms windows at 10ms hop over 16kHz clips
+    // (sample counts derived deterministically from payload size) —
+    // the windowing-schedule half of audio preprocessing.
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.audioFramePlan(
+        Multimodal.mediaFromDocs(t(s, dir, "documents")),
+        samplesPerByte = 100, sampleRate = 16000, winSamples = 400, hopSamples = 160)),
     "stream_latest_value" -> ((s, dir) =>
       StreamingFeatures
         .latestValueBatch(t(s, dir, "events"))
@@ -2868,6 +2891,13 @@ object SparkEntry {
              CAST(1 AS BIGINT) AS n_frames,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
       FROM documents""",
+    "mm_audio_windows" -> """
+      WITH a AS (SELECT doc_id AS media_id, strlen(text) * 100 AS n_samples FROM documents)
+      SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
+             CAST(n_samples * 1000 // 16000 AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN n_samples >= 400 THEN (n_samples - 400) // 160 + 1
+                       ELSE 0 END AS BIGINT) AS n_frames
+      FROM a""",
     "mm_resize_plan" -> """
       WITH m AS (
         SELECT doc_id AS media_id,

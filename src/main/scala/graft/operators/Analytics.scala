@@ -182,6 +182,26 @@ object Analytics {
       lead(col(tsCol), 1).over(w).isNull.as("is_current"))
   }
 
+  /** Cohort retention matrix — product analytics' canonical view: each
+    * entity joins the cohort of its first active week; each cell
+    * (cohort_week, week_offset) counts distinct entities from that
+    * cohort active offset weeks later. Two map-side-combined
+    * aggregations plus one join on entity — no windows, no
+    * per-entity sort.
+    */
+  def retentionCohorts(events: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).cast("long")
+    val weeks = events
+      .select(col(entityCol).as("entity"), day.as("day"))
+      .select(col("entity"), expr("day div 7").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("entity")).agg(min(col("week")).as("cohort_week"))
+    weeks
+      .join(cohorts, "entity")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("entity")).as("n_users"))
+  }
+
   /** Point-in-interval (range) join — a shape Spark has no native
     * operator for: the naive formulation is a theta join
     * (`p.ts BETWEEN i.start AND i.end`) that Spark executes as

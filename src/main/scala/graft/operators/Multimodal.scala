@@ -127,6 +127,37 @@ object Multimodal {
           .cast("long").as("out_h"))
   }
 
+  /** Audio framing plan — the deterministic half of audio
+    * preprocessing (the spectrogram/encoder windowing schedule): given
+    * payload size as a sample count, compute clip duration and how
+    * many fixed-width hop-strided analysis frames the decoder will
+    * emit. Like [[resizePlan]], the sample math is exact integer
+    * arithmetic at scan speed; the waveform decode itself stays behind
+    * the codec boundary. Clips shorter than one window plan zero
+    * frames (callers pad or drop).
+    */
+  def audioFramePlan(
+      media: DataFrame,
+      samplesPerByte: Int,
+      sampleRate: Int,
+      winSamples: Int,
+      hopSamples: Int
+  ): DataFrame = {
+    require(sampleRate > 0 && winSamples > 0 && hopSamples > 0, "positive framing params")
+    media
+      .select(
+        col("media_id"),
+        (length(col("content")).cast("long") * samplesPerByte).as("n_samples"))
+      .select(
+        col("media_id"),
+        col("n_samples"),
+        expr(s"n_samples * 1000 div $sampleRate").as("duration_ms"),
+        when(
+          col("n_samples") >= winSamples,
+          expr(s"(n_samples - $winSamples) div $hopSamples") + 1L)
+          .otherwise(0L).as("n_frames"))
+  }
+
   /** Frame sampling plumbing for video-like payloads: emits one row per
     * sampled frame index (every `stride`-th frame). Output is lazily
     * flat-mapped — a 100TB video corpus streams through without

@@ -14,6 +14,23 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("retentionCohorts assigns first-week cohorts and counts distinct actives") {
+    def d(day: Int) = ts(f"1970-01-${day + 1}%02d 10:00:00") // epoch days 0..
+    val ev = Seq(
+      ("a", d(0)), ("a", d(1)), ("a", d(8)), ("a", d(22)),   // weeks 0,1,3
+      ("b", d(2)), ("b", d(3)),                              // week 0 (twice)
+      ("c", d(9)), ("c", d(15))                              // weeks 1,2
+    ).toDF("user_id", "ts")
+    val out = Analytics.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("n_users"))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
   test("pointInRangeJoin matches the naive theta join, inclusive on both ends") {
     val points = (0 until 50)
       .map(i => (i.toLong, ts(f"2024-01-01 ${i / 4}%02d:${(i % 4) * 15}%02d:00")))

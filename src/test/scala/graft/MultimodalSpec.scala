@@ -5,6 +5,26 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
 class MultimodalSpec extends AnyFunSuite {
+
+  test("audioFramePlan: exact frame schedule; sub-window clips plan zero frames") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 bytes * 100 = 800 samples -> (800-400) div 160 + 1 = 3 frames;
+    // 3 bytes * 100 = 300 samples < 400 -> 0 frames.
+    val media = Seq((1L, "12345678"), (2L, "123"))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), encode(col("payload"), "UTF-8").as("content"))
+    val out = graft.operators.Multimodal
+      .audioFramePlan(media, samplesPerByte = 100, sampleRate = 16000,
+        winSamples = 400, hopSamples = 160)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("duration_ms"), r.getAs[Long]("n_frames"))))
+      .toMap
+    assert(out(1L) == ((800L, 50L, 3L)))
+    assert(out(2L) == ((300L, 18L, 0L))) // 300*1000 div 16000 = 18
+  }
   private lazy val spark = GraftTestSession.spark
   import spark.implicits._
 
