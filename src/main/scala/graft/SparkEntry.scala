@@ -162,6 +162,13 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "user_id", "value", "ts", "event_id",
         toleranceUs = Some(2L * 3600L * 1000000L))
     }),
+    // Pipeline-health monitor: per-feature last arrival, age vs a
+    // reference instant, 6h-window volume, staleness verdict.
+    "fs_freshness" -> ((s, dir) =>
+      FeatureStore.featureFreshness(
+        t(s, dir, "events"), "event_type", "ts", "2024-01-15 00:00:00",
+        staleAfterUs = 6L * 3600L * 1000000L,
+        recentWindowUs = 6L * 3600L * 1000000L)),
     // Materialized-aggregate maintenance: stored per-user (sum, n)
     // partials + the post-cut delta re-aggregate to exactly the full
     // recompute (mergeable decimal partials — incremental ETL's core
@@ -338,6 +345,15 @@ object SparkEntry {
              CASE WHEN epoch_us(mv.mts) >= epoch_us(ts) - 7200000000 THEN epoch_us(mv.mts) END
                AS matched_ts_us
       FROM f WHERE kind = 1""",
+    "fs_freshness" -> """
+      SELECT event_type AS feature,
+             max(epoch_us(ts)) AS last_ts_us,
+             CAST(sum(CASE WHEN epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-15 00:00:00') - 21600000000
+                            AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+             epoch_us(TIMESTAMP '2024-01-15 00:00:00') - max(epoch_us(ts)) AS age_us,
+             epoch_us(TIMESTAMP '2024-01-15 00:00:00') - max(epoch_us(ts)) > 21600000000 AS stale
+      FROM events GROUP BY event_type""",
     "fs_agg_incremental" -> """
       SELECT user_id AS entity,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
@@ -701,6 +717,13 @@ object SparkEntry {
           count_distinct(col("lang")).as("n_langs"),
           sum(col("n_chars")).as("total_chars"))
     }),
+    // Embedding-distribution drift: per-label centroid shift between
+    // the even- and odd-keyed corpus halves — the vector-space
+    // companion of the scalar PSI monitor.
+    "emb_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") % 2 === 0)),
     // Centrality over the similarity graph: PageRank on the directed
     // 3-NN cosine graph — "which vectors are central" for
     // representative selection. Edge list pinned once (the expensive
@@ -1294,6 +1317,26 @@ object SparkEntry {
       FROM embeddings WHERE vec_id < 10""",
     "emb_kmeans" -> kmeansOracleSql,
     "graph_pagerank" -> pageRankOracleSql,
+    "emb_centroid_drift" -> """
+      WITH b AS (
+        SELECT label, vec_id % 2 = 0 AS is_old,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings),
+      m AS (SELECT label, is_old, pos, avg(x) AS m FROM b GROUP BY 1, 2, 3),
+      d AS (
+        SELECT o.label,
+               CAST(round((o.m - n.m) * (o.m - n.m), 12) AS DECIMAL(28,12)) AS d2
+        FROM m o JOIN m n ON o.label = n.label AND o.pos = n.pos
+        WHERE o.is_old AND NOT n.is_old),
+      c AS (
+        SELECT label,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+        FROM embeddings GROUP BY label)
+      SELECT d.label, sqrt(CAST(sum(d2) AS DOUBLE)) AS centroid_shift, n_old, n_new
+      FROM d JOIN c ON c.label = d.label
+      GROUP BY d.label, n_old, n_new""",
     // The oracle unrolls the SAME left-associated double fold the
     // Spark expression evaluates, with the same md5-derived ±1 signs
     // (Quantization.rpSign) baked in as literals — sequential double
@@ -2286,6 +2329,10 @@ object SparkEntry {
     // zero-filled across the corpus date span.
     "q_gapfill_daily" -> ((s, dir) =>
       Analytics.gapfillDaily(t(s, dir, "events"), "event_type", "ts")),
+    // Flow analytics: consecutive event-type transition counts per
+    // user stream (the Sankey/Markov matrix).
+    "q_event_transitions" -> ((s, dir) =>
+      Analytics.eventTransitions(t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")),
     // Cohort retention matrix: distinct active users per
     // (first-active-week cohort, week offset) — product analytics'
     // canonical retention view.
@@ -2527,6 +2574,14 @@ object SparkEntry {
         FROM (SELECT DISTINCT event_type AS grp FROM events) CROSS JOIN span)
       SELECT grp, CAST(day AS BIGINT) AS day, CAST(coalesce(n, 0) AS BIGINT) AS n
       FROM frame LEFT JOIN c USING (grp, day)""",
+    "q_event_transitions" -> """
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type,
+               event_type AS next_type
+        FROM events)
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type""",
     "q_retention_cohorts" -> """
       WITH w AS (
         SELECT DISTINCT user_id AS entity,

@@ -182,6 +182,26 @@ object Analytics {
       lead(col(tsCol), 1).over(w).isNull.as("is_current"))
   }
 
+  /** Event-transition matrix — flow analytics (Sankey/Markov view):
+    * count consecutive (prev_type → next_type) steps within each
+    * entity's time-ordered stream. One entity-partitioned lag window
+    * + one map-side-combined count.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      tiebreakCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tiebreakCol))
+    events
+      .select(col(typeCol).as("next_type"), lag(col(typeCol), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention matrix — product analytics' canonical view: each
     * entity joins the cohort of its first active week; each cell
     * (cohort_week, week_offset) counts distinct entities from that

@@ -442,6 +442,33 @@ object FeatureStore {
       .withColumn("drifted", col("psi") > 0.25)
   }
 
+  /** Feature freshness report — the "is my pipeline stuck" monitor:
+    * per feature, the newest observation, its age relative to `asOf`,
+    * recent-arrival volume, and a staleness verdict. One tiny
+    * aggregate; pure scan shape.
+    */
+  def featureFreshness(
+      events: DataFrame,
+      featureCol: String,
+      tsCol: String,
+      asOf: String,
+      staleAfterUs: Long,
+      recentWindowUs: Long
+  ): DataFrame = {
+    val asOfUs = unix_micros(lit(asOf).cast("timestamp"))
+    events
+      .groupBy(col(featureCol).as("feature"))
+      .agg(
+        max(unix_micros(col(tsCol))).as("last_ts_us"),
+        sum(
+          when(unix_micros(col(tsCol)) >= asOfUs - recentWindowUs &&
+            unix_micros(col(tsCol)) <= asOfUs, 1L).otherwise(0L)).as("n_recent"))
+      .select(
+        col("feature"), col("last_ts_us"), col("n_recent"),
+        (asOfUs - col("last_ts_us")).as("age_us"),
+        (asOfUs - col("last_ts_us") > staleAfterUs).as("stale"))
+  }
+
   /** Incremental additive-aggregate maintenance — the materialized-
     * view refresh shape: a stored per-key (sum, count) aggregate plus
     * a new-rows delta re-aggregates to EXACTLY the full recompute,

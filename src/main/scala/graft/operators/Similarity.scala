@@ -142,6 +142,41 @@ object Similarity {
         col("e.id").as("neighbor_id"),
         (col("r") + 1).cast("long").as("rank"))
 
+  /** Embedding-distribution drift — the vector-space companion of
+    * FeatureStore.featureDrift's scalar PSI: per group, the L2 shift
+    * between the centroids of an "old" and "new" corpus slice (plus
+    * slice sizes). A moved centroid means the upstream encoder or the
+    * data changed — re-train the quantizer / refresh the index. Two
+    * (group, slice, dim) mean aggregations; squared diffs are
+    * 12dp-rounded decimals so the shift is partition-order exact.
+    * Groups present in only one slice are omitted (no drift defined).
+    */
+  def centroidDrift(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      groupCol: String,
+      oldSide: Column
+  ): DataFrame = {
+    val base = space
+      .select(col(groupCol).as("label"), oldSide.as("is_old"),
+        posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("label"), col("is_old"), col("pos"), col("xf").cast("double").as("x"))
+    val means = base.groupBy(col("label"), col("is_old"), col("pos")).agg(avg(col("x")).as("m"))
+    val o = means.where(col("is_old")).select(col("label"), col("pos"), col("m").as("mo"))
+    val n = means.where(!col("is_old")).select(col("label"), col("pos"), col("m").as("mn"))
+    val counts = space.groupBy(col(groupCol).as("label")).agg(
+      sum(when(oldSide, 1L).otherwise(0L)).as("n_old"),
+      sum(when(oldSide, 0L).otherwise(1L)).as("n_new"))
+    o.join(n, Seq("label", "pos"))
+      .withColumn(
+        "d2",
+        round((col("mo") - col("mn")) * (col("mo") - col("mn")), 12).cast("decimal(28,12)"))
+      .groupBy(col("label"))
+      .agg(sqrt(sum(col("d2")).cast("double")).as("centroid_shift"))
+      .join(counts, "label")
+  }
+
   /** Centroid per group (k-means M-step / IVF codebook build). One
     * shuffle on (group, dim) after posexplode; partial sums map-side.
     */

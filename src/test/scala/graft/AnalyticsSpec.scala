@@ -14,6 +14,23 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("eventTransitions counts consecutive same-user steps only") {
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 00:01:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 00:02:00")),
+      (4L, 2L, "view", ts("2024-01-01 00:00:00")),
+      (5L, 2L, "view", ts("2024-01-01 00:05:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.eventTransitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        r.getAs[Long]("n"))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> 1L, ("click", "purchase") -> 1L, ("view", "view") -> 1L))
+  }
+
   test("retentionCohorts assigns first-week cohorts and counts distinct actives") {
     def d(day: Int) = ts(f"1970-01-${day + 1}%02d 10:00:00") // epoch days 0..
     val ev = Seq(

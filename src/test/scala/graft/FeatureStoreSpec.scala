@@ -238,6 +238,22 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out(4L)._1.contains(6.0), "equal-ts ties resolve to highest tiebreak")
   }
 
+  test("featureFreshness: age, recent volume, and staleness verdict") {
+    val ev = Seq(
+      ("fresh", ts("2024-01-14 23:00:00")), ("fresh", ts("2024-01-14 10:00:00")),
+      ("stale", ts("2024-01-14 12:00:00"))
+    ).toDF("event_type", "ts")
+    val out = FeatureStore.featureFreshness(
+      ev, "event_type", "ts", "2024-01-15 00:00:00",
+      staleAfterUs = 6L * 3600L * 1000000L, recentWindowUs = 6L * 3600L * 1000000L)
+      .collect()
+      .map(r => r.getAs[String]("feature") ->
+        ((r.getAs[Long]("age_us"), r.getAs[Long]("n_recent"), r.getAs[Boolean]("stale"))))
+      .toMap
+    assert(out("fresh") == ((3600000000L, 1L, false)))
+    assert(out("stale") == ((12L * 3600000000L, 0L, true)))
+  }
+
   test("mergeSumAggregate: stored partials + delta == full recompute") {
     val stored = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0)).toDF("user_id", "value")
     val delta = Seq((1L, 2.5), (3L, 4.0)).toDF("user_id", "value")

@@ -218,6 +218,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == 15)
   }
 
+  test("centroidDrift: hand-computed shift; single-slice groups omitted") {
+    val space = Seq(
+      (0L, Seq(0f, 0f), 1), (2L, Seq(2f, 0f), 1),   // old (even): mean (1, 0)
+      (1L, Seq(4f, 0f), 1), (3L, Seq(4f, 2f), 1),   // new (odd):  mean (4, 1)
+      (4L, Seq(9f, 9f), 2)                          // label 2: old only
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(
+      space, "vec_id", "embedding", "label", col("vec_id") % 2 === 0)
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Double]("centroid_shift"), r.getAs[Long]("n_old"), r.getAs[Long]("n_new"))))
+      .toMap
+    assert(out.keySet == Set(1))
+    val (shift, nOld, nNew) = out(1)
+    assert(math.abs(shift - math.sqrt(10.0)) < 1e-9, s"shift=$shift")
+    assert(nOld == 2L && nNew == 2L)
+  }
+
   test("matryoshka truncation: 64-dim 'truncation' has recall 1.0, 16-dim is in [0,1]") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val q = emb.where(col("vec_id") < 10)
