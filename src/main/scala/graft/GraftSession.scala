@@ -54,4 +54,34 @@ object GraftSession {
     graft.plans.GraftFunctions.register(s)
     s
   }
+
+  /** Cluster deployment preset — the builder a spark-submit driver
+    * calls (master/executors come from the submit args). Sizes the
+    * shuffle for the fleet and wires the two durability switches the
+    * iterative operators need on real hardware:
+    *
+    *  - `shufflePartitions` ≈ 2-3× total executor cores (AQE coalesces
+    *    small ones back down, so err high);
+    *  - `checkpointDir` (HDFS/S3) backs `sparkContext.setCheckpointDir`
+    *    — pass `durable = true` to Dedup.connectedComponents /
+    *    buildIvfPq so their per-round pins survive executor loss;
+    *  - `warehouseDir` is the catalog root for Tables.writeBucketed's
+    *    shuffle-free recurring-join tables;
+    *  - graft's native expressions are registered on create (the
+    *    spark.sql.extensions=graft.GraftExtensions config route works
+    *    too and needs no code on the driver path).
+    */
+  def cluster(
+      totalCores: Int,
+      checkpointDir: String,
+      warehouseDir: String
+  ): SparkSession = {
+    require(totalCores >= 1, "totalCores must be >= 1")
+    val s = builder(None, shufflePartitions = totalCores * 3)
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .getOrCreate()
+    s.sparkContext.setCheckpointDir(checkpointDir)
+    graft.plans.GraftFunctions.register(s)
+    s
+  }
 }
