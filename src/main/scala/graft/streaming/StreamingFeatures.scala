@@ -325,6 +325,49 @@ object StreamingFeatures {
       }
   }
 
+  final case class TypedStep(user_id: Long, event_type: String, ts: Timestamp, event_id: Long)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming event-transition feed — the streaming counterpart of
+    * Analytics.eventTransitions: for each user, emit a (prev, next)
+    * step whenever an event arrives that is event-time LATER than the
+    * user's last-seen event. State per user is O(1) (the latest step);
+    * within a micro-batch, events apply in event-time order, so
+    * in-order delivery reproduces the batch matrix exactly; an event
+    * older than the current state cannot form a forward step and is
+    * dropped (the same monotonic-late rule as streamingTrainingSet —
+    * out-of-order history rewrites need the batch operator).
+    * Aggregate downstream (`groupBy(prev, next).count`) for the live
+    * Sankey counts.
+    */
+  def transitionsStream(events: Dataset[TypedStep]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      // state tuple: (last ts millis, last event_id, last event_type)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (user, rows, state) =>
+        val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = scala.collection.mutable.ListBuffer.empty[Transition]
+        var last = state.getOption
+        ordered.foreach { e =>
+          last match {
+            case Some((pTs, pId, pType))
+                if e.ts.getTime > pTs || (e.ts.getTime == pTs && e.event_id > pId) =>
+              out += Transition(user, pType, e.event_type)
+              last = Some((e.ts.getTime, e.event_id, e.event_type))
+            case None =>
+              last = Some((e.ts.getTime, e.event_id, e.event_type))
+            case _ => () // older than state: no forward step
+          }
+        }
+        last.foreach(state.update)
+        out.iterator
+      }
+  }
+
   /** Streaming materialized aggregate — the streaming counterpart of
     * FeatureStore.mergeSumAggregate: each micro-batch's per-key
     * (decimal-sum, count) partials merge into the durable aggregate

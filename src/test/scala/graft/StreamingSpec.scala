@@ -187,6 +187,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transitionsStream matches the batch matrix in order; drops stale arrivals") {
+    import StreamingFeatures.TypedStep
+    val input = MemoryStream[TypedStep](spark)
+    val query = StreamingFeatures.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        TypedStep(1L, "view", ts("2024-01-01 00:00:00"), 1L),
+        TypedStep(1L, "click", ts("2024-01-01 00:01:00"), 2L))
+      query.processAllAvailable()
+      // state carries across batches: purchase follows the click
+      input.addData(TypedStep(1L, "purchase", ts("2024-01-01 00:02:00"), 3L))
+      query.processAllAvailable()
+      // stale arrival (older than state) forms no forward step
+      input.addData(TypedStep(1L, "error", ts("2023-12-31 00:00:00"), 4L))
+      query.processAllAvailable()
+      val out = spark.table("transitions")
+        .collect()
+        .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(out == Map(
+        ("view", "click") -> 1, ("click", "purchase") -> 1))
+      // parity with the batch operator over the in-order prefix
+      val batch = graft.operators.Analytics.eventTransitions(
+        Seq(
+          (1L, 1L, "view", ts("2024-01-01 00:00:00")),
+          (2L, 1L, "click", ts("2024-01-01 00:01:00")),
+          (3L, 1L, "purchase", ts("2024-01-01 00:02:00")))
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", "event_id")
+        .collect()
+        .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(batch == out.map { case (k, v) => k -> v.toLong })
+    } finally query.stop()
+  }
+
   test("aggSink: batched partials merge to the exact full aggregate, versions immutable") {
     val input = MemoryStream[(Long, Double)](spark)
     val root = java.nio.file.Files.createTempDirectory("agg_sink").toString
