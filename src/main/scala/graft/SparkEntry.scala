@@ -1850,6 +1850,33 @@ object SparkEntry {
         .bm25TopK(docs, "doc_id", "text", qTerms, k = 10, selfExclude = true)
         .select(col("query_id"), col("doc_id"), col("rank"))
       Search.rrfFuse(vecList, textList, c = 60, maxRank = 10, k = 10)
+    }),
+    // Three-tier hybrid retrieval: dense cosine kNN + lexical BM25 +
+    // the 1-bit hamming sketch tier, fused with exact-integer RRF in
+    // ONE groupBy regardless of list count. The production shape for
+    // "fuse whatever retrievers you have" — adding a tier adds a union
+    // branch, not a shuffle.
+    "search_hybrid_rrf3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val vecList = Similarity
+        .knnBruteForce(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qTerms = docs
+        .where(col("doc_id") < 5)
+        .select(
+          col("doc_id").as("query_id"),
+          explode(TextFunctions.distinctTokens(col("text"))).as("term"))
+      val textList = Search
+        .bm25TopK(docs, "doc_id", "text", qTerms, k = 10, selfExclude = true)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val binList = Quantization
+        .knnBinaryHamming(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          dims = 64, k = 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Search.rrfFuseAll(Seq(vecList, textList, binList), c = 60, maxRank = 10, k = 10)
     })
   )
 
@@ -2208,6 +2235,60 @@ object SparkEntry {
         UNION ALL
         SELECT query_id, doc_id, CAST($scale // (60 + rank) AS BIGINT) AS pts
         FROM bm25_ranked WHERE rank <= 10),
+      fused AS (
+        SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score
+        FROM pts GROUP BY query_id, doc_id)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, rrf_score FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank,
+               rrf_score
+        FROM fused)
+      WHERE rank <= 10"""
+    },
+    "search_hybrid_rrf3" -> {
+      val scale = graft.operators.Search.rrfScale(60, 10)
+      s"""
+      WITH ql AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents WHERE doc_id < 5),
+      ${bm25Ctes(selfExclude = true)},
+      vscored AS (
+        SELECT qid AS query_id, nvid AS doc_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 5)
+        GROUP BY qid, nvid),
+      vlist AS (
+        SELECT query_id, doc_id, rank FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+          FROM vscored)
+        WHERE rank <= 10),
+      bsk AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> CASE WHEN embedding[i + 1] <= 0 THEN 0::BIGINT
+                              WHEN i = 63 THEN ((-9223372036854775807)::BIGINT - 1)
+                              ELSE (1::BIGINT << i) END)) AS BIGINT) AS sk
+        FROM embeddings),
+      blist AS (
+        SELECT query_id, doc_id, rank FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.sk, n.sk)), n.vec_id) AS rank
+          FROM bsk q JOIN bsk n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 10),
+      pts AS (
+        SELECT query_id, doc_id, CAST($scale // (60 + rank) AS BIGINT) AS pts FROM vlist
+        UNION ALL
+        SELECT query_id, doc_id, CAST($scale // (60 + rank) AS BIGINT) AS pts
+        FROM bm25_ranked WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, doc_id, CAST($scale // (60 + rank) AS BIGINT) AS pts FROM blist),
       fused AS (
         SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score
         FROM pts GROUP BY query_id, doc_id)

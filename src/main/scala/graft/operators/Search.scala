@@ -225,13 +225,28 @@ object Search {
       c: Int,
       maxRank: Int,
       k: Int
+  ): DataFrame = rrfFuseAll(Seq(listA, listB), c, maxRank, k)
+
+  /** N-list RRF — the same exact-integer fusion over any number of
+    * ranked lists (e.g. dense kNN + BM25 + a binary-hamming tier).
+    * Contributions are summed per (query, doc); the lcm scale keeps
+    * every contribution integral, so adding lists never introduces
+    * float drift (sum < maxRank·lists·SCALE ≪ 2^63 for practical
+    * shapes). Lists are unioned BEFORE the single groupBy, so the
+    * fusion costs one shuffle regardless of list count.
+    */
+  def rrfFuseAll(
+      lists: Seq[DataFrame],
+      c: Int,
+      maxRank: Int,
+      k: Int
   ): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseAll needs at least one ranked list")
     val scale = rrfScale(c, maxRank)
     def contrib(l: DataFrame) = l.select(
       col("query_id"), col("doc_id"),
       (lit(scale) / (lit(c.toLong) + col("rank"))).cast("long").as("pts"))
-    val fused = contrib(listA)
-      .unionByName(contrib(listB))
+    val fused = lists.map(contrib).reduce(_.unionByName(_))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("pts")).as("rrf_score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("doc_id"))

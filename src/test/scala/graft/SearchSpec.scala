@@ -74,6 +74,23 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("doc_id") == 10L, "two mid ranks outrank one top rank here")
   }
 
+  test("rrfFuseAll: three lists sum contributions; reduces to rrfFuse for two") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
+    val c3 = Seq((1L, 10L, 3L), (1L, 11L, 1L)).toDF("query_id", "doc_id", "rank")
+    val scale = Search.rrfScale(60, 10)
+    val out = Search.rrfFuseAll(Seq(a, b, c3), c = 60, maxRank = 10, k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rrf_score"))
+      .toMap
+    assert(out(10L) == scale / 61 + scale / 62 + scale / 63)
+    assert(out(11L) == scale / 62 + scale / 61)
+    assert(out(12L) == scale / 61)
+    val two = Search.rrfFuse(a, b, c = 60, maxRank = 10, k = 10).collect()
+    val twoAll = Search.rrfFuseAll(Seq(a, b), c = 60, maxRank = 10, k = 10).collect()
+    assert(two.map(_.toString).sorted.sameElements(twoAll.map(_.toString).sorted))
+  }
+
   test("tfidfTopTerms surfaces distinctive terms over ubiquitous ones") {
     // "common" appears in every doc (idf = ln(1) = 0); each doc's rare
     // term must outrank it, repeated rare terms score highest.
