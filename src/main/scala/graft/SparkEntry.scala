@@ -2979,6 +2979,15 @@ object SparkEntry {
         .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))),
     "stream_windowed_agg" -> ((s, dir) =>
       StreamingFeatures.windowedCountsBatch(t(s, dir, "events"))),
+    // Streaming top-k serving, batch analog (topKServeStream over
+    // MemoryStream == this; parity spec-checked in StreamingSpec).
+    "stream_topk_serve" -> ((s, dir) =>
+      StreamingFeatures.topKServeBatch(
+        t(s, dir, "events").select(
+          col("user_id").as("query_id"),
+          col("event_id").as("doc_id"),
+          col("value").cast("double").as("score")),
+        k = 5)),
     // Streaming corpus dedup, batch analog (stream parity spec-checked
     // in StreamingSpec: dedupStream over MemoryStream == this).
     "stream_dedup" -> ((s, dir) =>
@@ -3068,6 +3077,17 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "stream_topk_serve" -> """
+      SELECT query_id, doc_id, rank, score FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank,
+               score
+        FROM (
+          SELECT user_id AS query_id, event_id AS doc_id,
+                 max(CAST(value AS DOUBLE)) AS score
+          FROM events GROUP BY user_id, event_id))
+      WHERE rank <= 5""",
     "stream_dedup" -> """
       SELECT md5(text) AS fp, min(doc_id) AS doc_id
       FROM documents GROUP BY md5(text)""",

@@ -368,6 +368,62 @@ object StreamingFeatures {
       }
   }
 
+  final case class ScoredCandidate(query_id: Long, doc_id: Long, score: Double)
+  final case class RankedDoc(query_id: Long, doc_id: Long, rank: Long, score: Double)
+
+  /** Streaming top-k serving: maintain the current best-k candidates
+    * per query as (query, doc, score) rows stream in — the live
+    * retrieval leaderboard behind "serve the top results so far"
+    * (e.g. candidates scored by an upstream model arriving
+    * continuously). State per query is the bounded (score desc,
+    * doc_id asc)-sorted list of at most k entries — O(k), never the
+    * candidate history; a re-scored doc keeps its best score. Each
+    * micro-batch emits the refreshed FULL top-k for the queries it
+    * touched (Update-mode serving table: downstream keeps the latest
+    * rows per query).
+    *
+    * Batch parity: draining any arrival order equals
+    * [[topKServeBatch]] over the union of candidates —
+    * spec-certified in StreamingSpec.
+    */
+  def topKServeStream(cands: Dataset[ScoredCandidate], k: Int): Dataset[RankedDoc] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .groupByKey(_.query_id)
+      // state: (doc_id, best score) entries, sorted best-first, size <= k
+      .flatMapGroupsWithState[List[(Long, Double)], RankedDoc](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { (qid, rows, state) =>
+        val best = scala.collection.mutable.HashMap.empty[Long, Double]
+        state.getOption.getOrElse(Nil).foreach { case (d, sc) => best(d) = sc }
+        rows.foreach { c =>
+          if (best.get(c.doc_id).forall(c.score > _)) best(c.doc_id) = c.score
+        }
+        val top = best.toSeq.sortBy { case (d, sc) => (-sc, d) }.take(k).toList
+        state.update(top)
+        top.iterator.zipWithIndex.map { case ((d, sc), i) =>
+          RankedDoc(qid, d, i + 1L, sc)
+        }
+      }
+  }
+
+  /** Batch analog: best score per (query, doc), then the per-query
+    * top-k rank window (partitioned on query_id — never global).
+    */
+  def topKServeBatch(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("score")).as("score"))
+      .select(
+        col("query_id"), col("doc_id"),
+        row_number().over(w).cast("long").as("rank"), col("score"))
+      .where(col("rank") <= k)
+  }
+
   /** Streaming materialized aggregate — the streaming counterpart of
     * FeatureStore.mergeSumAggregate: each micro-batch's per-key
     * (decimal-sum, count) partials merge into the durable aggregate

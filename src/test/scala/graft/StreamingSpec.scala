@@ -15,6 +15,48 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("topKServeStream: bounded per-query state across batches; parity with batch analog") {
+    import StreamingFeatures.ScoredCandidate
+    val input = MemoryStream[ScoredCandidate](spark)
+    val query = StreamingFeatures
+      .topKServeStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_serve")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        ScoredCandidate(1L, 10L, 0.5), ScoredCandidate(1L, 11L, 0.9),
+        ScoredCandidate(1L, 12L, 0.7), ScoredCandidate(1L, 13L, 0.2),
+        ScoredCandidate(2L, 20L, 1.0))
+      query.processAllAvailable()
+      val n1 = spark.table("topk_serve").count().toInt
+      // batch 2: doc 13 re-scores upward (replaces its old score); the
+      // duplicate low re-score of doc 10 must NOT demote it.
+      input.addData(ScoredCandidate(1L, 13L, 0.8), ScoredCandidate(1L, 10L, 0.1))
+      query.processAllAvailable()
+      val rows = spark.table("topk_serve").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      // batch-1 emission: full top-3 of both queries
+      assert(rows.take(n1).toSet == Set(
+        (1L, 1L, 11L, 0.9), (1L, 2L, 12L, 0.7), (1L, 3L, 10L, 0.5),
+        (2L, 1L, 20L, 1.0)))
+      // batch-2 emission: only query 1 touched; refreshed full top-3
+      val batch2 = rows.drop(n1).toSet
+      assert(batch2 == Set((1L, 1L, 11L, 0.9), (1L, 2L, 13L, 0.8), (1L, 3L, 12L, 0.7)))
+      // parity: batch analog over the union of every candidate seen
+      val all = Seq(
+        (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.7), (1L, 13L, 0.2),
+        (2L, 20L, 1.0), (1L, 13L, 0.8), (1L, 10L, 0.1))
+        .toDF("query_id", "doc_id", "score")
+      val expected = StreamingFeatures.topKServeBatch(all, 3).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+      val finalPerQuery = batch2 ++ rows.take(n1).filter(_._1 == 2L)
+      assert(finalPerQuery == expected)
+    } finally query.stop()
+  }
+
   test("streaming latest-value state matches batch materialization semantics") {
     val input = MemoryStream[FeatureEvent](spark)
     val query = StreamingFeatures
