@@ -1794,6 +1794,17 @@ object SparkEntry {
     // per document (cluster labeling / sparse-vector summarization).
     "text_tfidf_top_terms" -> ((s, dir) =>
       Search.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // Portable HyperLogLog: per-language distinct-token estimates in
+    // one pass — at most 2^p registers per group cross the shuffle,
+    // never the distinct value space (the 100 TB cardinality answer;
+    // Spark's approx_count_distinct is equivalent but its hash is
+    // engine-private, so this md5 formulation is the verifiable one).
+    "text_hll_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Cardinality.hllDistinct(
+        docs.select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok")),
+        Seq("lang"), col("tok"), p = 8)
+    }),
     // BM25 ranked retrieval: top-10 docs for 3 fixed keyword queries.
     // Per-term scores rounded to 12dp + decimal-summed (order-free),
     // ranks tie-break on doc_id — hash-reproducible cross-engine.
@@ -2123,6 +2134,28 @@ object SparkEntry {
                AS n_merged_tokens
       FROM t4"""
     },
+    "text_hll_tokens" -> """
+      WITH items AS (
+        SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      regs AS (
+        SELECT lang, h >> 52 AS bucket,
+               max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                        ELSE 53 - length(bin(h & 4503599627370495)) END) AS m_rho
+        FROM items GROUP BY lang, bucket),
+      agg AS (
+        SELECT lang, count(*) AS n_registers,
+               sum(1::BIGINT << (53 - m_rho)) AS s_present
+        FROM regs GROUP BY lang)
+      SELECT lang, CAST(n_registers AS BIGINT) AS n_registers,
+             CAST(256 - n_registers AS BIGINT) AS v_empty,
+             CAST(s_present + (256 - n_registers) * (1::BIGINT << 53) AS BIGINT)
+               AS s_scaled,
+             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+               * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
+               / CAST(s_present + (256 - n_registers) * (1::BIGINT << 53) AS DOUBLE)
+               AS est_distinct
+      FROM agg""",
     "text_tfidf_top_terms" -> """
       WITH tf AS (
         SELECT doc_id, tok AS term, count(*) AS tf FROM (

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed cardinality estimation — portable HyperLogLog (Flajolet
+  * et al. 2007). The 100 TB answer to "how many distinct
+  * tokens/users/keys does this corpus have": one pass, one tiny
+  * shuffle of at most `m` registers per group, no shuffle of the
+  * distinct value space (an exact count_distinct shuffles every
+  * distinct value; at web scale that IS the dataset).
+  *
+  * Engine-portable by construction, unlike Spark's
+  * approx_count_distinct (whose HLL++ hash is Spark-private): the item
+  * hash is the top 60 bits of md5 ([[TextFunctions.md5Long60]]), the
+  * register index is the hash's top `p` bits, and rho (leading-zero
+  * rank of the remaining 60-p bits) is derived from the binary string
+  * length — integer/string ops every SQL engine reproduces
+  * bit-identically. Registers are integers; sketch union is
+  * element-wise max (associative/commutative — merge order free).
+  *
+  * The estimate is emitted as the RAW HLL formula E = alpha_m * m^2 /
+  * sum(2^-M_b), computed exactly: the denominator is accumulated as
+  * the INTEGER sum of 2^(maxRho+1-M_b) (order-free, overflow-free for
+  * p >= 6), and the final few double ops (literal-constant alpha, one
+  * cast, one division) are IEEE-identical in any engine. The
+  * small/large-range corrections (linear counting, which needs ln)
+  * are deliberately NOT folded in — ln is libm-dependent and would
+  * break bit-exact verification; callers apply them downstream from
+  * the emitted v_empty. Standard error ~= 1.04/sqrt(m): p=8 -> ~6.5%.
+  */
+object Cardinality {
+
+  /** Max rho for a 60-bit md5 hash with a p-bit register index: the
+    * remainder has 60-p bits, so rho (first-set-bit rank from the
+    * top) ranges 1..60-p, plus 60-p+1 for an all-zero remainder.
+    */
+  private def maxRho(p: Int): Int = 60 - p + 1
+
+  /** Per-group HLL registers: one row per (group, register) present.
+    * Absent registers are empty (value 0). Input: one row per item
+    * occurrence (duplicates are free — max is idempotent).
+    */
+  def hllRegisters(items: DataFrame, groupCols: Seq[String], itemCol: Column, p: Int)
+      : DataFrame = {
+    require(p >= 4 && p <= 16, s"register-index bits p=$p out of range [4,16]")
+    val h = TextFunctions.md5Long60(itemCol)
+    val remBits = 60 - p
+    val bucket = shiftright(h, remBits)
+    val rem = h.bitwiseAND(lit((1L << remBits) - 1L))
+    // rho = leading-zero count of the (60-p)-bit remainder + 1
+    //     = remBits+1 - bitlength(rem);   bin() is unpadded in Spark
+    // and DuckDB, so bitlength = length(bin(x)) for x > 0.
+    val rho = when(rem === 0L, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(rem)))
+    items
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).cast("int").as("m_rho"))
+  }
+
+  /** Merge register sets (sketch union): element-wise max per
+    * (group, bucket). Inputs are outputs of [[hllRegisters]] with the
+    * same p.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("m_rho")).cast("int").as("m_rho"))
+
+  /** Estimate from registers: per group, the raw HLL estimate plus the
+    * exact-integer evidence columns (n_registers present, v_empty,
+    * s_scaled = sum 2^(maxRho-m_rho) over ALL m registers with empty
+    * ones contributing 2^maxRho). All columns but the final
+    * double-division estimate are BIGINT.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val mr = maxRho(p)
+    // alpha_m (m >= 128): 0.7213/(1 + 1.079/m) — literal-double ops,
+    // IEEE-identical in any engine.
+    require(m >= 128, "alpha constant below assumes m >= 128")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val grouped = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(call_function("shiftleft", lit(1L), lit(mr) - col("m_rho"))).as("s_present"))
+    grouped.select(
+      groupCols.map(col) ++ Seq(
+        col("n_registers"),
+        (lit(m.toLong) - col("n_registers")).as("v_empty"),
+        (col("s_present") +
+          (lit(m.toLong) - col("n_registers")) * lit(1L << mr)).as("s_scaled")): _*)
+      .withColumn(
+        "est_distinct",
+        alpha * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2.0, mr)) /
+          col("s_scaled").cast("double"))
+  }
+
+  /** One-shot grouped estimate over an item stream. */
+  def hllDistinct(items: DataFrame, groupCols: Seq[String], itemCol: Column, p: Int)
+      : DataFrame =
+    hllEstimate(hllRegisters(items, groupCols, itemCol, p), groupCols, p)
+}
