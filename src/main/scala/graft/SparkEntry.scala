@@ -2468,6 +2468,12 @@ object SparkEntry {
       Analytics.cubeBalances(
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
     "q_percentiles" -> ((s, dir) => Analytics.orderPercentiles(t(s, dir, "orders"))),
+    // Histogram-sketch quantiles — the driver-verifiable approximate
+    // percentile (power-of-two bin width => exact IEEE interpolation).
+    "q_hist_quantiles" -> ((s, dir) =>
+      Analytics.histogramQuantiles(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+        lo = 0.0, width = 128.0, nBins = 8192, qs = Seq(0.25, 0.5, 0.75, 0.95))),
     "q_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
     "q7_volume_shipping" -> ((s, dir) =>
       Analytics.q7VolumeShipping(s, dir, "NATION_3", "NATION_19")),
@@ -2764,6 +2770,28 @@ object SparkEntry {
              round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
              count(*) AS n
       FROM orders GROUP BY o_orderpriority""",
+    "q_hist_quantiles" -> """
+      WITH hist AS (
+        SELECT o_orderpriority,
+               CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - 0.0::DOUBLE)
+                      / 128.0::DOUBLE), 0.0::DOUBLE), 8191.0::DOUBLE) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2),
+      cum AS (
+        SELECT o_orderpriority, bin, cnt,
+               sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) - cnt AS cum_before,
+               sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        FROM hist),
+      qs AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.95::DOUBLE]) AS q)
+      SELECT o_orderpriority, q, bin, cnt,
+             CAST(cum_before AS BIGINT) AS cum_before, CAST(n AS BIGINT) AS n,
+             0.0::DOUBLE + 128.0::DOUBLE * (CAST(bin AS DOUBLE) +
+               (q * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE)) / CAST(cnt AS DOUBLE))
+               AS est_value
+      FROM cum CROSS JOIN qs
+      WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+        AND CAST(cum_before AS DOUBLE) < q * CAST(n AS DOUBLE)""",
     "q_json_extract" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -368,6 +368,57 @@ object Analytics {
           .as("p50_approx"),
         count(lit(1)).as("n"))
 
+  /** Fixed-bin histogram quantiles — the engine-portable quantile
+    * sketch (approx_percentile's KLL-ish buffer is Spark-private, so
+    * it can't be driver-verified; this one can). One
+    * map-side-combined count aggregation over integer bin ids, a
+    * per-group window over at most nBins rows, and a broadcast join
+    * of the tiny quantile list — memory O(bins present) per group
+    * regardless of input size, rank error <= one bin's population.
+    *
+    * Cross-engine exactness: pass a power-of-two `width` so x/width
+    * and the interpolated estimate are exact IEEE ops from integer
+    * counts — every column then hash-matches in any engine. Values
+    * outside [lo, lo + width*nBins) clamp into the edge bins.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Double,
+      width: Double,
+      nBins: Int,
+      qs: Seq[Double]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(valueCol).cast("double")
+    val bin = least(
+      greatest(floor((x - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val hist = df
+      .select(col(groupCol), bin.as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+    val cum = hist.select(
+      col(groupCol), col("bin"), col("cnt"),
+      (sum(col("cnt")).over(wOrd) - col("cnt")).as("cum_before"),
+      sum(col("cnt")).over(wOrd).as("cum"),
+      sum(col("cnt")).over(Window.partitionBy(col(groupCol))).as("n"))
+    val target = col("q") * col("n").cast("double")
+    cum
+      .join(broadcast(qs.toDF("q")))
+      .where(col("cum").cast("double") >= target &&
+        col("cum_before").cast("double") < target)
+      .select(
+        col(groupCol), col("q"), col("bin"), col("cnt"), col("cum_before"), col("n"),
+        (lit(lo) + lit(width) *
+          (col("bin").cast("double") +
+            (target - col("cum_before").cast("double")) / col("cnt").cast("double")))
+          .as("est_value"))
+  }
+
   /** TPC-H Q10-style: top customers by returned-item revenue. Ordered
     * top-N via sort+limit (TakeOrdered — per-partition top-N, no global
     * sort shuffle).

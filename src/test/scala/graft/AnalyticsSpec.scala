@@ -161,6 +161,40 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantiles track exact percentiles within one bin width") {
+    val orders = Tables.load(spark, GraftTestSession.Sf0001, "orders")
+    val exact = Analytics.orderPercentiles(orders).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"))).toMap
+    val hist = Analytics.histogramQuantiles(
+      orders, "o_orderpriority", "o_totalprice",
+      lo = 0.0, width = 128.0, nBins = 8192, qs = Seq(0.25, 0.5, 0.75))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("q")) -> r.getAs[Double]("est_value"))
+      .toMap
+    // The estimate lands in the bin containing the target rank; the
+    // exact interpolated percentile can sit up to one inter-order-stat
+    // gap away (large at small SF), so the gate is relative.
+    exact.foreach { case (k, (p25, p50, p75)) =>
+      assert(math.abs(hist((k, 0.25)) - p25) / p25 < 0.02, s"$k p25")
+      assert(math.abs(hist((k, 0.5)) - p50) / p50 < 0.02, s"$k p50")
+      assert(math.abs(hist((k, 0.75)) - p75) / p75 < 0.02, s"$k p75")
+    }
+    // exactly one row per (group, quantile)
+    assert(hist.size == exact.size * 3)
+  }
+
+  test("histogram quantiles clamp out-of-range values into edge bins") {
+    val df = Seq(("g", -50.0), ("g", 10.0), ("g", 20.0), ("g", 1e9))
+      .toDF("grp", "v")
+    val out = Analytics.histogramQuantiles(df, "grp", "v", 0.0, 16.0, 4, Seq(0.5))
+      .collect()
+    assert(out.length == 1)
+    // bins: -50 -> 0, 10 -> 0, 20 -> 1, 1e9 -> 3 (clamped); median in bin 0
+    assert(out.head.getAs[Long]("bin") == 0L)
+    assert(out.head.getAs[Long]("n") == 4L)
+  }
+
   test("q1 pricing summary sums are exact decimals emitted as doubles") {
     val li = Tables.load(spark, GraftTestSession.Sf0001, "lineitem")
     val out = Analytics.q1PricingSummary(li).collect()
