@@ -634,6 +634,21 @@ object SparkEntry {
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").where(col("vec_id") < 10),
         "vec_id", "embedding", m = 16, dims = 64, ksub = 32, iterations = 2, k = 5)),
+    // Dimension-reduced PQ (the OPQ-shaped compression stack with the
+    // training-free JL rotation): project 64 -> 16 dims with the
+    // md5-signed random projection, then PQ (m=8, dsub=2) + ADC in
+    // the projected space — 4x cheaper codebooks and tables on top of
+    // PQ's compression, end-to-end deterministic and hash-checked.
+    "emb_rp_pq_knn" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val rp = emb.select(
+        col("vec_id"),
+        Quantization.randomProjectionNative(col("embedding"), 64, 16).as("embedding"))
+      Quantization.pqKnn(
+        rp, rp.where(col("vec_id") < 10), "vec_id", "embedding",
+        m = 8, dims = 16, ksub = 32, iterations = 2, k = 5)
+    }),
     // IVF-PQ: learned 8-cell coarse quantizer (same 3-iteration Lloyd
     // schedule as emb_kmeans) + PQ of the residuals, nProbe=3 probe —
     // the composed FAISS-style billion-scale index, fully
@@ -892,8 +907,11 @@ object SparkEntry {
     * chain quantizes raw embeddings (emb_pq_*) or IVF residuals
     * (emb_knn_ivfpq).
     */
-  private def pqChainCtes(subDef: String): String = {
-    val dsub = PqDsub
+  private def pqChainCtes(
+      subDef: String,
+      dsub: Int = PqDsub,
+      ksub: Int = PqKsub,
+      seedSrc: String = "embeddings"): String = {
     def assign(cent: String, name: String) = s"""
       $name AS (
         SELECT subspace, vec_id, centroid_id AS cell FROM (
@@ -917,7 +935,7 @@ object SparkEntry {
         SELECT subspace,
                CAST(row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1 AS INT) AS centroid_id,
                subvec AS centroid
-        FROM sub WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKsub)),
+        FROM sub WHERE vec_id IN (SELECT vec_id FROM $seedSrc ORDER BY vec_id LIMIT $ksub)),
       ${assign("s0", "a1")}, ${mstep("a1", "c1")},
       ${assign("c1", "a2")}, ${mstep("a2", "c2")},
       cb AS (
@@ -933,12 +951,38 @@ object SparkEntry {
                list_transform(embedding[(j * $PqDsub + 1):((j + 1) * $PqDsub)], x -> x::DOUBLE) AS subvec
         FROM embeddings, (SELECT unnest(range($PqM)) AS j)""")
 
-  private val pqKnnOracleSql: String = {
-    val dsub = PqDsub
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  /** The 16-dim md5-signed random projection of `embedding` as a SQL
+    * list expression — the same left-associated double fold the native
+    * graft_rp kernel evaluates (see emb_random_projection oracle).
+    */
+  private val rpVecSql: String = (0 until 16).map { j =>
+    (1 to 64)
+      .map(i => s"embedding[$i]::DOUBLE * (${Quantization.rpSign("rp", i, j)})")
+      .mkString("(", " + ", s") / sqrt(16.0)")
+  }.mkString("list_value(", ", ", ")")
+
+  /** RP->PQ->ADC: the projected-space PQ oracle — JL projection to 16
+    * dims, then the full PQ chain (m=8, dsub=2, ksub=32) and ADC
+    * probe in the projected space.
+    */
+  private val rpPqKnnOracleSql: String =
     s"""
-      WITH $pqPrefixCtes,
+      WITH rpv AS (SELECT vec_id, $rpVecSql AS v FROM embeddings),
+      ${pqChainCtes(
+        """SELECT vec_id, j AS subspace, v[(j * 2 + 1):((j + 1) * 2)] AS subvec
+        FROM rpv, (SELECT unnest(range(8)) AS j)""",
+        dsub = 2, ksub = 32, seedSrc = "rpv")},
+      ${pqAdcSql(8, 2, 5)}"""
+
+  /** ADC encode+probe CTE tail (expects the `sub`/`cb` chain from
+    * pqChainCtes in scope): codes per corpus vector, per-query
+    * distance tables, asymmetric-distance top-k. Parameterized on the
+    * subspace count / width so the same tail scores raw-space PQ
+    * (emb_pq_knn) and projected-space PQ (emb_rp_pq_knn).
+    */
+  private def pqAdcSql(m: Int, dsub: Int, k: Int): String = {
+    def l2(a: String, b: String) = sqlL2(a, b, dsub)
+    s"""
       codes AS (
         SELECT subspace, vec_id, centroid_id AS code FROM (
           SELECT s.subspace AS subspace, s.vec_id AS vec_id, c.centroid_id,
@@ -957,15 +1001,20 @@ object SparkEntry {
       qtab AS (SELECT query_id, list(dists ORDER BY subspace) AS tables FROM qt GROUP BY query_id),
       scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
-               list_sum(list_transform(range(1, ${PqM + 1}), j -> q.tables[j][e.codes[j] + 1])) AS adist
+               list_sum(list_transform(range(1, ${m + 1}), j -> q.tables[j][e.codes[j] + 1])) AS adist
         FROM qtab q CROSS JOIN enc e
         WHERE e.vec_id <> q.query_id)
       SELECT query_id, neighbor_id, rank FROM (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
         FROM scored)
-      WHERE rank <= 5"""
+      WHERE rank <= $k"""
   }
+
+  private val pqKnnOracleSql: String =
+    s"""
+      WITH $pqPrefixCtes,
+      ${pqAdcSql(PqM, PqDsub, 5)}"""
 
   /** IVF-PQ oracle: learned coarse k-means cells (the kmeansOracleSql
     * chain, k-prefixed names) -> corpus assignment -> residuals -> PQ
@@ -1269,6 +1318,7 @@ object SparkEntry {
              round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6) AS c_norm
       FROM cb""",
     "emb_pq_knn" -> pqKnnOracleSql,
+    "emb_rp_pq_knn" -> rpPqKnnOracleSql,
     "emb_get_multi" -> """
       SELECT vec_id, len(embedding) AS dims, embedding[1] AS e_first,
              embedding[-1] AS e_last, label

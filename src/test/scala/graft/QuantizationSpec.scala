@@ -169,6 +169,31 @@ class QuantizationSpec extends AnyFunSuite {
     assert(meanRecall >= 0.4, s"mean PQ recall vs exact L2 collapsed: $meanRecall")
   }
 
+  test("rp->pq composed path: k rows per query, no self-matches, tracks rp-space exact L2") {
+    graft.plans.GraftFunctions.register(spark)
+    val rp = emb.select(
+      col("vec_id"),
+      Quantization.randomProjectionNative(col("embedding"), 64, 16).as("embedding"))
+    val q = rp.where(col("vec_id") < 10)
+    val out = Quantization.pqKnn(rp, q, "vec_id", "embedding",
+      m = 8, dims = 16, ksub = 32, iterations = 2, k = 5)
+    val rows = out.collect()
+    assert(rows.length == 50, "5 neighbors per each of 10 queries")
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    // quality floor: ADC in the projected space should still overlap
+    // the projected-space exact L2 top-k
+    import graft.functions.VectorFunctions
+    val qv = broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
+    val exactL2 = Similarity.topKPerGroup(
+      rp.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+        .join(qv, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", -VectorFunctions.l2Sq(col("q_vec"), col("n_vec"))),
+      "query_id", "sim", "neighbor_id", 5)
+    val meanRecall = Similarity.recall(out, exactL2)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    assert(meanRecall >= 0.3, s"rp-space PQ recall collapsed: $meanRecall")
+  }
+
   test("native ADC is bit-identical to the HOF fold and null-safe") {
     graft.plans.GraftFunctions.register(spark)
     import spark.implicits._
