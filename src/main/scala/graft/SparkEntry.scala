@@ -192,6 +192,14 @@ object SparkEntry {
     "fs_outlier_values" -> ((s, dir) =>
       FeatureStore.featureOutliers(
         t(s, dir, "events"), "event_id", "event_type", "value", zThreshold = 3.0)),
+    // The hashing trick: vocabulary-free signed-hash featurization of
+    // categorical columns into a fixed 64-dim sparse space (exact
+    // integer weights — the whole featurization hash-matches).
+    "fs_feature_hashing" -> ((s, dir) =>
+      FeatureStore.featureHash(
+        t(s, dir, "customer"), "c_custkey",
+        Seq("seg" -> col("c_mktsegment"), "nat" -> col("c_nationkey")),
+        dims = 64)),
     // UpdateMaterialization parity: materialize the first half of the
     // stream, incrementally merge the second half — must equal the
     // full recompute (which is exactly what the oracle computes).
@@ -369,6 +377,18 @@ object SparkEntry {
                   THEN CAST(sy - CAST(value AS DECIMAL(18,4)) AS DOUBLE) / (n - 1)
              END AS loo_encoding
       FROM events JOIN s ON events.event_type = s.category""",
+    "fs_feature_hashing" -> """
+      WITH f AS (
+        SELECT c_custkey AS entity,
+               ('0x' || substr(md5('seg:' || c_mktsegment), 1, 15))::BIGINT AS h
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               ('0x' || substr(md5('nat:' || CAST(c_nationkey AS VARCHAR)), 1, 15))::BIGINT
+        FROM customer)
+      SELECT entity, h % 64 AS feature_idx,
+             CAST(sum(((h >> 59) & 1) * 2 - 1) AS BIGINT) AS weight
+      FROM f GROUP BY entity, h % 64""",
     "fs_outlier_values" -> """
       WITH m1 AS (
         SELECT event_type AS feature, count(*) AS n,

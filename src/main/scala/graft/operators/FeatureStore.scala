@@ -563,6 +563,38 @@ object FeatureStore {
         ((col(valueCol) - col("mean")) / col("std")).as("z"))
   }
 
+  /** The hashing trick (Weinberger et al., ICML'09): map arbitrary
+    * categorical features into a fixed D-dimensional sparse vector
+    * with a signed hash — no vocabulary build, no dictionary shuffle,
+    * memory O(1) however many distinct values arrive (THE featurizer
+    * for unbounded-cardinality columns at 100 TB). Feature index =
+    * md5-top-60-bits("name:value") mod D; the sign bit (hash bit 59)
+    * debiases collisions (E[collision contribution] = 0). Output is
+    * the sparse COO form (entity, feature_idx, weight): weights are
+    * exact integers (sum of ±1), so the whole featurization
+    * hash-matches in any engine. One narrow projection + explode +
+    * one map-side-combined aggregation — scan-speed, no joins.
+    */
+  def featureHash(
+      df: DataFrame,
+      entityCol: String,
+      features: Seq[(String, Column)],
+      dims: Int
+  ): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val feats = features.map { case (name, c) =>
+      val h = graft.functions.TextFunctions.md5Long60(
+        concat_ws(":", lit(name), c.cast("string")))
+      struct(
+        pmod(h, lit(dims.toLong)).as("feature_idx"),
+        (shiftright(h, 59).bitwiseAND(lit(1L)) * 2L - 1L).as("w"))
+    }
+    df
+      .select(col(entityCol).as("entity"), explode(array(feats: _*)).as("f"))
+      .groupBy(col("entity"), col("f.feature_idx").as("feature_idx"))
+      .agg(sum(col("f.w")).as("weight"))
+  }
+
   def featureStats(
       events: DataFrame,
       groupCol: String,

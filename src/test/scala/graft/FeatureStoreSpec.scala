@@ -301,6 +301,39 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(math.abs(z - math.sqrt(99.0)) < 1e-9, s"z=$z")
   }
 
+  test("featureHash: fixed dims, signed integer weights, same value -> same slot") {
+    val df = Seq(
+      (1L, "gold", 7), (2L, "gold", 8), (3L, "silver", 7)
+    ).toDF("id", "tier", "region")
+    val out = FeatureStore.featureHash(
+      df, "id", Seq("tier" -> col("tier"), "region" -> col("region")), dims = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("entity"), r.getAs[Long]("feature_idx")) ->
+        r.getAs[Long]("weight"))
+      .toMap
+    // every index in range; with 2 features per entity a within-entity
+    // slot collision is legal (weights sum), so |w| <= 2
+    assert(out.keys.forall { case (_, idx) => idx >= 0 && idx < 16 })
+    assert(out.values.forall(w => math.abs(w) <= 2L))
+    // same feature value lands in the same slot with the same sign
+    val gold1 = out.filter { case ((e, _), _) => e == 1L }
+    val gold2 = out.filter { case ((e, _), _) => e == 2L }
+    val sharedGold = gold1.keySet.map(_._2).intersect(gold2.keySet.map(_._2))
+    assert(sharedGold.nonEmpty, "entities 1 and 2 share the 'gold' slot")
+    // entity 1 and 3 share region=7's slot
+    val shared7 = gold1.keySet.map(_._2)
+      .intersect(out.filter { case ((e, _), _) => e == 3L }.keySet.map(_._2))
+    assert(shared7.nonEmpty, "entities 1 and 3 share the region=7 slot")
+    // deterministic across runs
+    val again = FeatureStore.featureHash(
+      df, "id", Seq("tier" -> col("tier"), "region" -> col("region")), dims = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("entity"), r.getAs[Long]("feature_idx")) ->
+        r.getAs[Long]("weight"))
+      .toMap
+    assert(again == out)
+  }
+
   test("featureDrift: constant reference (zero width) puts everything in bucket 0") {
     val events = (
       (0 until 50).map(_ => ("c", ts("2024-01-01 00:00:00"), 5.0)) ++
