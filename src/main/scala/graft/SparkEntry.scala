@@ -1932,6 +1932,22 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("rank"))
       Search.rrfFuse(vecList, textList, c = 60, maxRank = 10, k = 10)
     }),
+    // Offline retrieval eval: the cosine-kNN retriever scored against
+    // label ground truth (same-label = relevant) — hits@10, exact
+    // lcm-scaled reciprocal rank, recall@10, precision@10 per query.
+    "search_eval_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranked = Similarity
+        .knnBruteForce(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      val truth = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+        .join(
+          emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("qlabel") && col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      Search.evalRanking(ranked, truth, k = 10)
+    }),
     // Three-tier hybrid retrieval: dense cosine kNN + lexical BM25 +
     // the 1-bit hamming sketch tier, fused with exact-integer RRF in
     // ONE groupBy regardless of list count. The production shape for
@@ -2348,6 +2364,44 @@ object SparkEntry {
         FROM fused)
       WHERE rank <= 10"""
     },
+    "search_eval_knn" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS doc_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid),
+      ranked AS (
+        SELECT query_id, doc_id, rank FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+          FROM scored)
+        WHERE rank <= 10),
+      truth AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS doc_id
+        FROM embeddings q JOIN embeddings n
+          ON n.label = q.label AND n.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+      hits AS (
+        SELECT r.query_id, count(*) AS n_rel_at_k, min(r.rank) AS first_rel_rank
+        FROM ranked r JOIN truth t ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        GROUP BY r.query_id),
+      totals AS (SELECT query_id, count(*) AS n_rel_total FROM truth GROUP BY query_id),
+      anchor AS (SELECT query_id FROM ranked GROUP BY query_id)
+      SELECT a.query_id,
+             CAST(coalesce(n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+             CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+             CAST(coalesce(2520 // first_rel_rank, 0) AS BIGINT) AS rr_scaled,
+             CAST(coalesce(n_rel_total, 0) AS BIGINT) AS n_rel_total,
+             CAST(coalesce(n_rel_at_k, 0) AS DOUBLE) /
+               CAST(greatest(least(coalesce(n_rel_total, 0), 10), 1) AS DOUBLE)
+               AS recall_at_k,
+             CAST(coalesce(n_rel_at_k, 0) AS DOUBLE) / 10.0::DOUBLE AS precision_at_k
+      FROM anchor a
+      LEFT JOIN hits USING (query_id)
+      LEFT JOIN totals USING (query_id)""",
     "search_hybrid_rrf3" -> {
       val scale = graft.operators.Search.rrfScale(60, 10)
       s"""

@@ -200,6 +200,51 @@ object Search {
     sel.select(col("query_id"), col("doc_id"), col("rank"))
   }
 
+  /** Ranked-retrieval evaluation — the offline eval harness for any
+    * retriever in the library (kNN, BM25, hybrid, PQ tiers): per
+    * query, hits@k, first-relevant rank, reciprocal rank, recall@k
+    * and precision@k against a ground-truth pair set. All float-free
+    * where it matters: RR is the exact integer lcm(1..k)/rank (the
+    * same scaling trick as RRF), counts are integers, and the two
+    * ratios are single divisions of exact integers — deterministic in
+    * any engine. Shape: one broadcast-able semi-join of the ranked
+    * lists against the truth pairs + two tiny per-query aggregates;
+    * every stage partitions on query_id, so eval cost scales with the
+    * query batch, not the corpus.
+    *
+    * `ranked`: (query_id, doc_id, rank), rank 1..k per query.
+    * `relevant`: (query_id, doc_id) ground-truth pairs.
+    */
+  def evalRanking(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val scale = rrfScale(0, k) // lcm(1..k)
+    val anchor = ranked.groupBy(col("query_id")).agg(count(lit(1)).as("n_ranked"))
+    val hits = ranked
+      .join(relevant.select(col("query_id"), col("doc_id")).distinct(),
+        Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_rel_at_k"),
+        min(col("rank")).as("first_rel_rank"))
+    val totals = relevant
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_total"))
+    anchor
+      .join(hits, Seq("query_id"), "left_outer")
+      .join(totals, Seq("query_id"), "left_outer")
+      .select(
+        col("query_id"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        col("first_rel_rank"),
+        coalesce(lit(scale) / col("first_rel_rank"), lit(0L)).cast("long")
+          .as("rr_scaled"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+        (coalesce(col("n_rel_at_k"), lit(0L)).cast("double") /
+          greatest(least(coalesce(col("n_rel_total"), lit(0L)), lit(k.toLong)), lit(1L))
+            .cast("double")).as("recall_at_k"),
+        (coalesce(col("n_rel_at_k"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("precision_at_k"))
+  }
+
   /** lcm(c+1 .. c+maxRank) — the exact-integer RRF scale. For the
     * standard c=60, maxRank<=10 this is ~1.4e14; sums of a few lists
     * stay far below 2^63.

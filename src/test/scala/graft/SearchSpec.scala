@@ -91,6 +91,31 @@ class SearchSpec extends AnyFunSuite {
     assert(two.map(_.toString).sorted.sameElements(twoAll.map(_.toString).sorted))
   }
 
+  test("evalRanking: exact RR, recall@k capped by truth size, zero-hit queries kept") {
+    val ranked = Seq(
+      // q1: relevant at ranks 2 and 5
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L), (1L, 14L, 5L),
+      // q2: nothing relevant in the list
+      (2L, 20L, 1L), (2L, 21L, 2L)
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 11L), (1L, 14L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "doc_id")
+    val out = Search.evalRanking(ranked, truth, k = 5)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_rel_at_k") == 2L)
+    assert(q1.getAs[Long]("first_rel_rank") == 2L)
+    assert(q1.getAs[Long]("rr_scaled") == Search.rrfScale(0, 5) / 2) // lcm(1..5)=60 -> 30
+    assert(q1.getAs[Long]("n_rel_total") == 3L)
+    assert(q1.getAs[Double]("recall_at_k") == 2.0 / 3.0)
+    assert(q1.getAs[Double]("precision_at_k") == 2.0 / 5.0)
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_rel_at_k") == 0L)
+    assert(q2.isNullAt(q2.fieldIndex("first_rel_rank")))
+    assert(q2.getAs[Long]("rr_scaled") == 0L)
+    assert(q2.getAs[Double]("recall_at_k") == 0.0)
+  }
+
   test("tfidfTopTerms surfaces distinctive terms over ubiquitous ones") {
     // "common" appears in every doc (idf = ln(1) = 0); each doc's rare
     // term must outrank it, repeated rare terms score highest.
