@@ -1594,6 +1594,19 @@ object SparkEntry {
         .jaccardWordPairs(docs, "doc_id", "text", "lang", 0.9)
         .select(col("a"), col("b"))
       Dedup.connectedComponents(edges, docs, "doc_id")
+    }),
+    // The full published near-dedup pipeline in one query (the GPT-3/
+    // Lee-et-al corpus-dedup recipe): MinHash-LSH candidate pairs ->
+    // connected components -> keep the min-id doc per cluster, with
+    // the cluster size it absorbed — the cleaned-corpus view.
+    "dedup_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshNative(docs, "doc_id", "text").select(col("a"), col("b"))
+      val cc = Dedup.connectedComponents(pairs, docs, "doc_id")
+      val sizes = cc.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_merged"))
+      docs
+        .join(sizes, col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("n_merged"), col("n_chars"))
     })
   )
 
@@ -1602,7 +1615,10 @@ object SparkEntry {
     * its two 64-bit hex halves; min over fixed-width lowercase hex ==
     * min over the 64-bit value), 4 bands of 4.
     */
-  private val minhashOracleSql: String = {
+  /** The minhash WITH-chain body (toks -> sh -> sig -> banded),
+    * shared by the pair query and the canonicalize pipeline.
+    */
+  private val minhashChainCtes: String = {
     val bands = 4
     val rpb = 4
     val sigCols = (0 until bands * rpb / 2)
@@ -1614,8 +1630,7 @@ object SparkEntry {
       val parts = (b * rpb until (b + 1) * rpb).map(i => s"h$i").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (
         SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
@@ -1625,11 +1640,37 @@ object SparkEntry {
         SELECT doc_id, $sigCols
         FROM sh GROUP BY doc_id),
       banded AS (
-        $bandRows)
+        $bandRows)"""
+  }
+
+  private val minhashOracleSql: String =
+    s"""
+      WITH $minhashChainCtes
       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_bands
       FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id"""
-  }
+
+  /** Minhash pairs -> min-label connected components -> canonical
+    * survivor per cluster with its absorbed size.
+    */
+  private val dedupCanonicalizeOracleSql: String =
+    s"""
+      WITH RECURSIVE $minhashChainCtes,
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      sym AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+      cc(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, cc.lbl FROM cc JOIN sym s ON s.src = cc.node AND cc.lbl < s.dst),
+      cc2 AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node),
+      sizes AS (SELECT canonical_id, count(*) AS n_merged FROM cc2 GROUP BY canonical_id)
+      SELECT d.doc_id, CAST(s.n_merged AS BIGINT) AS n_merged, d.n_chars
+      FROM documents d JOIN sizes s ON s.canonical_id = d.doc_id"""
 
   /** Generated oracle for the md5-portable simhash pipeline: 60-bit
     * token hashes (top 60 bits of md5), per-bit counter sums, 4 bands
@@ -1666,6 +1707,7 @@ object SparkEntry {
 
   private def dedupOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_canonicalize" -> dedupCanonicalizeOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -167,6 +167,23 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("canonicalize pipeline: min-id doc survives per near-dup cluster with absorbed size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (5L, dup), (2L, dup), (9L, dup),
+      (3L, "completely different words in this one with no overlap at all here")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Dedup.minhashLshNative(docs, "doc_id", "text").select(col("a"), col("b"))
+    val cc = Dedup.connectedComponents(pairs, docs, "doc_id")
+    val sizes = cc.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_merged"))
+    val out = docs.join(sizes, col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("n_merged"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 3L, 3L -> 1L))
+  }
+
   test("native minhash band kernel is bit-identical to the declarative portable pipeline") {
     val corpus = sources.Tables.load(spark, GraftTestSession.Sf0001, "documents")
     def key(r: org.apache.spark.sql.Row) =
