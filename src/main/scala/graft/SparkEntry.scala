@@ -200,6 +200,23 @@ object SparkEntry {
         t(s, dir, "customer"), "c_custkey",
         Seq("seg" -> col("c_mktsegment"), "nat" -> col("c_nationkey")),
         dims = 64)),
+    // Dense assembly of the hashed features (the VectorAssembler
+    // step): fixed 64-wide integer vectors, emitted as a csv string +
+    // summary stats (scalar columns keep the driver row-sort exact).
+    "fs_feature_matrix" -> ((s, dir) => {
+      val sparse = FeatureStore.featureHash(
+        t(s, dir, "customer"), "c_custkey",
+        Seq("seg" -> col("c_mktsegment"), "nat" -> col("c_nationkey")),
+        dims = 64)
+      FeatureStore.featureMatrix(sparse, dims = 64)
+        .select(
+          col("entity"),
+          concat_ws(",", transform(col("features"), x => x.cast("string")))
+            .as("features_csv"),
+          aggregate(col("features"), lit(0L), (acc, x) => acc + abs(x)).as("l1"),
+          aggregate(col("features"), lit(0L),
+            (acc, x) => acc + when(x =!= 0L, 1L).otherwise(0L)).as("nnz"))
+    }),
     // UpdateMaterialization parity: materialize the first half of the
     // stream, incrementally merge the second half — must equal the
     // full recompute (which is exactly what the oracle computes).
@@ -389,6 +406,31 @@ object SparkEntry {
       SELECT entity, h % 64 AS feature_idx,
              CAST(sum(((h >> 59) & 1) * 2 - 1) AS BIGINT) AS weight
       FROM f GROUP BY entity, h % 64""",
+    "fs_feature_matrix" -> """
+      WITH f AS (
+        SELECT c_custkey AS entity,
+               ('0x' || substr(md5('seg:' || c_mktsegment), 1, 15))::BIGINT AS h
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               ('0x' || substr(md5('nat:' || CAST(c_nationkey AS VARCHAR)), 1, 15))::BIGINT
+        FROM customer),
+      fh AS (
+        SELECT entity, h % 64 AS feature_idx,
+               CAST(sum(((h >> 59) & 1) * 2 - 1) AS BIGINT) AS weight
+        FROM f GROUP BY entity, h % 64),
+      agg AS (SELECT entity, list(feature_idx) AS idxs, list(weight) AS ws
+              FROM fh GROUP BY entity),
+      dense AS (
+        SELECT entity,
+               list_transform(range(0, 64),
+                 i -> coalesce(ws[list_position(idxs, i)], 0)) AS features
+        FROM agg)
+      SELECT entity, array_to_string(features, ',') AS features_csv,
+             CAST(list_sum(list_transform(features, x -> abs(x))) AS BIGINT) AS l1,
+             CAST(list_sum(list_transform(features,
+               x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END)) AS BIGINT) AS nnz
+      FROM dense""",
     "fs_outlier_values" -> """
       WITH m1 AS (
         SELECT event_type AS feature, count(*) AS n,
@@ -1868,6 +1910,13 @@ object SparkEntry {
         "doc_id", seed = 13L)
         .select(col("doc_id"), col("mix_source"))
     }),
+    // Exact per-group budget: exactly min(60, |lang|) docs per
+    // language by md5 rank — hard corpus balancing (a fraction-based
+    // sample only hits a budget in expectation).
+    "sample_group_budget" -> ((s, dir) =>
+      Sampling.perGroupBudget(
+        t(s, dir, "documents"), "lang", "doc_id", n = 60, seed = 17L)
+        .select(col("doc_id"), col("lang"))),
     // Blocklist redaction (the PII-scrub shape: same operator, swap the
     // word list for email/phone/id regexes on a real corpus).
     "text_scrub" -> ((s, dir) =>
@@ -2051,6 +2100,10 @@ object SparkEntry {
             CASE lang WHEN 'en' THEN '80000000'
                       WHEN 'de' THEN '40000000'
                       ELSE '19999999' END""",
+    "sample_group_budget" -> """
+      SELECT doc_id, lang FROM documents
+      QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) <= 60""",
     "sample_mixture" -> """
       SELECT doc_id, 'src0' AS mix_source FROM documents
       WHERE source = 'src0'

@@ -595,6 +595,22 @@ object FeatureStore {
       .agg(sum(col("f.w")).as("weight"))
   }
 
+  /** Assemble the sparse COO output of [[featureHash]] into dense
+    * fixed-width vectors (the VectorAssembler step before model
+    * training). One per-entity aggregation; the map lookup makes the
+    * result independent of collection order. Absent slots are 0.
+    */
+  def featureMatrix(sparse: DataFrame, dims: Int): DataFrame =
+    sparse
+      .groupBy(col("entity"))
+      .agg(map_from_entries(
+        collect_list(struct(col("feature_idx"), col("weight")))).as("m"))
+      .select(
+        col("entity"),
+        transform(
+          sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))).as("features"))
+
   def featureStats(
       events: DataFrame,
       groupCol: String,

@@ -60,6 +60,30 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Exact per-group budget sampling: keep exactly min(n, |group|)
+    * rows per group, chosen deterministically by md5 rank — corpus
+    * balancing to a hard per-language/per-source budget, where a
+    * fraction-based sample can only hit the budget in expectation.
+    * Cost: one rank window PARTITIONED BY the group (never global) —
+    * the shuffle carries only the sampled table's columns. Ties in
+    * the 32-bit hash prefix break on the key, so selection is total.
+    */
+  def perGroupBudget(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      n: Int,
+      seed: Long
+  ): DataFrame = {
+    require(n > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(bucket(col(keyCol), seed), col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Weighted corpus mixture: each source contributes a deterministic
     * hash sample at its own rate, tagged with its name — the
     * "data-mixture" step of LLM corpus assembly. All sources must share

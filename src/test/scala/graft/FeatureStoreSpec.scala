@@ -334,6 +334,18 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("featureMatrix densifies sparse COO rows; absent slots zero; nnz preserved") {
+    val sparse = Seq(
+      (1L, 3L, 2L), (1L, 7L, -1L), (2L, 0L, 1L)
+    ).toDF("entity", "feature_idx", "weight")
+    val out = FeatureStore.featureMatrix(sparse, dims = 8)
+      .collect()
+      .map(r => r.getAs[Long]("entity") -> r.getSeq[Long](r.fieldIndex("features")).toList)
+      .toMap
+    assert(out(1L) == List(0L, 0L, 0L, 2L, 0L, 0L, 0L, -1L))
+    assert(out(2L) == List(1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("featureDrift: constant reference (zero width) puts everything in bucket 0") {
     val events = (
       (0 until 50).map(_ => ("c", ts("2024-01-01 00:00:00"), 5.0)) ++

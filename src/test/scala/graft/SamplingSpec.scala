@@ -12,6 +12,23 @@ class SamplingSpec extends AnyFunSuite {
 
   private lazy val docs = Tables.load(spark, GraftTestSession.Sf0001, "documents")
 
+  test("perGroupBudget keeps exactly min(n, group size) rows, deterministically") {
+    val out = Sampling.perGroupBudget(docs, "lang", "doc_id", n = 10, seed = 17L)
+    val counts = out.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(10L, n), s"$lang budget")
+    }
+    val again = Sampling.perGroupBudget(docs, "lang", "doc_id", n = 10, seed = 17L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again == out.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    val otherSeed = Sampling.perGroupBudget(docs, "lang", "doc_id", n = 10, seed = 18L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(otherSeed != again, "different seed should pick a different subset")
+  }
+
   test("hashSample is deterministic, seed-sensitive, and near the target rate") {
     val a = Sampling.hashSample(docs, "doc_id", 0.2, seed = 7L)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
