@@ -811,8 +811,66 @@ object SparkEntry {
       val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
       Graph.pageRank(edges, dampingPct = 85, iterations = 3)
         .select(col("id").as("node_id"), col("pr_units"), col("pagerank"))
+    }),
+    // Weak supervision: spread the 10% ground-truth labels (vec_id <
+    // 50) over the 3-NN cosine graph by 2 rounds of clamped majority
+    // vote — integer votes, smaller-label tiebreak, bit-reproducible.
+    "graph_label_prop" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      val seeds = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("id"), col("label"))
+      Graph.labelPropagation(edges, seeds, iterations = 2)
+        .select(col("id").as("node_id"), col("label"))
     })
   )
+
+  /** Unrolled 2-iteration clamped majority-vote label propagation over
+    * the same 3-NN cosine graph as PageRank: integer votes,
+    * smaller-label tiebreak, seeds (vec_id < 50) clamped.
+    */
+  private lazy val labelPropOracleSql: String = {
+    def iter(prev: String, n: Int): String = s"""
+      v$n AS (
+        SELECT e.dst AS id, p.label AS nl, count(*) AS votes
+        FROM edges e JOIN $prev p ON p.id = e.src
+        WHERE p.label IS NOT NULL GROUP BY e.dst, p.label),
+      w$n AS (
+        SELECT id, nl AS win FROM (
+          SELECT id, nl,
+                 row_number() OVER (PARTITION BY id ORDER BY votes DESC, nl) AS rn
+          FROM v$n)
+        WHERE rn = 1),
+      l$n AS (
+        SELECT nodes.id, coalesce(seeds.sl, w$n.win, $prev.label) AS label
+        FROM nodes
+        LEFT JOIN seeds ON seeds.id = nodes.id
+        LEFT JOIN w$n ON w$n.id = nodes.id
+        LEFT JOIN $prev ON $prev.id = nodes.id)"""
+    s"""
+      WITH escored AS (
+        SELECT qid AS src, nvid AS dst,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
+        GROUP BY qid, nvid),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+          FROM escored) WHERE rank <= 3),
+      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      seeds AS (
+        SELECT vec_id AS id, CAST(label AS BIGINT) AS sl
+        FROM embeddings WHERE vec_id < 50),
+      l0 AS (
+        SELECT nodes.id, seeds.sl AS label
+        FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id),
+      ${iter("l0", 1)},
+      ${iter("l1", 2)}
+      SELECT id AS node_id, CAST(label AS BIGINT) AS label FROM l2"""
+  }
 
   /** Unrolled 3-iteration PageRank (dampingPct 85) over the directed
     * 3-NN cosine graph — the same FIXED-POINT INTEGER schedule as
@@ -1429,6 +1487,7 @@ object SparkEntry {
       FROM embeddings WHERE vec_id < 10""",
     "emb_kmeans" -> kmeansOracleSql,
     "graph_pagerank" -> pageRankOracleSql,
+    "graph_label_prop" -> labelPropOracleSql,
     "emb_centroid_drift" -> """
       WITH b AS (
         SELECT label, vec_id % 2 = 0 AS is_old,

@@ -40,6 +40,54 @@ object Graph {
       .knnBruteForce(space, space, keyCol, vecCol, k)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
 
+  /** Semi-supervised label propagation (the Zhu–Ghahramani 2002
+    * hard-clamp variant) over a directed edge list: seed nodes keep
+    * their label forever; each round every node adopts the majority
+    * label among its in-neighbors' current labels (unlabeled
+    * neighbors abstain; a node with no labeled in-neighbors keeps its
+    * current label), ties break on the smaller label. Spreads scarce
+    * ground-truth labels over the similarity graph — weak supervision
+    * for corpus annotation at scale.
+    *
+    * Scale/exactness shape: one round = one join edges⋈labels on src
+    * + one integer vote aggregation + a per-node argmax window
+    * (partitioned on the node, never global). Votes are integer
+    * counts with a total tiebreak, so the whole schedule is
+    * bit-reproducible — no float, no RNG.
+    *
+    * `edges`: (src, dst). `seeds`: (id, label). Output: every node
+    * with its label after `iterations` rounds (null = never reached).
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val seed = seeds.select(col("id"), col("label").cast("long").as("sl"))
+    val init = nodes
+      .join(seed, Seq("id"), "left")
+      .select(col("id"), col("sl").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("votes").desc, col("nl"))
+    (1 to iterations).foldLeft(init) { (cur, _) =>
+      val votes = edges
+        .join(
+          cur.select(col("id").as("src"), col("label").as("nl")).where(col("nl").isNotNull),
+          "src")
+        .groupBy(col("dst").as("id"), col("nl"))
+        .agg(count(lit(1)).as("votes"))
+      val winner = votes
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("nl").as("win"))
+      nodes
+        .join(seed, Seq("id"), "left")
+        .join(winner, Seq("id"), "left")
+        .join(cur.select(col("id"), col("label").as("prev")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("sl"), col("win"), col("prev")).as("label"))
+    }
+  }
+
   /** PageRank with teleport `1 - damping`, no dangling-mass
     * redistribution (dangling nodes leak their mass — the common
     * practical simplification; a kNN graph has uniform out-degree k

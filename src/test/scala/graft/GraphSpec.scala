@@ -14,6 +14,29 @@ class GraphSpec extends AnyFunSuite {
     Graph.pageRank(edges.toDF("src", "dst"), dampingPct = 85, iterations = iters)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pr_units")).toMap
 
+  test("labelPropagation: clamped seeds, majority vote, tiebreak, frontier spread") {
+    // 1(seed A=10) -> 2 -> 3; 4(seed B=20) -> 2.  Edges point INTO the
+    // voter's neighbors: votes flow along src -> dst.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (4L, 20L)).toDF("id", "label")
+    val r1 = Graph.labelPropagation(edges, seeds, iterations = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("label"))).map(_.asInstanceOf[Long])).toMap
+    // node 2: one vote for 10, one for 20 -> tie -> smaller label 10
+    assert(r1(2L) == Some(10L))
+    // node 3: in-neighbor 2 was unlabeled in round 1's input
+    assert(r1(3L) == None)
+    assert(r1(1L) == Some(10L) && r1(4L) == Some(20L), "seeds clamped")
+    val r2 = Graph.labelPropagation(edges, seeds, iterations = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("label"))).map(_.asInstanceOf[Long])).toMap
+    // round 2: node 3 hears node 2's round-1 label
+    assert(r2(3L) == Some(10L))
+    // a node keeps its label when its in-neighborhood goes quiet:
+    // seed votes persist, so node 2 stays 10
+    assert(r2(2L) == Some(10L))
+  }
+
   test("uniform ring keeps the uniform distribution (exact fixed point)") {
     val pr = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
     // 1e12 div 3 = 333333333333; each round: teleport 50000000000 +
