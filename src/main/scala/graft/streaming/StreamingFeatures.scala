@@ -368,6 +368,29 @@ object StreamingFeatures {
       }
   }
 
+  /** Streaming ANN serving: query vectors arrive as a stream and are
+    * answered against a STATIC corpus (the frozen index snapshot) —
+    * the online-serving half of the batch kNN path. The corpus is
+    * broadcast once into the stream-static join (no shuffle of the
+    * stream); scoring is the native cosine kernel; the bounded-heap
+    * top-k aggregate keys state by query_id (O(k) per query seen, and
+    * a re-submitted query refines in place — Update mode). Per-batch
+    * output equals the batch [[graft.operators.Similarity.knnBruteForce]]
+    * over the same queries: spec-certified in StreamingSpec.
+    *
+    * `queries`: streaming (query_id, q_vec). `corpus`: static
+    * (neighbor_id, n_vec).
+    */
+  def knnServeStream(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val joined = queries
+      .join(broadcast(corpus), col("query_id") =!= col("neighbor_id"))
+      .withColumn(
+        "sim",
+        graft.functions.VectorFunctions.cosine(col("q_vec"), col("n_vec")))
+    graft.operators.Similarity.topKPerGroup(joined, "query_id", "sim", "neighbor_id", k)
+  }
+
   final case class ScoredCandidate(query_id: Long, doc_id: Long, score: Double)
   final case class RankedDoc(query_id: Long, doc_id: Long, rank: Long, score: Double)
 

@@ -15,6 +15,40 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("knnServeStream answers streamed query vectors identically to batch kNN") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val qRows = emb.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val query = StreamingFeatures
+      .knnServeStream(
+        input.toDS().toDF("query_id", "q_vec"), corpus, k = 5)
+      .writeStream.format("memory").queryName("knn_serve")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // two batches: queries 0-2, then 3-4 (state per query refines
+      // independently; each batch emits its queries' full top-k)
+      input.addData(qRows.take(3).toSeq: _*)
+      query.processAllAvailable()
+      input.addData(qRows.drop(3).toSeq: _*)
+      query.processAllAvailable()
+      val got = spark.table("knn_serve").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Long]("neighbor_id")).toMap
+      val expected = graft.operators.Similarity
+        .knnBruteForce(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Long]("neighbor_id")).toMap
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("topKServeStream: bounded per-query state across batches; parity with batch analog") {
     import StreamingFeatures.ScoredCandidate
     val input = MemoryStream[ScoredCandidate](spark)
