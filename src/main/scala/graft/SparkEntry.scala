@@ -1071,6 +1071,41 @@ object SparkEntry {
                list_transform(embedding[(j * $PqDsub + 1):((j + 1) * $PqDsub)], x -> x::DOUBLE) AS subvec
         FROM embeddings, (SELECT unnest(range($PqM)) AS j)""")
 
+  /** Unrolled greedy k-center (k=5): seed = min vec_id, then four
+    * rounds of "farthest from nearest selected center" (max-min L2,
+    * tiebreak smaller id) — the exact schedule
+    * Sampling.kCenterSelect runs, with the same ordered double fold.
+    */
+  private lazy val kCenterOracleSql: String = {
+    val d = sqlL2("e.embedding", "c.embedding", 64)
+      .replaceAll("e\\.embedding\\[i\\]", "e.embedding[i]::DOUBLE")
+      .replaceAll("c\\.embedding\\[i\\]", "c.embedding[i]::DOUBLE")
+    def round(prev: String, n: Int): String = s"""
+      d$n AS (
+        SELECT e.vec_id, min($d) AS dmin
+        FROM embeddings e, $prev c
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+        GROUP BY e.vec_id),
+      p$n AS (SELECT vec_id, dmin FROM d$n ORDER BY dmin DESC, vec_id LIMIT 1),
+      c$n AS (
+        SELECT vec_id, embedding FROM $prev
+        UNION ALL
+        SELECT e.vec_id, e.embedding FROM embeddings e JOIN p$n ON p$n.vec_id = e.vec_id)"""
+    s"""
+      WITH c1 AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+      ${round("c1", 2)},
+      ${round("c2", 3)},
+      ${round("c3", 4)},
+      ${round("c4", 5)}
+      SELECT vec_id AS id, CAST(1 AS BIGINT) AS rank, NULL::DOUBLE AS dist FROM c1
+      UNION ALL SELECT vec_id, 2, dmin FROM p2
+      UNION ALL SELECT vec_id, 3, dmin FROM p3
+      UNION ALL SELECT vec_id, 4, dmin FROM p4
+      UNION ALL SELECT vec_id, 5, dmin FROM p5"""
+  }
+
   /** The 16-dim md5-signed random projection of `embedding` as a SQL
     * list expression — the same left-associated double fold the native
     * graft_rp kernel evaluates (see emb_random_projection oracle).
@@ -1976,6 +2011,11 @@ object SparkEntry {
       Sampling.perGroupBudget(
         t(s, dir, "documents"), "lang", "doc_id", n = 60, seed = 17L)
         .select(col("doc_id"), col("lang"))),
+    // Greedy k-center coreset: 5 diversity-maximizing exemplars of
+    // the embedding space (Gonzalez max-min farthest-point), with the
+    // coverage-radius sequence — the 5-step schedule unrolls into SQL.
+    "sample_kcenter" -> ((s, dir) =>
+      Sampling.kCenterSelect(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
     // Blocklist redaction (the PII-scrub shape: same operator, swap the
     // word list for email/phone/id regexes on a real corpus).
     "text_scrub" -> ((s, dir) =>
@@ -2163,6 +2203,7 @@ object SparkEntry {
       SELECT doc_id, lang FROM documents
       QUALIFY row_number() OVER (PARTITION BY lang
         ORDER BY substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) <= 60""",
+    "sample_kcenter" -> kCenterOracleSql,
     "sample_mixture" -> """
       SELECT doc_id, 'src0' AS mix_source FROM documents
       WHERE source = 'src0'

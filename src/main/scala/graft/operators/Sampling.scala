@@ -84,6 +84,54 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985, the classic max-min
+    * 2-approximation): start from the smallest id, then repeatedly
+    * add the point FARTHEST from its nearest selected center —
+    * diversity-maximizing exemplar selection for training-data
+    * curation (cover the embedding space with k representatives,
+    * the opposite bias of random sampling).
+    *
+    * Each of the k-1 rounds: one broadcast of the ≤k-row center set
+    * into a nested-loop join + one per-candidate min aggregate + ONE
+    * global max_by reduce (no sort). Distances are the native
+    * graft_l2sq ordered fold; the argmax tiebreaks on the smaller id
+    * — selection is total and engine-reproducible. The selected set
+    * is pinned per round (it feeds the anti-join and the union).
+    *
+    * Returns (id, rank, dist): rank = selection order, dist = the
+    * max-min distance when picked (the coverage radius sequence;
+    * null for the seed row).
+    */
+  def kCenterSelect(space: DataFrame, keyCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    import graft.functions.VectorFunctions.l2Sq
+    val pts = space.select(col(keyCol).as("id"), col(vecCol).as("vec"))
+    val seed = pts
+      .agg(max_by(struct(col("id"), col("vec")), -col("id")).as("b"))
+      .select(
+        col("b.id").as("id"), col("b.vec").as("vec"),
+        lit(1L).as("rank"), lit(null).cast("double").as("dist"))
+      .localCheckpoint()
+    (2 to k).foldLeft(seed) { (selected, r) =>
+      val remaining = pts.join(selected.select(col("id")), Seq("id"), "left_anti")
+      val scored = remaining
+        .crossJoin(broadcast(selected.select(col("vec").as("c_vec"))))
+        .groupBy(col("id"))
+        .agg(
+          first(col("vec")).as("vec"),
+          min(l2Sq(col("vec"), col("c_vec"))).as("dmin"))
+      val pick = scored
+        .agg(max_by(
+          struct(col("id"), col("vec"), col("dmin")),
+          struct(col("dmin"), (-col("id")).as("nid"))).as("b"))
+        .select(
+          col("b.id").as("id"), col("b.vec").as("vec"),
+          lit(r.toLong).as("rank"), col("b.dmin").as("dist"))
+      selected.unionByName(pick).localCheckpoint()
+    }.select(col("id"), col("rank"), col("dist"))
+  }
+
   /** Weighted corpus mixture: each source contributes a deterministic
     * hash sample at its own rate, tagged with its name — the
     * "data-mixture" step of LLM corpus assembly. All sources must share

@@ -12,6 +12,24 @@ class SamplingSpec extends AnyFunSuite {
 
   private lazy val docs = Tables.load(spark, GraftTestSession.Sf0001, "documents")
 
+  test("kCenterSelect picks the greedy farthest-point sequence with min-id ties") {
+    // 1D line: points at 0, 1, 10, 20 (ids 1..4). Seed = id 1 (x=0).
+    // Round 2: farthest is x=20 (d=400). Round 3: min-dists are
+    // 1 (x=1), 100 (x=10) -> pick x=10. Round 4: x=1 remains.
+    val pts = Seq(
+      (1L, Seq(0f)), (2L, Seq(1f)), (3L, Seq(10f)), (4L, Seq(20f))
+    ).toDF("vec_id", "embedding")
+    val out = Sampling.kCenterSelect(pts, "vec_id", "embedding", k = 4)
+      .collect()
+      .map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[Long]("id"), Option(r.get(r.fieldIndex("dist"))))))
+      .toMap
+    assert(out(1L)._1 == 1L && out(1L)._2.isEmpty)
+    assert(out(2L) == ((4L, Some(400.0))))
+    assert(out(3L) == ((3L, Some(100.0))))
+    assert(out(4L) == ((2L, Some(1.0))))
+  }
+
   test("perGroupBudget keeps exactly min(n, group size) rows, deterministically") {
     val out = Sampling.perGroupBudget(docs, "lang", "doc_id", n = 10, seed = 17L)
     val counts = out.groupBy(col("lang")).count()
