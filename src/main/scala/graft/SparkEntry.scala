@@ -2054,6 +2054,46 @@ object SparkEntry {
     // per document (cluster labeling / sparse-vector summarization).
     "text_tfidf_top_terms" -> ((s, dir) =>
       Search.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // Count-Min frequency sketch: token occurrence counts in a 4x2048
+    // integer matrix (O(sketch) memory at any corpus size, upward-only
+    // bias); probed for a fixed token set against exact counts.
+    "text_cms_counts" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sketch = Sketches.cmsBuild(toks, col("tok"), depth = 4, width = 2048)
+      val probes = SketchProbeTokens.toDF("item")
+      val exact = toks
+        .where(col("tok").isin(SketchProbeTokens: _*))
+        .groupBy(col("tok").as("item"))
+        .agg(count(lit(1)).as("exact_count"))
+      Sketches.cmsQuery(sketch, probes, depth = 4, width = 2048)
+        .join(exact, Seq("item"), "left_outer")
+        .select(
+          col("item"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+    }),
+    // Bloom membership filter in relational form (distinct k-hash
+    // positions; member iff all k set): the English vocabulary as the
+    // key set, probed with the fixed token list — zero false
+    // negatives, FP rate bounded by (1-e^{-kn/m})^k.
+    "text_bloom_vocab" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val enToks = t(s, dir, "documents")
+        .where(col("lang") === "en")
+        .select(explode(TextFunctions.distinctTokens(col("text"))).as("tok"))
+      val filter = Sketches.bloomBuild(enToks, col("tok"), k = 4, bits = 4096)
+      val probes = SketchProbeTokens.toDF("item")
+      val members = enToks.select(col("tok").as("item")).distinct()
+        .withColumn("is_member", lit(true))
+      Sketches.bloomProbe(filter, probes, k = 4, bits = 4096)
+        .join(members, Seq("item"), "left_outer")
+        .select(
+          col("item"), col("n_set"), col("maybe_member"),
+          coalesce(col("is_member"), lit(false)).as("is_member"))
+    }),
     // Portable HyperLogLog: per-language distinct-token estimates in
     // one pass — at most 2^p registers per group cross the shuffle,
     // never the distinct value space (the 100 TB cardinality answer;
@@ -2179,6 +2219,12 @@ object SparkEntry {
     * synthetic lowercase words; production swaps in PII regexes).
     */
   private val ScrubBlocklist = Seq("hash", "key", "secret")
+
+  /** Fixed probe set for the CMS/Bloom sketch queries: four known
+    * vocabulary terms + one never-seen token (exercises the empty-cell
+    * and non-member paths).
+    */
+  private val SketchProbeTokens = Seq("hash", "join", "vector", "customer", "zzznever")
 
   private val stopwordList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -2414,6 +2460,60 @@ object SparkEntry {
              len(list_filter(string_split(trim(t), '  '), x -> contains(x, '@@')))
                AS n_merged_tokens
       FROM t4"""
+    },
+    "text_cms_counts" -> {
+      val probeList = SketchProbeTokens.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      probes AS (SELECT unnest([$probeList]) AS item),
+      cells AS (
+        SELECT row, col, count(*) AS cnt FROM (
+          SELECT r AS row,
+                 ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+                   % 2048 AS col
+          FROM toks, (SELECT unnest(range(4)) AS r))
+        GROUP BY row, col),
+      lanes AS (
+        SELECT item, r AS row,
+               ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || item), 1, 15))::BIGINT
+                 % 2048 AS col
+        FROM probes, (SELECT unnest(range(4)) AS r)),
+      est AS (
+        SELECT item, min(coalesce(cnt, 0)) AS est_count
+        FROM lanes LEFT JOIN cells USING (row, col) GROUP BY item),
+      ex AS (
+        SELECT tok AS item, count(*) AS exact_count FROM toks
+        WHERE tok IN ($probeList) GROUP BY tok)
+      SELECT item, CAST(est_count AS BIGINT) AS est_count,
+             CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count
+      FROM est LEFT JOIN ex USING (item)"""
+    },
+    "text_bloom_vocab" -> {
+      val probeList = SketchProbeTokens.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH vocab AS (
+        SELECT DISTINCT tok FROM (
+          SELECT unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents WHERE lang = 'en')),
+      filt AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+                 % 4096 AS pos
+        FROM vocab, (SELECT unnest(range(4)) AS r)),
+      probes AS (SELECT unnest([$probeList]) AS item),
+      lanes AS (
+        SELECT item,
+               ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || item), 1, 15))::BIGINT
+                 % 4096 AS pos
+        FROM probes, (SELECT unnest(range(4)) AS r)),
+      pr AS (
+        SELECT item, CAST(sum(CASE WHEN filt.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_set
+        FROM lanes LEFT JOIN filt ON filt.pos = lanes.pos
+        GROUP BY item)
+      SELECT pr.item, n_set, n_set = 4 AS maybe_member,
+             coalesce(vocab.tok IS NOT NULL, false) AS is_member
+      FROM pr LEFT JOIN vocab ON vocab.tok = pr.item"""
     },
     "text_hll_tokens" -> """
       WITH items AS (
