@@ -1743,7 +1743,16 @@ object SparkEntry {
       docs
         .join(sizes, col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), col("n_merged"), col("n_chars"))
-    })
+    }),
+    // SemDeDup (Abbas et al. 2023): semantic pruning — same Lloyd
+    // schedule as emb_kmeans (k=8, 3 iterations), members ranked by
+    // similarity to their centroid, later-ranked members with an
+    // earlier eps-neighbor are pruned. The whole chain (clustering,
+    // assignment, ranking, pair test) unrolls into the SQL oracle.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semDeDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iterations = 3, eps = 0.25))
   )
 
   /** Generated oracle for the md5-portable minhash+LSH pipeline:
@@ -1841,9 +1850,47 @@ object SparkEntry {
       WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
   }
 
+  /** SemDeDup oracle: the shared k-means CTE chain, a final assignment
+    * that KEEPS the winning similarity (the rank key), centroid-rank
+    * windows per cluster, then the earlier-ranked eps-neighbor test.
+    */
+  private lazy val semDeDupOracleSql: String = s"""
+      WITH $kmeansCtes,
+      a4s AS (
+        SELECT vec_id, centroid_id AS cell, sim FROM (
+          SELECT vec_id, centroid_id, sim,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM (
+            SELECT vec_id, centroid_id,
+                   sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+            FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
+              FROM embeddings e CROSS JOIN c3 c)
+            GROUP BY vec_id, centroid_id))
+        WHERE rn = 1),
+      ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rnk
+        FROM a4s),
+      psim AS (
+        SELECT a, b, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cs FROM (
+          SELECT la.vec_id AS a, lb.vec_id AS b,
+                 unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+          FROM ranked la
+          JOIN ranked lb ON lb.cell = la.cell AND lb.rnk < la.rnk
+          JOIN embeddings ea ON ea.vec_id = la.vec_id
+          JOIN embeddings eb ON eb.vec_id = lb.vec_id)
+        GROUP BY a, b),
+      dups AS (SELECT DISTINCT a AS vec_id FROM psim WHERE cs > 0.25)
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cluster,
+             CAST(r.rnk AS BIGINT) AS rnk, (d.vec_id IS NULL) AS kept
+      FROM ranked r LEFT JOIN dups d ON d.vec_id = r.vec_id"""
+
   private def dedupOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_canonicalize" -> dedupCanonicalizeOracleSql,
+    "dedup_semantic" -> semDeDupOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

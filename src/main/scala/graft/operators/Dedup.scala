@@ -672,4 +672,79 @@ object Dedup {
       .where(col("cos_sim") >= cosFloor)
       .select(col("a"), col("b"), col("cos_sim"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * SEMANTIC dedup by cluster-blocked centroid-rank pruning. Cluster
+    * the embedding space with the deterministic Lloyd schedule
+    * ([[Similarity.kmeansCodebook]]), rank each cluster's members by
+    * cosine similarity to their own centroid (descending, id
+    * tiebreak), and mark a member a duplicate iff some EARLIER-ranked
+    * member of its cluster is within `cos > eps` — so each group of
+    * near-identical points keeps exactly its best-ranked exemplar,
+    * and what survives is the semantically diverse core of the
+    * corpus (the paper's LAION/C4 pruning recipe).
+    *
+    * Scale shape: clustering is the k-means broadcast/scan loop; the
+    * within-cluster pair work is delegated to [[embeddingNearDups]]
+    * with block = cluster, so per-task pair count is chunk-bounded
+    * even for a hot cluster, and k itself bounds expected cluster
+    * size at corpus/k. The ranked assignment is persisted — it feeds
+    * the pair join (twice) and the final output, and re-running the
+    * Lloyd chain per consumer would triple the dominant cost.
+    *
+    * Returns (vec_id, cluster, rnk, kept): rank-1 rows are always
+    * kept; `kept = false` rows are the prunable semantic duplicates.
+    */
+  def semDeDup(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int,
+      eps: Double
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    val cb = Similarity
+      .kmeansCodebook(space, keyCol, vecCol, k, iterations)
+      .localCheckpoint() // tiny index artifact; don't re-run Lloyd per consumer
+    val scored = space
+      .select(col(keyCol).as("vec_id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cb))
+      .withColumn("sim", cosine(col("vec"), col("centroid")))
+    val ranked = scored
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("vec")).as("vec"),
+        max_by(
+          struct(col("centroid_id"), col("sim")),
+          struct(col("sim"), (-col("centroid_id")).as("nid"))).as("best"))
+      .select(
+        col("vec_id"), col("vec"),
+        col("best.centroid_id").as("cluster"), col("best.sim").as("csim"))
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("cluster")).orderBy(col("csim").desc, col("vec_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Every eps-pair meets exactly once (a < b); the DUPLICATE of the
+    // pair is its later-ranked member — existence of any earlier-ranked
+    // eps-neighbor is exactly "some pair names me as the later member".
+    val pairs = embeddingNearDups(ranked, "vec_id", "vec", "cluster", eps)
+    val ra = ranked.select(col("vec_id").as("a"), col("rnk").as("rnk_a"))
+    val rb = ranked.select(col("vec_id").as("b"), col("rnk").as("rnk_b"))
+    val dups = pairs
+      .join(ra, "a")
+      .join(rb, "b")
+      .select(
+        when(col("rnk_a") > col("rnk_b"), col("a")).otherwise(col("b")).as("vec_id"))
+      .distinct()
+      .withColumn("_dup", lit(true))
+    ranked
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(
+        col("vec_id"),
+        col("cluster").cast("long").as("cluster"),
+        col("rnk").cast("long").as("rnk"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("kept"))
+  }
 }

@@ -124,6 +124,48 @@ class DedupSpec extends AnyFunSuite {
     assert(partial.nonEmpty)        // same-cell neighbors survive
   }
 
+  test("semDeDup: rank-1 survives; kept == no earlier-ranked eps-neighbor in cluster") {
+    // 40 spread vectors plus 5 exact-direction duplicates of the first
+    // five (scaled — cosine 1.0): each duplicate pair must lose exactly
+    // its later-ranked member. The kept flag is then re-derived brute
+    // force from the operator's own clusters/ranks + exact cosines.
+    val dups = (0 until 5).map { i =>
+      val ang = i * 0.15
+      (100L + i, Array((1.5 * math.cos(ang)).toFloat, (1.5 * math.sin(ang)).toFloat))
+    }
+    val space = ((0 until 40).map { i =>
+      val ang = i * 0.15
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    } ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(space, "vec_id", "embedding", k = 3, iterations = 2, eps = 0.95)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("cluster"), r.getAs[Long]("rnk"), r.getAs[Boolean]("kept"))))
+      .toMap
+    assert(out.size == 45)
+    // ranks are 1..size within each cluster
+    out.values.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+    val vecs = space.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    def cos(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (id, (cl, rnk, kept)) =>
+      val expected = !out.exists { case (oid, (ocl, ornk, _)) =>
+        ocl == cl && ornk < rnk && cos(vecs(id), vecs(oid)) > 0.95
+      }
+      assert(kept == expected, s"vec $id kept=$kept expected=$expected")
+      if (rnk == 1L) assert(kept, s"rank-1 of cluster $cl must survive")
+    }
+    assert(out.count(!_._2._3) >= 5, "each duplicated direction prunes a member")
+  }
+
   test("large-star/small-star converges on chains and with a durable checkpoint") {
     // A path graph is the worst case for label propagation (diameter =
     // n); star alternation must still collapse it to the minimum.
