@@ -507,6 +507,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // Contrastive triplet mining: per anchor, 5 nearest same-label
+    // (positives) and 5 nearest other-label (hard negatives) from ONE
+    // corpus scan with two label-masked bounded heaps.
+    "emb_triplet_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.tripletMine(
+        emb, "vec_id", "embedding", "label", emb.where(col("vec_id") < 10), k = 5)
+    }),
     // Driver-facing IVF invariant: probing EVERY cell must reproduce
     // brute force exactly, so the full IVF machinery (centroid build,
     // assignment, probe join, top-k) is hash-checked against the brute
@@ -1479,6 +1487,26 @@ object SparkEntry {
              embedding[-1] AS e_last, label
       FROM embeddings WHERE vec_id BETWEEN 0 AND 9""",
     "emb_knn_brute" -> knnBruteSql,
+    // Same brute-force scoring CTE, split by the anchor/neighbor label
+    // relation into the positive and hard-negative ranked lists.
+    "emb_triplet_mine" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id, ql, nl,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid, q.label AS ql, n.label AS nl,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid, ql, nl),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN ql = nl THEN 'pos' ELSE 'neg' END AS kind,
+               row_number() OVER (
+                 PARTITION BY query_id, ql = nl
+                 ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, kind, neighbor_id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5""",
     "emb_knn_ivf" -> knnBruteSql,
     "emb_knn_ivf_kmeans" -> knnBruteSql,
     // Partial-probe IVF unrolled: label centroids -> corpus cell
@@ -2063,6 +2091,17 @@ object SparkEntry {
     // coverage-radius sequence — the 5-step schedule unrolls into SQL.
     "sample_kcenter" -> ((s, dir) =>
       Sampling.kCenterSelect(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
+    // Priority sampling (Duffield–Lund–Thorup): 50 docs weighted by
+    // byte size, with the unbiased max(w, τ) subset-sum estimator —
+    // the bounded weighted summary of a corpus.
+    "sample_priority" -> ((s, dir) =>
+      Sampling.prioritySample(
+        t(s, dir, "documents"), "doc_id", "n_chars", k = 50, seed = 23L)
+        .withColumnRenamed("id", "doc_id")),
+    // Unigram-entropy quality gate: low-entropy docs are templates /
+    // keyword stuffing; the decimal-exact H makes keep reproducible.
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.entropyScore(t(s, dir, "documents"), "doc_id", "text", minBits = 3.0)),
     // Blocklist redaction (the PII-scrub shape: same operator, swap the
     // word list for email/phone/id regexes on a real corpus).
     "text_scrub" -> ((s, dir) =>
@@ -2314,6 +2353,53 @@ object SparkEntry {
              len(list_distinct(string_split(text, ' '))) AS n_distinct,
              length(text) AS n_chars
       FROM documents""",
+    // Priority sampling: identical md5-52-bit uniform, identical two
+    // IEEE divisions, global rank, τ = the 51st priority (0 when the
+    // corpus is smaller than k+1).
+    "sample_priority" -> """
+      WITH keyed AS (
+        SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+               CAST(n_chars AS DOUBLE) /
+                 (CAST(('0x' || substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1
+                       AS DOUBLE) / 4503599627370496.0) AS priority
+        FROM documents),
+      ranked AS (
+        SELECT id, weight, priority,
+               row_number() OVER (ORDER BY priority DESC, id) AS rank
+        FROM keyed),
+      tau AS (
+        SELECT coalesce(max(CASE WHEN rank = 51 THEN priority END), 0.0) AS tau
+        FROM ranked)
+      SELECT r.id AS doc_id, r.weight, CAST(r.rank AS BIGINT) AS rank, r.priority,
+             greatest(r.weight, t.tau) AS est_weight
+      FROM ranked r CROSS JOIN tau t WHERE r.rank <= 50""",
+    // Unigram entropy: fixed-point pico-nat units — floor(x·1e12) is
+    // two IEEE ops identical in both engines (ln agrees bit-for-bit;
+    // log2 and round(double,12) both measurably do NOT) — integer
+    // decimal sums, bits = nats / ln2 literal at the end.
+    "text_entropy" -> """
+      WITH cnt AS (
+        SELECT doc_id, tok, count(*) AS c FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+               CAST(sum(CAST(floor(c * ln(c) * 1e12) AS DECIMAL(28,0)))
+                    AS DECIMAL(28,0)) AS sclog
+        FROM cnt GROUP BY doc_id),
+      h AS (
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST(CAST(floor(ln(n_tokens) * 1e12) AS DECIMAL(14,0)) *
+                      CAST(n_tokens AS DECIMAL(14,0)) - sclog AS DOUBLE)
+                 / 1e12 / n_tokens / 0.6931471805599453 AS entropy_bits
+        FROM agg)
+      SELECT d.doc_id,
+             coalesce(h.n_tokens, 0) AS n_tokens,
+             coalesce(h.n_distinct, 0) AS n_distinct,
+             h.entropy_bits,
+             coalesce(CAST(h.entropy_bits >= 3.0 AS INT), 0) AS keep
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN h ON d.doc_id = h.doc_id""",
     "text_quality" -> s"""
       WITH b AS (
         SELECT doc_id,

@@ -132,6 +132,72 @@ object Sampling {
     }.select(col("id"), col("rank"), col("dist"))
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
+    * sampling WITHOUT replacement of k items plus the unbiased
+    * subset-sum estimator. Each item draws a uniform u ∈ (0,1] and
+    * gets priority w/u; the k highest priorities are the sample, and
+    * with τ = the (k+1)-th priority, est_weight = max(w, τ) makes
+    * Σ est_weight over any subset of the sample an unbiased estimate
+    * of that subset's true weight sum — the standard way to keep a
+    * size-k weighted summary of a 100 TB corpus that still answers
+    * "how many bytes does slice X hold".
+    *
+    * Determinism/portability: u is md5-derived — low 52 bits of
+    * md5(seed:key), u = (v+1)/2^52 — so the draw is content-keyed
+    * (reproducible on any cluster, any engine with md5), and priority
+    * is ONE IEEE division of exact inputs, bit-identical everywhere.
+    *
+    * Scale shape: one scan into a bounded (k+1)-heap aggregate with
+    * map-side combine (the exchange carries ≤ k+1 rows per partition,
+    * never the corpus), then a broadcast join of the k winners back
+    * for their weights. Ties break on ascending key, so selection is
+    * total.
+    */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // u ∈ (0,1]: 52-bit md5 slice — (v+1)/2^52 is exact in a double,
+    // and the two divisions below round identically in any IEEE engine.
+    val u = (conv(
+      substring(md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))), 1, 13),
+      16, 10).cast("long") + 1).cast("double") / lit(4503599627370496.0)
+    // u must be computed in the SAME projection that renames keyCol —
+    // it references the original column.
+    val keyed = df.select(
+      col(keyCol).as("id"),
+      col(weightCol).cast("double").as("weight"),
+      (col(weightCol).cast("double") / u).as("priority"))
+    // k+1 best: rows 1..k are the sample, row k+1 (when it exists)
+    // carries the threshold τ. Pinned — it feeds τ, the winner join,
+    // and re-running it would re-scan the corpus per consumer.
+    val top = keyed
+      .agg(call_function(
+        graft.plans.GraftFunctions.TopKName,
+        col("priority"), col("id"), lit(k + 1)).as("top"))
+      .select(posexplode(col("top")).as(Seq("r", "e")))
+      .select(
+        col("e.id").as("id"),
+        col("e.score").as("priority"),
+        (col("r") + 1).cast("long").as("rank"))
+      .localCheckpoint()
+    val tau = top
+      .agg(when(count(lit(1)) === k + 1, min(col("priority")))
+        .otherwise(lit(0.0)).as("tau"))
+    keyed
+      .drop("priority")
+      .join(broadcast(top.where(col("rank") <= k)), Seq("id"))
+      .crossJoin(broadcast(tau))
+      .select(
+        col("id"), col("weight"), col("rank"), col("priority"),
+        greatest(col("weight"), col("tau")).as("est_weight"))
+  }
+
   /** Weighted corpus mixture: each source contributes a deterministic
     * hash sample at its own rate, tagged with its name — the
     * "data-mixture" step of LLM corpus assembly. All sources must share

@@ -122,6 +122,51 @@ object Similarity {
     knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
       (q, n) => dotNative(q, n))
 
+  /** Contrastive triplet mining — for each anchor, the k nearest
+    * SAME-label neighbors (positives) and the k nearest DIFFERENT-label
+    * neighbors (hard negatives). Hard-negative mining is the standard
+    * batch step that turns an embedding corpus into contrastive
+    * training pairs (two-tower / metric-learning fine-tuning): random
+    * negatives are too easy, the informative ones are the most similar
+    * vectors with the wrong label.
+    *
+    * Scale shape: ONE corpus scan for both lists — the anchor set is
+    * broadcast, and the per-anchor groupBy carries TWO bounded-heap
+    * top-k aggregates whose inputs are label-masked with `when` (the
+    * heap skips null scores), so positives and negatives come out of
+    * the same map-side-combined pass instead of two scans.
+    * Returns (query_id, kind 'pos'|'neg', neighbor_id, rank).
+    */
+  def tripletMine(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    val q = broadcast(queries.select(
+      col(keyCol).as("query_id"), col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    def heap(mask: Column) = call_function(
+      graft.plans.GraftFunctions.TopKName,
+      when(mask, col("sim")), col("neighbor_id"), lit(k))
+    val lists = space
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"), col(labelCol).as("n_label"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .groupBy(col("query_id"))
+      .agg(
+        heap(col("n_label") === col("q_label")).as("pos"),
+        heap(col("n_label") =!= col("q_label")).as("neg"))
+    def explodeKind(c: String) = lists
+      .select(col("query_id"), posexplode(col(c)).as(Seq("r", "e")))
+      .select(
+        col("query_id"), lit(c).as("kind"),
+        col("e.id").as("neighbor_id"), (col("r") + 1).cast("long").as("rank"))
+    explodeKind("pos").unionByName(explodeKind("neg"))
+  }
+
   /** Generic bounded-heap top-k per group (posexploded to ranks) —
     * public: useful beyond knn wherever "k best per key" is needed.
     */

@@ -199,6 +199,63 @@ object TextAnalysis {
         (col("snll").cast("double") / col("n_tokens")).as("avg_nll"))
   }
 
+  /** Per-document unigram Shannon entropy — the "is this text actually
+    * varied language or a template/keyword-stuffing artifact" quality
+    * gate (low entropy = few distinct tokens dominating; used alongside
+    * the Gopher repetition signals). H = ln(n) − (Σ c·ln c)/n nats over
+    * the doc's token counts c, computed in FIXED-POINT INTEGER units:
+    * each c·ln(c) term (and ln(n)) becomes floor(x·1e12) pico-nats —
+    * two IEEE ops both engines execute identically — and the integer
+    * sums are partition-order exact, so the final double (and the
+    * `keep` verdict comparing it) is bit-identical in any engine.
+    * Two portability traps measured and avoided here: Spark's log2 is
+    * a quotient of two logs (≈2 ulp adrift from libm log2 → 12dp
+    * round flips), and round(double, 12) itself half-ups the SHORTEST
+    * RENDERING in Spark but the binary value in DuckDB (~1% of terms
+    * flip) — ln + floor-scaling sidesteps both; bits = nats / ln 2 as
+    * one literal IEEE division at the very end.
+    *
+    * Plan shape: explode → (doc, tok) count → per-doc aggregate, both
+    * map-side combined; one left join back to the doc base so empty
+    * docs surface with keep = false instead of vanishing from corpus
+    * accounting. No corpus-wide state — scan shape at 100 TB.
+    */
+  def entropyScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minBits: Double
+  ): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(col("c") * log(col("c")) * lit(1e12)).cast("decimal(28,0)"))
+          .cast("decimal(28,0)").as("sclog"))
+    // H·n in pico-nat units = floor(ln n·1e12)·n − Σ floor(c·ln c·1e12),
+    // exact integer decimals throughout (floor(ln n·1e12) < 4.6e13
+    // fits (14,0); n < 10^14 tokens/doc fits (14,0); per-doc sums fit
+    // (28,0)); the three divisions at the end are IEEE-exact.
+    val hn = floor(log(col("n_tokens")) * lit(1e12)).cast("decimal(14,0)") *
+      col("n_tokens").cast("decimal(14,0)") - col("sclog")
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        (hn.cast("double") / lit(1e12) / col("n_tokens") / lit(0.6931471805599453))
+          .as("entropy_bits"))
+      .withColumn(
+        "keep",
+        coalesce((col("entropy_bits") >= minBits).cast("int"), lit(0)))
+  }
+
   /** Benchmark decontamination — drop/flag training documents sharing
     * any word n-gram with an evaluation set (the n-gram-overlap rule
     * used for LLM train/test hygiene, e.g. GPT-3 appendix C). The

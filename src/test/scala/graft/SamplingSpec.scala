@@ -85,6 +85,49 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(others / othersTotal - 0.3) < 0.15)
   }
 
+  test("prioritySample: top-k by w/u with the max(w, tau) estimator") {
+    val rows = (1 to 100).map(i => (i.toLong, i.toDouble))
+    val df = rows.toDF("id", "w")
+    // Recompute the deterministic priorities outside Spark.
+    def priority(id: Long, w: Double): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"9:$id".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      w / u
+    }
+    val expected = rows.map { case (id, w) => (id, w, priority(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = expected(10)._3 // the 11th priority
+    val out = Sampling.prioritySample(df, "id", "w", k = 10, seed = 9L)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"),
+        (r.getAs[Long]("id"), r.getAs[Double]("weight"),
+          r.getAs[Double]("priority"), r.getAs[Double]("est_weight"))))
+      .toMap
+    assert(out.size == 10)
+    expected.take(10).zipWithIndex.foreach { case ((id, w, p), i) =>
+      val (oid, ow, op, oest) = out(i + 1L)
+      assert(oid == id && ow == w, s"rank ${i + 1}")
+      assert(op == p, s"priority of $id must be bit-exact")
+      assert(oest == math.max(w, tau), s"estimator of $id")
+    }
+    // Unbiasedness sanity: the estimator sum should be near the true
+    // total (5050) — it IS the DLT unbiased estimator, one draw of it.
+    val estSum = out.values.map(_._4).sum
+    assert(estSum > 2000 && estSum < 13000, s"estimator sum $estSum wildly off")
+  }
+
+  test("prioritySample with k >= n keeps everything at its own weight") {
+    val df = Seq((1L, 5.0), (2L, 7.0), (3L, 1.0)).toDF("id", "w")
+    val out = Sampling.prioritySample(df, "id", "w", k = 10, seed = 1L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("weight"), r.getAs[Double]("est_weight")))).toMap
+    assert(out.size == 3)
+    // tau = 0 when there is no (k+1)-th row: est_weight == weight.
+    out.values.foreach { case (w, est) => assert(est == w) }
+  }
+
   test("mixture tags each source and samples it at its own rate") {
     val a = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("doc_id", "text")
     val b = Seq((10L, "b"), (11L, "b")).toDF("doc_id", "text")

@@ -264,4 +264,28 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     assert(diffs == 0L)
   }
+
+  test("tripletMine: positives share the anchor label, negatives rank by cosine") {
+    // Anchor 0 at angle 0, label 0. Same-label points at widening
+    // angles (ids 1, 2), other-label points closer in angle than the
+    // positives (ids 3, 4) — hard negatives by construction.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val space = Seq(
+      (0L, at(0), 0), (1L, at(30), 0), (2L, at(60), 0),
+      (3L, at(10), 1), (4L, at(20), 1), (5L, at(180), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity
+      .tripletMine(space, "vec_id", "embedding", "label",
+        space.where(col("vec_id") === 0), k = 2)
+      .collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(out == Map(
+      ("pos", 1L) -> 1L, ("pos", 2L) -> 2L,   // 30 deg before 60 deg
+      ("neg", 1L) -> 3L, ("neg", 2L) -> 4L))  // 10 deg before 20 deg
+  }
 }

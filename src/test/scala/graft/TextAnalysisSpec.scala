@@ -231,4 +231,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) == ((9L, 3L)))
     assert(out(2L) == ((1L, 1L)))
   }
+
+  test("entropyScore: exact H on uniform/degenerate docs, null doc surfaces") {
+    val docs = Seq(
+      (1L, "a b c d"),   // uniform over 4 -> exactly 2 bits
+      (2L, "a a b b"),   // uniform over 2 -> exactly 1 bit
+      (3L, "a a a a"),   // degenerate -> 0 bits
+      (4L, null.asInstanceOf[String]) // must surface with keep = 0
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .entropyScore(docs, "doc_id", "text", minBits = 1.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          Option(r.get(r.fieldIndex("entropy_bits"))), r.getAs[Int]("keep"))))
+      .toMap
+    assert(out.size == 4)
+    def close(o: Option[Any], v: Double) =
+      math.abs(o.get.asInstanceOf[Double] - v) < 1e-9
+    assert(out(1L)._1 == 4L && out(1L)._2 == 4L && close(out(1L)._3, 2.0) && out(1L)._4 == 1)
+    assert(out(2L)._1 == 4L && out(2L)._2 == 2L && close(out(2L)._3, 1.0) && out(2L)._4 == 0)
+    assert(out(3L)._1 == 4L && out(3L)._2 == 1L && close(out(3L)._3, 0.0) && out(3L)._4 == 0)
+    assert(out(4L) == ((0L, 0L, None, 0)))
+  }
 }
