@@ -162,6 +162,20 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), "user_id", "value", "ts", "event_id",
         toleranceUs = Some(2L * 3600L * 1000000L))
     }),
+    // Nearest-direction as-of join (merge_asof direction='nearest'):
+    // each purchase pairs with the user's time-closest click, either
+    // direction, ties backward.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      FeatureStore.asofNearest(
+        ev.where(col("event_type") === "purchase"), "user_id", "ts", "event_id",
+        ev.where(col("event_type") === "click"), "user_id", "value", "ts", "event_id")
+    }),
+    // Robust median/MAD outlier gate (Iglewicz–Hoaglin modified
+    // z-score, |Mz| > 3.5) — the heavy-tail companion of the z-gate.
+    "fs_outlier_mad" -> ((s, dir) =>
+      FeatureStore.outliersMad(
+        t(s, dir, "events"), "event_type", "value", "event_id", cutoff = 3.5)),
     // Pipeline-health monitor: per-feature last arrival, age vs a
     // reference instant, 6h-window volume, staleness verdict.
     "fs_freshness" -> ((s, dir) =>
@@ -370,6 +384,54 @@ object SparkEntry {
              CASE WHEN epoch_us(mv.mts) >= epoch_us(ts) - 7200000000 THEN epoch_us(mv.mts) END
                AS matched_ts_us
       FROM f WHERE kind = 1""",
+    // Same tagged union, same sort — one trailing and one leading
+    // IGNORE NULLS frame, then the closest-side pick (ties backward).
+    "q_asof_nearest" -> """
+      WITH u AS (
+        SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, NULL AS v
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, value
+        FROM events WHERE event_type = 'click'),
+      f AS (
+        SELECT entity, ts, kind, tb,
+               last_value(CASE WHEN kind = 0 THEN struct_pack(mts := ts, mval := v) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY entity ORDER BY ts, kind, tb
+                       ROWS UNBOUNDED PRECEDING) AS mb,
+               first_value(CASE WHEN kind = 0 THEN struct_pack(mts := ts, mval := v) END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY entity ORDER BY ts, kind, tb
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mf
+        FROM u),
+      p AS (
+        SELECT entity, tb, ts, mb, mf,
+               (mb IS NOT NULL AND (mf IS NULL OR
+                  epoch_us(ts) - epoch_us(mb.mts) <= epoch_us(mf.mts) - epoch_us(ts)))
+                 AS use_back
+        FROM f WHERE kind = 1)
+      SELECT entity, tb AS left_id, epoch_us(ts) AS ts_us,
+             CASE WHEN use_back THEN mb.mval ELSE mf.mval END AS matched_value,
+             CASE WHEN use_back THEN epoch_us(mb.mts) ELSE epoch_us(mf.mts) END
+               AS matched_ts_us,
+             CASE WHEN mb IS NULL AND mf IS NULL THEN NULL
+                  WHEN use_back THEN 'back' ELSE 'fwd' END AS direction
+      FROM p""",
+    // Medians via the same exact interpolated quantile as
+    // q_percentiles; Mz is the identical IEEE op sequence.
+    "fs_outlier_mad" -> """
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+      mad AS (
+        SELECT e.event_type, min(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type)
+      SELECT e.event_id, e.event_type, e.value, m.med, m.mad,
+             (e.value - m.med) * 0.6745 / m.mad AS robust_z
+      FROM events e JOIN mad m USING (event_type)
+      WHERE m.mad > 0 AND abs((e.value - m.med) * 0.6745 / m.mad) > 3.5""",
     "fs_freshness" -> """
       SELECT event_type AS feature,
              max(epoch_us(ts)) AS last_ts_us,
@@ -789,6 +851,13 @@ object SparkEntry {
     // profile each cluster from the document table — the "what is in
     // my corpus" step of training-data curation, composed entirely
     // from existing operators in one Catalyst plan.
+    // SSP prototypicality pruning (Sorscher et al.): same Lloyd
+    // schedule as emb_kmeans, per-cluster hardness rank by ASCENDING
+    // centroid similarity, keep the hardest half of every cluster.
+    "emb_ssp_prune" -> ((s, dir) =>
+      Sampling.prototypePrune(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iterations = 3, hardFraction = 0.5)),
     "corpus_cluster_profile" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val docs = t(s, dir, "documents")
@@ -1385,6 +1454,20 @@ object SparkEntry {
   }
 
   private def embOracles: Map[String, String] = Map(
+    // SSP pruning: same Lloyd CTE chain + sim-keeping assignment,
+    // hardness rank ASCENDING, per-cluster ceil(n/2) keep budget.
+    "emb_ssp_prune" -> s"""
+      WITH $kmeansCtes,
+      $kmeansAssignSimCte,
+      ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY sim ASC, vec_id) AS rnk,
+               count(*) OVER (PARTITION BY cell) AS n
+        FROM a4s)
+      SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
+             CAST(rnk AS BIGINT) AS hardness_rank,
+             rnk <= ceil(n * 0.5) AS kept
+      FROM ranked""",
     "corpus_cluster_profile" -> s"""
       WITH $kmeansCtes, ${kmeansAssignCte("c3", "a4")}
       SELECT CAST(cell AS BIGINT) AS cluster,
@@ -1878,12 +1961,11 @@ object SparkEntry {
       WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
   }
 
-  /** SemDeDup oracle: the shared k-means CTE chain, a final assignment
-    * that KEEPS the winning similarity (the rank key), centroid-rank
-    * windows per cluster, then the earlier-ranked eps-neighbor test.
+  /** Final-codebook assignment CTE that KEEPS the winning similarity
+    * (the rank key for SemDeDup's centroid-rank and SSP's hardness
+    * rank) — shared by the dedup_semantic and emb_ssp_prune oracles.
     */
-  private lazy val semDeDupOracleSql: String = s"""
-      WITH $kmeansCtes,
+  private lazy val kmeansAssignSimCte: String = """
       a4s AS (
         SELECT vec_id, centroid_id AS cell, sim FROM (
           SELECT vec_id, centroid_id, sim,
@@ -1896,7 +1978,15 @@ object SparkEntry {
                      unnest(e.embedding)::DOUBLE AS x, unnest(c.centroid) AS y
               FROM embeddings e CROSS JOIN c3 c)
             GROUP BY vec_id, centroid_id))
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+
+  /** SemDeDup oracle: the shared k-means CTE chain, a final assignment
+    * that KEEPS the winning similarity (the rank key), centroid-rank
+    * windows per cluster, then the earlier-ranked eps-neighbor test.
+    */
+  private lazy val semDeDupOracleSql: String = s"""
+      WITH $kmeansCtes,
+      $kmeansAssignSimCte,
       ranked AS (
         SELECT vec_id, cell,
                row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rnk
@@ -3566,6 +3656,11 @@ object SparkEntry {
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()),
+    // WebDataset-style shard packing plan: 4 KiB byte-budget shards
+    // per source in (source, doc_id) order — all-integer cumsum.
+    "mm_shard_pack" -> ((s, dir) =>
+      Multimodal.shardPack(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars", shardBytes = 4096L)),
     // Video frame extraction end-to-end: mixed-modality ingest ->
     // batched decode -> stride-30 frame sampling (lazily flat-mapped).
     "mm_frame_sample" -> ((s, dir) =>
@@ -3638,6 +3733,18 @@ object SparkEntry {
   private def miscOracles: Map[String, String] = Map(
     // FakeCodec is md5-hex-slice arithmetic, so the decode is exactly
     // reproducible in SQL over the same bytes (content = UTF-8 of text).
+    // Integer cumsum window per source; same concatenate-then-cut
+    // shard/offset math.
+    "mm_shard_pack" -> """
+      SELECT doc_id, source,
+             CAST((cum - n_chars) // 4096 AS BIGINT) AS shard_id,
+             CAST((cum - n_chars) % 4096 AS BIGINT) AS offset_bytes,
+             n_chars AS n_bytes
+      FROM (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents)""",
     "mm_binary_meta" -> """
       SELECT doc_id AS media_id,
              strlen(text) AS n_bytes,

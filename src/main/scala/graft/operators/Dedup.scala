@@ -704,23 +704,8 @@ object Dedup {
       eps: Double
   ): DataFrame = {
     graft.plans.GraftFunctions.register(space.sparkSession)
-    val cb = Similarity
-      .kmeansCodebook(space, keyCol, vecCol, k, iterations)
-      .localCheckpoint() // tiny index artifact; don't re-run Lloyd per consumer
-    val scored = space
-      .select(col(keyCol).as("vec_id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(cb))
-      .withColumn("sim", cosine(col("vec"), col("centroid")))
-    val ranked = scored
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("vec")).as("vec"),
-        max_by(
-          struct(col("centroid_id"), col("sim")),
-          struct(col("sim"), (-col("centroid_id")).as("nid"))).as("best"))
-      .select(
-        col("vec_id"), col("vec"),
-        col("best.centroid_id").as("cluster"), col("best.sim").as("csim"))
+    val ranked = Similarity
+      .clusterAssign(space, keyCol, vecCol, k, iterations)
       .withColumn(
         "rnk",
         row_number().over(

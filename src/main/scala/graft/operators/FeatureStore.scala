@@ -628,4 +628,106 @@ object FeatureStore {
         (sum(col(valueCol).cast("decimal(18,6)")).cast("double") / count(col(valueCol)))
           .as("avg_value"),
         count_distinct(col(entityCol)).as("n_entities"))
+
+  /** Robust (median/MAD) outlier gate — the companion of
+    * [[outlierValues]]'s z-score gate for the heavy-tailed features
+    * where mean/std are themselves dragged by the outliers. Per
+    * feature group: median, MAD = median(|v − median|), and the
+    * modified z-score 0.6745·(v − median)/MAD (Iglewicz–Hoaglin);
+    * rows with |Mz| > `cutoff` (conventionally 3.5) are flagged. A
+    * zero MAD (half the group at one value) defines no spread — such
+    * groups flag nothing, mirroring std = 0 in the z-gate.
+    *
+    * Exactness: medians come from exact interpolated percentiles (the
+    * q_percentiles-proven portable path) and Mz is a fixed sequence
+    * of IEEE ops on them — bit-reproducible, so the cutoff decision
+    * is too. Scale: two tiny per-group aggregations broadcast back
+    * over one scan each; exact `percentile` buffers each group's
+    * values (the orderPercentilesApprox note applies — swap in the
+    * mergeable sketch at extreme group sizes).
+    */
+  def outliersMad(
+      events: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      cutoff: Double
+  ): DataFrame = {
+    val med = events
+      .groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val mad = events
+      .join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("med")).as("med"),
+        percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+    events
+      .join(broadcast(mad), Seq(groupCol))
+      .withColumn(
+        "robust_z",
+        (col(valueCol) - col("med")) * lit(0.6745) / col("mad"))
+      .where(col("mad") > 0 && abs(col("robust_z")) > cutoff)
+      .select(
+        col(idCol), col(groupCol), col(valueCol),
+        col("med"), col("mad"), col("robust_z"))
+  }
+
+  /** Nearest-in-time as-of join — pandas `merge_asof(direction =
+    * 'nearest')` parity, completing [[asofJoin]]'s backward+tolerance
+    * surface: every left row gets the right row whose ts is CLOSEST in
+    * either direction (ties go backward, the conservative
+    * no-future-leakage default). Same single-shuffle shape as the PIT
+    * join: tagged union, one exchange on the entity key, then TWO
+    * frames over the SAME window sort (trailing last + leading first
+    * — one WindowExec, no second sort), never an inequality-join
+    * blowup. Equal-ts right rows sort before the left row (inclusive
+    * backward boundary, distance 0) and resolve by tiebreak.
+    *
+    * Returns (entity, left_id, ts_us, matched_value, matched_ts_us,
+    * direction 'back'|'fwd'|null).
+    */
+  def asofNearest(
+      left: DataFrame,
+      leftEntity: String,
+      leftTs: String,
+      leftTiebreak: String,
+      right: DataFrame,
+      rightEntity: String,
+      rightValue: String,
+      rightTs: String,
+      rightTiebreak: String
+  ): DataFrame = {
+    val vType = right.schema(rightValue).dataType
+    val l = left.select(
+      col(leftEntity).as("entity"), col(leftTs).as("ts"),
+      lit(1).as("kind"), col(leftTiebreak).cast("long").as("tb"),
+      lit(null).cast(vType).as("v"))
+    val r = right.select(
+      col(rightEntity).as("entity"), col(rightTs).as("ts"),
+      lit(0).as("kind"), col(rightTiebreak).cast("long").as("tb"),
+      col(rightValue).as("v"))
+    val sorted = Window
+      .partitionBy(col("entity"))
+      .orderBy(col("ts"), col("kind"), col("tb"))
+    val back = sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = sorted.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightRow =
+      when(col("kind") === 0, struct(col("ts").as("mts"), col("v").as("mval")))
+    val filled = l.unionByName(r)
+      .withColumn("mb", last(rightRow, ignoreNulls = true).over(back))
+      .withColumn("mf", first(rightRow, ignoreNulls = true).over(fwd))
+    val dBack = unix_micros(col("ts")) - unix_micros(col("mb.mts"))
+    val dFwd = unix_micros(col("mf.mts")) - unix_micros(col("ts"))
+    val useBack = col("mb").isNotNull && (col("mf").isNull || dBack <= dFwd)
+    filled
+      .where(col("kind") === 1)
+      .select(
+        col("entity"), col("tb").as("left_id"), unix_micros(col("ts")).as("ts_us"),
+        when(useBack, col("mb.mval")).otherwise(col("mf.mval")).as("matched_value"),
+        when(useBack, unix_micros(col("mb.mts")))
+          .otherwise(unix_micros(col("mf.mts"))).as("matched_ts_us"),
+        when(col("mb").isNull && col("mf").isNull, lit(null).cast("string"))
+          .when(useBack, lit("back")).otherwise(lit("fwd")).as("direction"))
+  }
 }

@@ -158,6 +158,44 @@ object Multimodal {
           .otherwise(0L).as("n_frames"))
   }
 
+  /** WebDataset-style shard-packing plan: assign each sample to a
+    * byte-budgeted shard within its source, with its byte offset in
+    * the concatenated stream — the deterministic half of packing a
+    * corpus into fixed-size tar/record shards for sequential training
+    * IO (the actual byte copy is the writer's job; this plan is what
+    * makes it parallelizable: every worker knows exactly which rows
+    * land in its shard and where). Samples are laid out in (source,
+    * id) order; a sample starts in the shard where its first byte
+    * falls (shards may overhang by one sample — the standard
+    * concatenate-then-cut layout, never a split sample lost).
+    *
+    * All-integer math on one source-partitioned cumulative-sum window
+    * — a single shuffle on `source`, no global ordering anywhere.
+    * Returns (id, source, shard_id, offset_bytes, n_bytes).
+    */
+  def shardPack(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      bytesCol: String,
+      shardBytes: Long
+  ): DataFrame = {
+    require(shardBytes > 0, "shardBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col(idCol), col(sourceCol), col(bytesCol).cast("long").as("n_bytes"))
+      .withColumn("_start", sum(col("n_bytes")).over(w) - col("n_bytes"))
+      .select(
+        col(idCol), col(sourceCol),
+        expr(s"_start div ${shardBytes}L").as("shard_id"),
+        (col("_start") % shardBytes).as("offset_bytes"),
+        col("n_bytes"))
+  }
+
   /** Frame sampling plumbing for video-like payloads: emits one row per
     * sampled frame index (every `stride`-th frame). Output is lazily
     * flat-mapped — a 100TB video corpus streams through without

@@ -198,6 +198,49 @@ object Sampling {
         greatest(col("weight"), col("tau")).as("est_weight"))
   }
 
+  /** Prototypicality pruning (SSP, Sorscher et al. NeurIPS'22 "Beyond
+    * neural scaling laws" — public method): cluster the embedding
+    * space (deterministic Lloyd via [[Similarity.clusterAssign]]),
+    * score each point's prototypicality as cosine to its own
+    * centroid, and KEEP the hardest `hardFraction` of every cluster
+    * (lowest centroid similarity) — the paper's result is that with
+    * abundant data, pruning the easy/prototypical examples beats
+    * random pruning for downstream model quality. The per-cluster
+    * budget (vs a global cut) preserves cluster coverage. With
+    * SemDeDup (Dedup.semDeDup) this completes the published
+    * embedding-pruning pair: remove near-duplicates, then keep the
+    * informative core.
+    *
+    * Scale shape: Lloyd = one broadcast + one scan per iteration; the
+    * ranking is one cluster-partitioned window (never global); kept
+    * is a count-over-cluster comparison — no pairwise work at all.
+    * Returns (vec_id, cluster, hardness_rank, kept): rank 1 = least
+    * prototypical (kept first), ties on ascending vec_id.
+    */
+  def prototypePrune(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int,
+      hardFraction: Double
+  ): DataFrame = {
+    require(hardFraction > 0.0 && hardFraction <= 1.0, s"bad fraction $hardFraction")
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    graft.operators.Similarity
+      .clusterAssign(space, keyCol, vecCol, k, iterations)
+      .withColumn(
+        "hardness_rank",
+        row_number().over(byCluster.orderBy(col("csim").asc, col("vec_id")))
+          .cast("long"))
+      .withColumn("_n", count(lit(1)).over(byCluster))
+      .select(
+        col("vec_id"),
+        col("cluster").cast("long").as("cluster"),
+        col("hardness_rank"),
+        (col("hardness_rank") <= ceil(col("_n") * hardFraction)).as("kept"))
+  }
+
   /** Weighted corpus mixture: each source contributes a deterministic
     * hash sample at its own rate, tagged with its name — the
     * "data-mixture" step of LLM corpus assembly. All sources must share

@@ -122,6 +122,39 @@ object Similarity {
     knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
       (q, n) => dotNative(q, n))
 
+  /** Cluster the space with the deterministic Lloyd schedule
+    * ([[kmeansCodebook]]) and assign every vector to its best centroid
+    * (argmax cosine, smallest-centroid-id tiebreak). Returns
+    * (vec_id, vec, cluster, csim) — the shared front-end of semantic
+    * dedup (Dedup.semDeDup) and prototypicality pruning
+    * (Sampling.prototypePrune). The codebook is pinned: it is a tiny
+    * index artifact and re-running Lloyd per consumer would multiply
+    * the dominant cost.
+    */
+  def clusterAssign(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    val cb = kmeansCodebook(space, keyCol, vecCol, k, iterations).localCheckpoint()
+    space
+      .select(col(keyCol).as("vec_id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cb))
+      .withColumn("sim", cosine(col("vec"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("vec")).as("vec"),
+        max_by(
+          struct(col("centroid_id"), col("sim")),
+          struct(col("sim"), (-col("centroid_id")).as("nid"))).as("best"))
+      .select(
+        col("vec_id"), col("vec"),
+        col("best.centroid_id").as("cluster"), col("best.sim").as("csim"))
+  }
+
   /** Contrastive triplet mining — for each anchor, the k nearest
     * SAME-label neighbors (positives) and the k nearest DIFFERENT-label
     * neighbors (hard negatives). Hard-negative mining is the standard

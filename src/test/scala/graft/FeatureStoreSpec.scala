@@ -357,4 +357,46 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("psi")) < 1e-9)
     assert(!r.getAs[Boolean]("drifted"))
   }
+
+  test("outliersMad flags by modified z-score; zero-MAD groups flag nothing") {
+    val rows =
+      (1 to 9).map(i => (i.toLong, "a", i.toDouble)) ++
+        Seq((10L, "a", 100.0)) ++                      // the outlier
+        (11 to 15).map(i => (i.toLong, "b", 7.0))      // zero spread
+    val out = FeatureStore
+      .outliersMad(rows.toDF("event_id", "event_type", "value"),
+        "event_type", "value", "event_id", cutoff = 3.5)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("event_id") == 10L)
+    // med = 5.5, mad = median(|v-5.5|) = 2.5, Mz = 94.5*0.6745/2.5
+    assert(r.getAs[Double]("med") == 5.5 && r.getAs[Double]("mad") == 2.5)
+    assert(math.abs(r.getAs[Double]("robust_z") - 94.5 * 0.6745 / 2.5) < 1e-12)
+  }
+
+  test("asofNearest picks the closer side, ties backward, null when no match") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // clicks at 09:50 and 10:00:30 -> fwd
+      (1L, 101L, ts("2024-01-01 12:00:00")), // clicks at 11:00 and 13:00 -> tie, back
+      (2L, 102L, ts("2024-01-01 10:00:00"))  // no clicks for user 2 -> null
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 201L, ts("2024-01-01 09:50:00"), 1.0),
+      (1L, 202L, ts("2024-01-01 10:00:30"), 2.0),
+      (1L, 203L, ts("2024-01-01 11:00:00"), 3.0),
+      (1L, 204L, ts("2024-01-01 13:00:00"), 4.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = FeatureStore
+      .asofNearest(left, "user_id", "ts", "event_id",
+        right, "user_id", "value", "ts", "event_id")
+      .collect()
+      .map(r => r.getAs[Long]("left_id") ->
+        ((Option(r.get(r.fieldIndex("matched_value"))),
+          r.getAs[String]("direction"))))
+      .toMap
+    assert(out(100L) == ((Some(2.0), "fwd")))  // 30s fwd beats 10m back
+    assert(out(101L) == ((Some(3.0), "back"))) // exact tie -> backward
+    assert(out(102L) == ((None, null)))
+  }
 }

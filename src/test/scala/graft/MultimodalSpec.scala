@@ -89,4 +89,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((false, 200L, 100L)))
     assert(out(4L) == ((true, 256L, 1L)))
   }
+
+  test("shardPack: concatenate-then-cut layout, per-source shard reset") {
+    val docs = Seq(
+      (1L, "a", 3000L), (2L, "a", 2000L), (3L, "a", 2000L),
+      (10L, "b", 5000L), (11L, "b", 100L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = graft.operators.Multimodal
+      .shardPack(docs, "doc_id", "source", "n_chars", shardBytes = 4096L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard_id"), r.getAs[Long]("offset_bytes"), r.getAs[Long]("n_bytes"))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 3000L)))    // starts shard 0
+    assert(out(2L) == ((0L, 3000L, 2000L))) // straddles into shard 1, stays in 0
+    assert(out(3L) == ((1L, 904L, 2000L)))  // first byte at 5000 -> shard 1
+    assert(out(10L) == ((0L, 0L, 5000L)))   // source b resets
+    assert(out(11L) == ((1L, 904L, 100L)))  // starts at 5000 in b's stream
+  }
 }

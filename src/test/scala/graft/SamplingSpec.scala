@@ -128,6 +128,38 @@ class SamplingSpec extends AnyFunSuite {
     out.values.foreach { case (w, est) => assert(est == w) }
   }
 
+  test("prototypePrune keeps exactly the hardest ceil(n/2) of each cluster") {
+    val rnd = new scala.util.Random(7)
+    // Two separable blobs; within-blob spread gives a hardness order.
+    val pts = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f) else Array(0f, 1f)
+      (i.toLong, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Sampling
+      .prototypePrune(pts, "vec_id", "embedding", k = 2, iterations = 2, hardFraction = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("cluster"), r.getAs[Long]("hardness_rank"), r.getAs[Boolean]("kept"))))
+      .toMap
+    assert(out.size == 30)
+    out.values.groupBy(_._1).foreach { case (_, rows) =>
+      val n = rows.size
+      assert(rows.map(_._2).toSeq.sorted == (1L to n).toSeq)
+      val budget = math.ceil(n * 0.5).toLong
+      rows.foreach { case (_, rnk, kept) => assert(kept == (rnk <= budget)) }
+    }
+    // hardness rank must follow ascending centroid similarity
+    val assign = graft.operators.Similarity
+      .clusterAssign(pts, "vec_id", "embedding", k = 2, iterations = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[Double]("csim")))).toMap
+    out.groupBy(_._2._1).foreach { case (_, members) =>
+      val byRank = members.toSeq.sortBy(_._2._2).map { case (id, _) => assign(id)._2 }
+      assert(byRank == byRank.sorted, "ranks must order by ascending csim")
+    }
+  }
+
   test("mixture tags each source and samples it at its own rate") {
     val a = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("doc_id", "text")
     val b = Seq((10L, "b"), (11L, "b")).toDF("doc_id", "text")
