@@ -889,6 +889,18 @@ object SparkEntry {
       Graph.pageRank(edges, dampingPct = 85, iterations = 3)
         .select(col("id").as("node_id"), col("pr_units"), col("pagerank"))
     }),
+    // Similarity-graph quality audit: per-node triangles + local
+    // clustering coefficient over the undirected 3-NN graph.
+    "graph_triangles" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      Graph.triangleStats(edges).withColumnRenamed("id", "node_id")
+    }),
+    // Label-noise audit: fraction of each vector's 10 cosine-NN that
+    // share its label; low consistency flags probable annotation noise.
+    "emb_label_consistency" -> ((s, dir) =>
+      Similarity.labelConsistency(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 10)),
     // Weak supervision: spread the 10% ground-truth labels (vec_id <
     // 50) over the 3-NN cosine graph by 2 rounds of clamped majority
     // vote — integer votes, smaller-label tiebreak, bit-reproducible.
@@ -901,6 +913,77 @@ object SparkEntry {
         .select(col("id").as("node_id"), col("label"))
     })
   )
+
+  /** Shared CTE text: the directed 3-NN cosine graph over embeddings —
+    * used by the PageRank, label-propagation and triangle oracles.
+    */
+  private val knnGraphCtes: String = """escored AS (
+        SELECT qid AS src, nvid AS dst,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
+        GROUP BY qid, nvid),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+          FROM escored) WHERE rank <= 3)"""
+
+  /** Triangles + local clustering coefficient over the undirected view
+    * of the 3-NN graph: canonical a<b pairs, each triangle counted once
+    * via the a<b<c join; lcc emitted as the raw IEEE division of two
+    * exact integers (never round a ratio for cross-engine output).
+    */
+  private lazy val triangleOracleSql: String = s"""
+      WITH $knnGraphCtes,
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        GROUP BY id),
+      tri AS (
+        SELECT x.a, x.b, y.b AS c
+        FROM und x
+        JOIN und y ON y.a = x.b
+        JOIN und z ON z.a = x.a AND z.b = y.b),
+      pern AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+          SELECT a AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY id)
+      SELECT deg.id AS node_id, deg.degree,
+             coalesce(pern.n_tri, 0) AS n_tri,
+             CASE WHEN deg.degree >= 2
+                  THEN CAST(2 * coalesce(pern.n_tri, 0) AS DOUBLE)
+                       / (deg.degree * (deg.degree - 1))
+                  ELSE 0.0 END AS lcc
+      FROM deg LEFT JOIN pern ON pern.id = deg.id"""
+
+  /** All-points 10-NN label consistency: integer match counts, one
+    * IEEE division at output.
+    */
+  private val labelConsistencyOracleSql: String = """
+      WITH scored AS (
+        SELECT qid, qlab, nvid, nlab,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, q.label AS qlab,
+                 n.vec_id AS nvid, n.label AS nlab,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
+        GROUP BY qid, qlab, nvid, nlab),
+      nn AS (
+        SELECT qid, qlab, nlab FROM (
+          SELECT qid, qlab, nlab,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nvid) AS rank
+          FROM scored) WHERE rank <= 10)
+      SELECT qid AS vec_id, CAST(qlab AS INT) AS label,
+             CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS consistency
+      FROM nn GROUP BY qid, qlab"""
 
   /** Unrolled 2-iteration clamped majority-vote label propagation over
     * the same 3-NN cosine graph as PageRank: integer votes,
@@ -925,18 +1008,7 @@ object SparkEntry {
         LEFT JOIN w$n ON w$n.id = nodes.id
         LEFT JOIN $prev ON $prev.id = nodes.id)"""
     s"""
-      WITH escored AS (
-        SELECT qid AS src, nvid AS dst,
-               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
-          SELECT q.vec_id AS qid, n.vec_id AS nvid,
-                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
-          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
-        GROUP BY qid, nvid),
-      edges AS (
-        SELECT src, dst FROM (
-          SELECT src, dst,
-                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
-          FROM escored) WHERE rank <= 3),
+      WITH $knnGraphCtes,
       nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
       seeds AS (
         SELECT vec_id AS id, CAST(label AS BIGINT) AS sl
@@ -969,18 +1041,7 @@ object SparkEntry {
           GROUP BY e.dst) sm ON sm.id = nodes.id
         CROSS JOIN n)"""
     s"""
-      WITH escored AS (
-        SELECT qid AS src, nvid AS dst,
-               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
-          SELECT q.vec_id AS qid, n.vec_id AS nvid,
-                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
-          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
-        GROUP BY qid, nvid),
-      edges AS (
-        SELECT src, dst FROM (
-          SELECT src, dst,
-                 row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
-          FROM escored) WHERE rank <= 3),
+      WITH $knnGraphCtes,
       nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
       n AS (SELECT count(*) AS nn FROM nodes),
       od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
@@ -1634,6 +1695,8 @@ object SparkEntry {
     "emb_kmeans" -> kmeansOracleSql,
     "graph_pagerank" -> pageRankOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
+    "graph_triangles" -> triangleOracleSql,
+    "emb_label_consistency" -> labelConsistencyOracleSql,
     "emb_centroid_drift" -> """
       WITH b AS (
         SELECT label, vec_id % 2 = 0 AS is_old,
@@ -1814,6 +1877,10 @@ object SparkEntry {
     // stays the prod-default hash for Spark-only deployments.)
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshNative(t(s, dir, "documents"), "doc_id", "text")),
+    // Filter+verify record linkage: LSH candidates verified by exact
+    // character-level Levenshtein (<= 20% of the longer text).
+    "dedup_edit_verify" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(t(s, dir, "documents"), "doc_id", "text", 0.2)),
     // maxHamming=3 over 4 derived bands = exact candidate recall
     // (pigeonhole); see Dedup.simhashNearDups.
     "dedup_simhash" -> ((s, dir) =>
@@ -2007,6 +2074,18 @@ object SparkEntry {
 
   private def dedupOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_edit_verify" -> s"""
+      WITH $minhashChainCtes,
+      cands AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      SELECT c.a, c.b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+      FROM cands c
+      JOIN documents da ON da.doc_id = c.a
+      JOIN documents db ON db.doc_id = c.b
+      WHERE levenshtein(da.text, db.text)
+            <= ceil(0.2 * greatest(len(da.text), len(db.text)))""",
     "dedup_canonicalize" -> dedupCanonicalizeOracleSql,
     "dedup_semantic" -> semDeDupOracleSql,
     "dedup_simhash" -> simhashOracleSql,
@@ -3099,6 +3178,7 @@ object SparkEntry {
     "fs_scd2_intervals" -> ((s, dir) =>
       Analytics.scd2Intervals(t(s, dir, "events"), "user_id", "value", "ts", "event_id")),
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
+    "q_session_window" -> ((s, dir) => Analytics.sessionWindows(t(s, dir, "events"), 30)),
     "q_events_pivot" -> ((s, dir) =>
       Analytics.eventPivot(
         t(s, dir, "events"), Seq("click", "view", "purchase", "signup", "error"))
@@ -3381,6 +3461,25 @@ object SparkEntry {
       SELECT user_id, session_id, count(*) AS n_events,
              min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
       FROM g GROUP BY user_id, session_id""",
+    "q_session_window" -> """
+      WITH f AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+               -- strictly greater: SessionWindow merges at the exact
+               -- boundary (next.start <= current.end, end inclusive)
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT user_id, value, ts_us,
+               CAST(sum(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM f)
+      SELECT user_id, min(ts_us) AS session_start_us,
+             max(ts_us) + 1800000000 AS session_end_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, sid""",
     "q_events_pivot" -> """
       SELECT user_id AS entity,
              count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -303,6 +303,32 @@ object Analytics {
         max(col("ts_us")).as("session_end_us"))
   }
 
+  /** Sessionization via Spark's native `session_window` aggregate: a
+    * per-user session spans [first event, last event + gap) and closes
+    * after MORE than `gapMinutes` of inactivity — events exactly `gap`
+    * apart still MERGE (SessionWindow joins when next.start <=
+    * current.end, boundary inclusive; verified in AnalyticsSpec) —
+    * the same boundary convention as [[sessionize]]'s lag>gap split.
+    * Same single-shuffle shape as `sessionize` but
+    * exercises the engine's merging-session aggregation instead of
+    * lag+cumsum windows, and is the form that transfers directly to
+    * Structured Streaming (watermark + session_window). Event values
+    * are summed in DECIMAL(18,2) (inputs are 2dp) so the sum is exact
+    * and partition-order-independent.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"),
+        col("sum_value"))
+
   /** Pivot: event counts per user x event_type. */
   def eventPivot(events: DataFrame, eventTypes: Seq[String]): DataFrame =
     events

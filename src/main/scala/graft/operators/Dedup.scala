@@ -176,6 +176,39 @@ object Dedup {
     bandPairs(banded)
   }
 
+  /** Edit-distance-verified near-dup pairs — the classic two-stage
+    * filter+verify record-linkage shape: MinHash-LSH candidate
+    * generation ([[minhashLshNative]]) followed by an EXACT Levenshtein
+    * check on the raw text. A pair survives when
+    * levenshtein(a, b) <= ceil(maxEditFrac * max(len(a), len(b))).
+    * Character-level edit distance catches near-dups that token-set
+    * metrics miss (reorder-free small edits, inflection changes) and is
+    * the verify metric of record-linkage literature.
+    *
+    * Scale: the O(len²) DP runs ONLY on LSH candidates (bounded by
+    * band-bucket sizes), never all pairs; candidates shuffle as id
+    * pairs and the texts are re-attached by two id joins, so the
+    * bucket join never carries document bodies. The codegen'd built-in
+    * `levenshtein` runs with its early-exit threshold form.
+    */
+  def editVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEditFrac: Double
+  ): DataFrame = {
+    val cands = minhashLshNative(docs, idCol, textCol).select(col("a"), col("b"))
+    val ta = docs.select(col(idCol).as("a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).as("b"), col(textCol).as("text_b"))
+    cands
+      .join(ta, "a")
+      .join(tb, "b")
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .where(col("edit_dist") <=
+        ceil(greatest(length(col("text_a")), length(col("text_b"))) * lit(maxEditFrac)))
+      .select(col("a"), col("b"), col("edit_dist"))
+  }
+
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum of
     * +/-1 contributions of each token hash. Near-dups = pairs with small
     * hamming distance, blocked on 16-bit bands (a pair within hamming

@@ -127,4 +127,48 @@ object Graph {
       col("pr").as("pr_units"),
       (col("pr") / lit(Units.toDouble)).as("pagerank"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * UNDIRECTED view of a directed edge list. High clustering marks
+    * tight near-dup/topic communities in a kNN graph; lcc ~ 0 at high
+    * degree marks hubs bridging unrelated content — both standard
+    * graph-quality signals when auditing a similarity graph before
+    * using it for label propagation or dedup.
+    *
+    * Shape: canonicalize to a<b pairs (mutual kNN edges collapse via
+    * distinct), then count each triangle once by joining edge pairs
+    * (a,b)⋈(b,c) and closing against (a,c) with a<b<c. Work is
+    * sum-of-degree² on the join key — bounded at degree <= 2k for kNN
+    * graphs; for general graphs orient edges low-degree → high-degree
+    * first (the standard compact-forward bound, same join shape). The
+    * coefficient is one IEEE division of two exact integers at output
+    * (raw double — never round a ratio for cross-engine output).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und
+      .select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val tri = und.as("x")
+      .join(und.as("y"), col("x.b") === col("y.a"))
+      .join(und.as("z"), col("x.a") === col("z.a") && col("y.b") === col("z.b"))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg
+      .join(perNode, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

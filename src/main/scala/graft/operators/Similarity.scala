@@ -200,6 +200,42 @@ object Similarity {
     explodeKind("pos").unionByName(explodeKind("neg"))
   }
 
+  /** kNN label-consistency scoring for label-noise detection
+    * (Confident-Learning-style curation): for each vector, the fraction
+    * of its k nearest cosine neighbors sharing its label. Low
+    * consistency flags probable annotation noise — the standard
+    * prune/re-label signal for curating labeled training corpora.
+    *
+    * Scale shape: neighbor search is the [[knnBruteForce]] scaffold
+    * here (exact, broadcast probes); at corpus scale swap in the IVF
+    * candidate path ([[knnIvf]] / [[Quantization.probeIvfPq]]) — the
+    * label join + integer vote aggregation below is candidate-source
+    * agnostic. Label re-attachment is a plain shuffle join on the id
+    * (never broadcast: the label projection scales with the corpus).
+    * The score is an exact integer count divided once at output — no
+    * float accumulates across partitions.
+    */
+  def labelConsistency(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val nn = knnBruteForce(space, space, keyCol, vecCol, k)
+    val qLab = space.select(col(keyCol).as("query_id"), col(labelCol).as("q_label"))
+    val nLab = space.select(col(keyCol).as("neighbor_id"), col(labelCol).as("n_label"))
+    nn.join(qLab, "query_id")
+      .join(nLab, "neighbor_id")
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_match"))
+      .select(
+        col("query_id").as(keyCol),
+        col("q_label").as(labelCol),
+        col("n_match"),
+        (col("n_match").cast("double") / lit(k)).as("consistency"))
+  }
+
   /** Generic bounded-heap top-k per group (posexploded to ranks) —
     * public: useful beyond knn wherever "k best per key" is needed.
     */

@@ -137,6 +137,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == Map((1L, 0L) -> 2L, (1L, 1L) -> 1L, (2L, 0L) -> 1L))
   }
 
+  test("sessionWindows: inclusive-boundary merge, >gap split, value sums") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 1.25),
+      (2L, 1L, ts("2024-01-01 00:30:00"), 2.50), // EXACTLY gap apart -> still merges
+      (3L, 1L, ts("2024-01-01 01:00:01"), 4.00), // gap + 1s -> new session
+      (4L, 2L, ts("2024-01-01 00:00:00"), 8.00)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.sessionWindows(ev, 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us")) ->
+        ((r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))))
+      .toMap
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(out.size == 3)
+    // session end = last event + gap
+    assert(out((1L, us("2024-01-01 00:00:00"))) ==
+      ((us("2024-01-01 01:00:00"), 2L, 3.75)))
+    assert(out((1L, us("2024-01-01 01:00:01"))) ==
+      ((us("2024-01-01 01:30:01"), 1L, 4.0)))
+    assert(out((2L, us("2024-01-01 00:00:00"))) ==
+      ((us("2024-01-01 00:30:00"), 1L, 8.0)))
+  }
+
   test("topKPerGroup keeps exactly the k best with rank ties") {
     val orders = Seq(
       (1L, 10L, 100.0, ts("2024-01-01 00:00:00")),

@@ -297,4 +297,28 @@ class DedupSpec extends AnyFunSuite {
       assert(pairs.contains((1L, 2L)))
     }
   }
+
+  test("editVerifiedPairs: exact dup at distance 0, small edit verified, unrelated text absent") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "phi chi psi omega one two three four five six").trim
+    val edited = long.replace("omicron", "omicorn") // 2-char transposition region
+    val unrelated = "zero nine eight seven night day sun moon star cloud " +
+      "tree rock fish bird wolf bear lake hill sand snow"
+    val docs = Seq(
+      (1L, long), (2L, long),  // exact duplicate
+      (3L, edited),            // near-dup within the 20% budget
+      (4L, unrelated)
+    ).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(docs, "doc_id", "text", maxEditFrac = 0.2)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("edit_dist"))
+      .toMap
+    assert(out((1L, 2L)) == 0L, "identical docs share every band and verify at 0")
+    assert(out.get((1L, 3L)).exists(d => d > 0 && d <= 4), s"small edit verified: $out")
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated text never survives the verify")
+  }
 }

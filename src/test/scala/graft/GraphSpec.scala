@@ -67,6 +67,25 @@ class GraphSpec extends AnyFunSuite {
 
   private object Graft { val UnitsTotal: Long = Graph.Units }
 
+  test("triangleStats: counts each triangle once; lcc exact; hub without closure gets 0") {
+    // Triangle 1-2-3 (given as mixed directions + a duplicate mutual
+    // edge), plus a pendant 3-4: node 3 has degree 3 and one closed
+    // wedge of three -> lcc = 2*1/(3*2) = 1/3; node 4 degree 1 -> 0.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), // mutual, collapses to one undirected edge
+      (2L, 3L), (3L, 1L),
+      (3L, 4L)
+    ).toDF("src", "dst")
+    val out = Graph.triangleStats(edges).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Double]("lcc"))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("knnGraph emits exactly k out-edges per node, excluding self") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3)

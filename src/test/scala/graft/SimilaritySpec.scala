@@ -288,4 +288,27 @@ class SimilaritySpec extends AnyFunSuite {
       ("pos", 1L) -> 1L, ("pos", 2L) -> 2L,   // 30 deg before 60 deg
       ("neg", 1L) -> 3L, ("neg", 2L) -> 4L))  // 10 deg before 20 deg
   }
+
+  test("labelConsistency flags the mislabeled point with score 0") {
+    // Two tight clusters; point 12 sits in cluster A but carries
+    // cluster B's label — its 2-NN are both label 1, so consistency 0.
+    val space = Seq(
+      (10L, Array(1.0f, 0.0f), 1),
+      (11L, Array(0.9f, 0.1f), 1),
+      (12L, Array(0.95f, 0.05f), 2), // label noise
+      (20L, Array(0.0f, 1.0f), 2),
+      (21L, Array(0.1f, 0.9f), 2),
+      (22L, Array(0.05f, 0.95f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelConsistency(space, "vec_id", "embedding", "label", k = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_match"), r.getAs[Double]("consistency"))))
+      .toMap
+    assert(out(12L) == ((0L, 0.0)))
+    // clean cluster-A points each see the noisy neighbor once
+    assert(out(10L) == ((1L, 0.5)) && out(11L) == ((1L, 0.5)))
+    // cluster B is pure
+    assert(out(20L) == ((2L, 1.0)) && out(21L) == ((2L, 1.0)) && out(22L) == ((2L, 1.0)))
+  }
 }

@@ -197,6 +197,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("native session_window: the SAME batch code path runs on a stream with parity") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.{col, lit}
+    val input = MemoryStream[SessionEvent](spark)
+    val streamEv = input.toDS().toDF()
+      .withColumn("value", col("event_id").cast("double"))
+      .withWatermark("ts", "0 seconds")
+    val query = Analytics.sessionWindows(streamEv, 30)
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append()).start()
+    val events = Seq(
+      SessionEvent(1L, ts("2024-01-01 00:00:00"), 1L),
+      SessionEvent(1L, ts("2024-01-01 00:10:00"), 2L),
+      SessionEvent(1L, ts("2024-01-01 01:00:00"), 3L), // 50-min gap -> new session
+      SessionEvent(2L, ts("2024-01-01 00:05:00"), 4L))
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past all
+      // open sessions, the second triggers their eviction/emission
+      input.addData(SessionEvent(99L, ts("2024-01-01 12:00:00"), 90L))
+      query.processAllAvailable()
+      input.addData(SessionEvent(99L, ts("2024-01-01 18:00:00"), 91L))
+      query.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))
+      val streamed = spark.table("native_sessions")
+        .where(col("user_id") =!= 99L).collect().map(key).toSet
+      val batch = Analytics.sessionWindows(
+        events.toDF().withColumn("value", col("event_id").cast("double")), 30)
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.size == 3,
+        s"stream/batch divergence: $streamed vs $batch")
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first arrival per fingerprint across batches") {
     val input = MemoryStream[DocArrival](spark)
     val query = StreamingFeatures
