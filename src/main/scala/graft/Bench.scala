@@ -55,6 +55,15 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val reps = (1 to 2).map { _ =>
         spark.catalog.clearCache()
+        // localCheckpoint pins from PRIOR queries are not table-cache
+        // entries: clearCache leaves them resident until a GC lets the
+        // ContextCleaner reap them, and that reclamation lands inside
+        // whichever later query allocates hard (measured: the CC loop
+        // at 13s in-bench vs ~4s isolated under identical
+        // clearCache-per-rep conditions). Unpersist them explicitly —
+        // deterministic, instead of GC-timing-dependent.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)

@@ -15,8 +15,12 @@ object Profile {
     val names = args.drop(2).toSeq
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PROFILE_CLEARCACHE=1 reproduces Bench's cold-data reps
+    // (each rep re-materializes internal persists, as Bench does).
+    val clear = sys.env.get("GRAFT_PROFILE_CLEARCACHE").contains("1")
     names.foreach { name =>
       val times = (1 to reps).map { _ =>
+        if (clear) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9

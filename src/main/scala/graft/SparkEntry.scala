@@ -1881,6 +1881,10 @@ object SparkEntry {
     // character-level Levenshtein (<= 20% of the longer text).
     "dedup_edit_verify" -> ((s, dir) =>
       Dedup.editVerifiedPairs(t(s, dir, "documents"), "doc_id", "text", 0.2)),
+    // Corpus-governance view: exact distinct-shingle Jaccard between
+    // sources, side by side with its 16-lane MinHash estimate.
+    "dedup_corpus_overlap" -> ((s, dir) =>
+      Dedup.corpusOverlap(t(s, dir, "documents"), "source", "text")),
     // maxHamming=3 over 4 derived bands = exact candidate recall
     // (pigeonhole); see Dedup.simhashNearDups.
     "dedup_simhash" -> ((s, dir) =>
@@ -1964,6 +1968,49 @@ object SparkEntry {
         FROM sh GROUP BY doc_id),
       banded AS (
         $bandRows)"""
+  }
+
+  /** Corpus-pair overlap: exact distinct-shingle Jaccard + the 16-lane
+    * split-md5 MinHash estimate, both engines computing identical
+    * string minima over fixed-width lowercase hex.
+    */
+  private val corpusOverlapOracleSql: String = {
+    val lanes = 16
+    val laneMins = (0 until lanes / 2)
+      .flatMap(g => Seq(
+        s"min(substr(md5('$g:' || sh), 1, 16)) AS h${2 * g}",
+        s"min(substr(md5('$g:' || sh), 17, 16)) AS h${2 * g + 1}"))
+      .mkString(",\n               ")
+    val laneMatch = (0 until lanes)
+      .map(i => s"(CASE WHEN p.h$i = q.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH shx AS (
+        SELECT DISTINCT grp, sh FROM (
+          SELECT source AS grp, unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+          FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
+      sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM shx GROUP BY grp),
+      inter AS (
+        SELECT x.grp AS a, y.grp AS b, CAST(count(*) AS BIGINT) AS inter
+        FROM shx x JOIN shx y ON x.sh = y.sh AND x.grp < y.grp
+        GROUP BY x.grp, y.grp),
+      sig AS (
+        SELECT grp, $laneMins
+        FROM shx GROUP BY grp),
+      m AS (
+        SELECT p.grp AS a, q.grp AS b, CAST($laneMatch AS BIGINT) AS lane_matches
+        FROM sig p JOIN sig q ON p.grp < q.grp)
+      SELECT m.a, m.b, sa.n AS n_a, sb.n AS n_b,
+             coalesce(i.inter, 0) AS inter,
+             CAST(coalesce(i.inter, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard,
+             CAST(m.lane_matches AS DOUBLE) / $lanes AS est_jaccard,
+             m.lane_matches
+      FROM m
+      JOIN sizes sa ON sa.grp = m.a
+      JOIN sizes sb ON sb.grp = m.b
+      LEFT JOIN inter i ON i.a = m.a AND i.b = m.b"""
   }
 
   private val minhashOracleSql: String =
@@ -2074,6 +2121,7 @@ object SparkEntry {
 
   private def dedupOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_corpus_overlap" -> corpusOverlapOracleSql,
     "dedup_edit_verify" -> s"""
       WITH $minhashChainCtes,
       cands AS (

@@ -176,6 +176,69 @@ object Dedup {
     bandPairs(banded)
   }
 
+  /** Corpus-level overlap between document groups (sources, dumps,
+    * snapshots): for every group pair, the EXACT distinct-shingle
+    * Jaccard plus its k-lane MinHash ESTIMATE — the data-governance
+    * question "how much of corpus A is already in corpus B" answered
+    * before any doc-level dedup runs.
+    *
+    * Scale: the exact path's inverted-index join shuffles on the
+    * shingle (groups-per-shingle bounded by the number of corpora, so
+    * no hot key) but is corpus-sized; the sketch path reduces each
+    * group to k strings — one tiny row per group, broadcastable, and
+    * the ONLY thing two datacenters need to exchange to estimate
+    * cross-corpus overlap. Emitting both side by side makes the
+    * estimate auditable at test scale; at 100 TB run the sketch alone
+    * (drop the inverted-index branch). Lane hashes are the same
+    * split-lane md5 scheme as the portable per-doc MinHash (two 64-bit
+    * lanes per md5; lexicographic min over fixed-width lowercase hex
+    * = numeric min), so the whole output is cross-engine exact.
+    */
+  def corpusOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      lanes: Int = 16
+  ): DataFrame = {
+    require(lanes % 2 == 0, s"lanes must be even (two lanes per md5), got $lanes")
+    val sh = docs
+      .select(
+        col(groupCol).as("grp"),
+        explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("a"), col("y.grp").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val laneCols = (0 until lanes / 2).flatMap { g =>
+      val h = md5(concat(lit(s"$g:"), col("sh")))
+      Seq(
+        min(substring(h, 1, 16)).as(s"h${2 * g}"),
+        min(substring(h, 17, 16)).as(s"h${2 * g + 1}"))
+    }
+    val sig = sh.groupBy(col("grp")).agg(laneCols.head, laneCols.tail: _*)
+    val laneMatches = (0 until lanes)
+      .map(i => when(col(s"p.h$i") === col(s"q.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairs = sig.as("p")
+      .join(sig.as("q"), col("p.grp") < col("q.grp"))
+      .select(col("p.grp").as("a"), col("q.grp").as("b"), laneMatches.as("lane_matches"))
+    pairs
+      .join(sizes.select(col("grp").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("grp").as("b"), col("n").as("n_b")), "b")
+      .join(inter, Seq("a", "b"), "left")
+      .select(
+        col("a"), col("b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
+          .as("jaccard"),
+        (col("lane_matches").cast("double") / lit(lanes)).as("est_jaccard"),
+        col("lane_matches"))
+  }
+
   /** Edit-distance-verified near-dup pairs — the classic two-stage
     * filter+verify record-linkage shape: MinHash-LSH candidate
     * generation ([[minhashLshNative]]) followed by an EXACT Levenshtein

@@ -298,6 +298,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusOverlap: exact Jaccard from hand-counted shingles; disjoint pair at 0; identical at 1") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      // srcA and srcB share exactly one distinct doc text (4 shingles
+      // each doc: 6 tokens -> 4 3-shingles)
+      (1L, "a b c d e f", "srcA"),
+      (2L, "a b c d e f", "srcB"), // identical text, other source
+      (3L, "p q r s t u", "srcB"),
+      (4L, "x y z w v k", "srcC")  // disjoint from everything
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.corpusOverlap(docs, "source", "text")
+      .collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("inter"),
+          r.getAs[Double]("jaccard"), r.getAs[Long]("lane_matches"))))
+      .toMap
+    // A: 4 shingles; B: 8; C: 4. A∩B = 4 -> J = 4/8 = 0.5
+    assert(out(("srcA", "srcB")) == ((4L, 8L, 4L, 0.5, out(("srcA", "srcB"))._5)))
+    assert(out(("srcA", "srcC"))._3 == 0L && out(("srcA", "srcC"))._4 == 0.0)
+    assert(out(("srcB", "srcC"))._3 == 0L)
+    // disjoint corpora agree on a lane only by md5 collision: impossible here
+    assert(out(("srcA", "srcC"))._5 == 0L)
+    // A ⊂ B with every A-shingle shared: each of B's lane minima is
+    // either an A minimum (match) or from B's extra doc
+    assert(out(("srcA", "srcB"))._5 >= 1L)
+  }
+
   test("editVerifiedPairs: exact dup at distance 0, small edit verified, unrelated text absent") {
     val spark = GraftTestSession.spark
     import spark.implicits._
