@@ -196,6 +196,25 @@ object SparkEntry {
           ev.where(col("ts") > cut), "user_id", "value")
         .select(col("entity"), col("total_dec").cast("double").as("total"), col("n"))
     }),
+    // Incremental join-view maintenance: the stored orders⋈customer
+    // view plus three delta joins must reproduce the full join exactly
+    // (the oracle IS the full recompute — a strong equivalence gate).
+    "fs_join_incremental" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val cut = lit("2000-01-01 00:00:00").cast("timestamp")
+      val (oOld, dO) = (o.where(col("o_orderdate") <= cut), o.where(col("o_orderdate") > cut))
+      val (cOld, dC) = (c.where(col("c_custkey") % 7 =!= 0), c.where(col("c_custkey") % 7 === 0))
+      val cond = (a: DataFrame, b: DataFrame) => a("o_custkey") === b("c_custkey")
+      val stored = oOld.join(cOld, cond(oOld, cOld))
+      FeatureStore
+        .mergeJoinView(stored, oOld, dO, cOld, dC, cond)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("c_name"), col("c_acctbal"))
+    }),
     // Leave-one-out target encoding of event_type by value — the
     // high-cardinality categorical encoder (no self-label leakage).
     "fs_target_encode" -> ((s, dir) =>
@@ -446,6 +465,9 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
              count(*) AS n
       FROM events GROUP BY user_id""",
+    "fs_join_incremental" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+      FROM orders JOIN customer ON o_custkey = c_custkey""",
     "fs_target_encode" -> """
       WITH s AS (
         SELECT event_type AS category, count(*) AS n,

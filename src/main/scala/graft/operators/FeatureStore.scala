@@ -495,6 +495,33 @@ object FeatureStore {
       .groupBy(col("entity"))
       .agg(sum(col("total_dec")).as("total_dec"), sum(col("n")).as("n"))
 
+  /** Insert-only incremental equi-join view maintenance — the classic
+    * bilinear delta rule: for a materialized view V = A ⋈ B and
+    * append-only deltas ΔA, ΔB,
+    *   V' = V ∪ (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB).
+    * The expensive A_old ⋈ B_old is NEVER recomputed — that is the
+    * stored view streaming through untouched.
+    *
+    * Scale: each delta term joins a daily-sized delta against one
+    * base; with the delta broadcastable the base side never shuffles,
+    * so maintenance cost scales with |Δ|, not |V|. Insert-only is the
+    * contract (event/order streams); updates need the upsert path
+    * (see [[graft.operators.Similarity.upsert]]) on the base BEFORE
+    * the view refresh.
+    */
+  def mergeJoinView(
+      stored: DataFrame,
+      oldA: DataFrame,
+      deltaA: DataFrame,
+      oldB: DataFrame,
+      deltaB: DataFrame,
+      cond: (DataFrame, DataFrame) => org.apache.spark.sql.Column
+  ): DataFrame =
+    stored
+      .unionByName(deltaA.join(oldB, cond(deltaA, oldB)))
+      .unionByName(oldA.join(deltaB, cond(oldA, deltaB)))
+      .unionByName(deltaA.join(deltaB, cond(deltaA, deltaB)))
+
   /** Leave-one-out target encoding — the classic high-cardinality
     * categorical encoder: each row's category becomes the mean target
     * of OTHER rows in that category, (Σy − y)/(n−1), so a row never

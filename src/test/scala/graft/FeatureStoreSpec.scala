@@ -399,4 +399,21 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out(101L) == ((Some(3.0), "back"))) // exact tie -> backward
     assert(out(102L) == ((None, null)))
   }
+
+  test("mergeJoinView: stored view + three delta terms = full recompute, incl. delta x delta") {
+    val oldA = Seq((1L, 10L, "a1"), (2L, 20L, "a2")).toDF("k", "ak", "av")
+    val dA = Seq((3L, 30L, "a3"), (4L, 10L, "a4")).toDF("k", "ak", "av")
+    val oldB = Seq((10L, "b10"), (20L, "b20")).toDF("bk", "bv")
+    val dB = Seq((30L, "b30")).toDF("bk", "bv") // matches ONLY the delta-A row 3
+    val cond = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      a("ak") === b("bk")
+    val stored = oldA.join(oldB, cond(oldA, oldB))
+    val incr = FeatureStore.mergeJoinView(stored, oldA, dA, oldB, dB, cond)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("bv"))).toSet
+    val full = oldA.unionByName(dA).join(oldB.unionByName(dB), $"ak" === $"bk")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("bv"))).toSet
+    assert(incr == full)
+    assert(incr.contains((3L, "b30")), "the delta x delta corner must be present")
+    assert(incr.contains((4L, "b10")), "delta-A against old-B")
+  }
 }
