@@ -1914,6 +1914,11 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, portableHashes = true)),
     "dedup_jaccard_words" -> ((s, dir) =>
       Dedup.jaccardWordPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.9)),
+    // Asymmetric doc-in-doc containment: ordered (contained, container)
+    // pairs at C(a->b) >= 0.8 — catches the small-doc-inside-big-doc
+    // class the symmetric Jaccard size-ratio filter excludes.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.8)),
     // Sequence-level span dedup (Lee et al. 2021 analog): repeated
     // 8-token spans survive only at their first corpus occurrence.
     "dedup_spans" -> ((s, dir) =>
@@ -2144,6 +2149,18 @@ object SparkEntry {
   private def dedupOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_corpus_overlap" -> corpusOverlapOracleSql,
+    "dedup_containment" -> """
+      WITH w AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
+               len(list_distinct(string_split(text, ' '))) AS nw
+        FROM documents),
+      i AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter,
+               any_value(a.nw) AS nwa
+        FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a, b, inter, CAST(inter AS DOUBLE) / nwa AS containment
+      FROM i WHERE CAST(inter AS DOUBLE) / nwa >= 0.8""",
     "dedup_edit_verify" -> s"""
       WITH $minhashChainCtes,
       cands AS (
@@ -3249,6 +3266,9 @@ object SparkEntry {
       Analytics.scd2Intervals(t(s, dir, "events"), "user_id", "value", "ts", "event_id")),
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
     "q_session_window" -> ((s, dir) => Analytics.sessionWindows(t(s, dir, "events"), 30)),
+    // Market-basket lift over order-blocked part pairs.
+    "q_copurchase_lift" -> ((s, dir) =>
+      Analytics.copurchaseLift(t(s, dir, "lineitem"), minCo = 2)),
     "q_events_pivot" -> ((s, dir) =>
       Analytics.eventPivot(
         t(s, dir, "events"), Seq("click", "view", "purchase", "signup", "error"))
@@ -3550,6 +3570,20 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM g GROUP BY user_id, sid""",
+    "q_copurchase_lift" -> """
+      WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+      supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY pk),
+      co AS (
+        SELECT x.pk AS part_a, y.pk AS part_b, CAST(count(*) AS BIGINT) AS n_co
+        FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT part_a, part_b, n_co, sa.s AS n_a, sb.s AS n_b,
+             CAST(n_co AS DOUBLE) * n.n_orders / CAST(sa.s * sb.s AS DOUBLE) AS lift
+      FROM co
+      JOIN supp sa ON sa.pk = part_a
+      JOIN supp sb ON sb.pk = part_b
+      CROSS JOIN n""",
     "q_events_pivot" -> """
       SELECT user_id AS entity,
              count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -329,6 +329,41 @@ object Analytics {
         col("n_events"),
         col("sum_value"))
 
+  /** Market-basket co-occurrence with lift — the co-visitation /
+    * co-purchase statistic behind "bought-together" retrieval and
+    * feature crosses: for every part pair sharing an order,
+    *   lift = P(a,b) / (P(a)·P(b)) = n_co·N / (n_a·n_b).
+    *
+    * Scale shape: the pair join is BLOCKED on the order key, so work
+    * is Σ basket² (baskets are small by nature; a pathological
+    * mega-basket would need the chunk-split treatment of
+    * [[Dedup.embeddingNearDups]]). Supports and the 1-row order count
+    * are exact integers; lift is IEEE arithmetic on exactly
+    * representable ints (< 2^53), so it is bit-stable under any
+    * partitioning. minCo floors away the random-co-occurrence tail
+    * BEFORE the support joins.
+    */
+  def copurchaseLift(lineitem: DataFrame, minCo: Long): DataFrame = {
+    val b = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+    val supp = b.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+    val co = b.as("x")
+      .join(b.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= minCo)
+    co
+      .join(supp.select(col("pk").as("part_a"), col("s").as("n_a")), "part_a")
+      .join(supp.select(col("pk").as("part_b"), col("s").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("part_a"), col("part_b"), col("n_co"), col("n_a"), col("n_b"),
+        (col("n_co").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Pivot: event counts per user x event_type. */
   def eventPivot(events: DataFrame, eventTypes: Seq[String]): DataFrame =
     events

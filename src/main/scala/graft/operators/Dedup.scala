@@ -389,36 +389,7 @@ object Dedup {
       blockCol: String,
       threshold: Double
   ): DataFrame = {
-    // Tokens are 64-bit-hashed up front: every downstream shuffle key,
-    // sort and intersect works on longs instead of strings (identical
-    // Jaccard modulo 64-bit collisions).
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      col(blockCol).as("block"),
-      array_distinct(transform(distinctTokens(col(textCol)), t => xxhash64(t))).as("toks"))
-    val words = toks.select(
-      col("block"), col("doc_id"), size(col("toks")).as("nw"),
-      explode(col("toks")).as("word"))
-    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    // Four consumers read `sorted` (both prefix-join sides + both
-    // verify-join sides). Under a plain action AQE's runtime exchange
-    // reuse evaluates the tokenize + frequency-join + sort subtree
-    // once, but consumers that materialize through the RDD path
-    // (checkpoint/localCheckpoint — e.g. connectedComponents pinning
-    // the edge list) lose that reuse and re-run the subtree per
-    // consumer (measured 2-4x the query cost). An explicit persist
-    // makes the reuse unconditional; MEMORY_AND_DISK so a 100 TB
-    // corpus spills instead of evicting — the footprint is one row of
-    // sorted token hashes per doc, the same order as a shuffle write
-    // of the tokenized corpus.
-    val sorted = words
-      .join(freq, "word")
-      .groupBy(col("block"), col("doc_id"), col("nw"))
-      .agg(array_sort(collect_list(struct(col("freq"), col("word")))).as("fw"))
-      .select(
-        col("block"), col("doc_id"), col("nw"),
-        transform(col("fw"), x => x.getField("word")).as("stoks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
     val prefix = sorted
       .withColumn("p", (col("nw") - ceil(col("nw") * threshold) + 1).cast("int"))
       .select(
@@ -444,6 +415,95 @@ object Dedup {
         round(col("inter") / (col("nwa") + col("nwb") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Shared PPJoin substrate: per doc, its distinct 64-bit-hashed
+    * tokens sorted by ascending global frequency (rarest first), with
+    * the distinct-token count. Tokens are hashed up front so every
+    * downstream shuffle key, sort and intersect works on longs instead
+    * of strings (identical set semantics modulo 64-bit collisions).
+    *
+    * Persisted: multiple consumers read it (both prefix-join sides +
+    * both verify-join sides). Under a plain action AQE's runtime
+    * exchange reuse evaluates the tokenize + frequency-join + sort
+    * subtree once, but consumers that materialize through the RDD path
+    * (checkpoint/localCheckpoint — e.g. connectedComponents pinning
+    * the edge list) lose that reuse and re-run the subtree per
+    * consumer (measured 2-4x the query cost). MEMORY_AND_DISK so a
+    * 100 TB corpus spills instead of evicting — the footprint is one
+    * row of sorted token hashes per doc, the same order as a shuffle
+    * write of the tokenized corpus.
+    */
+  private def freqSortedTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String
+  ): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      col(blockCol).as("block"),
+      array_distinct(transform(distinctTokens(col(textCol)), t => xxhash64(t))).as("toks"))
+    val words = toks.select(
+      col("block"), col("doc_id"), size(col("toks")).as("nw"),
+      explode(col("toks")).as("word"))
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words
+      .join(freq, "word")
+      .groupBy(col("block"), col("doc_id"), col("nw"))
+      .agg(array_sort(collect_list(struct(col("freq"), col("word")))).as("fw"))
+      .select(
+        col("block"), col("doc_id"), col("nw"),
+        transform(col("fw"), x => x.getField("word")).as("stoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Asymmetric CONTAINMENT join — doc-in-doc detection: emit ordered
+    * pairs (a, b) where C(a→b) = |tokens(a) ∩ tokens(b)| / |tokens(a)|
+    * >= t, i.e. container b holds at least a t-fraction of a's
+    * distinct tokens. Catches quote-expansion, boilerplate-wrapping
+    * and doc-inclusion near-dups that the SYMMETRIC Jaccard size-ratio
+    * filter deliberately excludes (a small doc inside a big one).
+    *
+    * Prefix filter, containment form: if |a∩b| >= t·|a| then any
+    * nw_a − ceil(t·nw_a) + 1 of a's tokens include one shared with b —
+    * so only a's (rarest-first) prefix is indexed, but it probes
+    * b's FULL posting list (no symmetric size filter; only the
+    * necessary |b| >= t·|a| guard). The verify re-attaches token
+    * arrays by id and computes the exact intersection; the emitted
+    * ratio is the raw IEEE division of two exact ints (never round a
+    * cross-engine output ratio).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
+    val prefix = sorted
+      .withColumn("p", (col("nw") - ceil(col("nw") * threshold) + 1).cast("int"))
+      .select(
+        col("block"), col("doc_id").as("a"), col("nw").as("nwa"),
+        explode(slice(col("stoks"), lit(1), col("p"))).as("pw"))
+    val full = sorted.select(
+      col("block"), col("doc_id").as("b"), col("nw").as("nwb"),
+      explode(col("stoks")).as("pw"))
+    val cands = prefix
+      .join(full, Seq("block", "pw"))
+      .where(col("a") =!= col("b") && col("nwb") >= col("nwa") * threshold)
+      .select(col("a"), col("b"))
+      .distinct()
+    val ta = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("nw").as("nwa"))
+    val tb = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"))
+    cands
+      .join(ta, "a")
+      .join(tb, "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("nwa").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("containment"))
   }
 
   /** Sequence-level (span) dedup — the paragraph-dedup analog for a

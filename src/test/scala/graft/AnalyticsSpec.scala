@@ -160,6 +160,23 @@ class AnalyticsSpec extends AnyFunSuite {
       ((us("2024-01-01 00:30:00"), 1L, 8.0)))
   }
 
+  test("copurchaseLift: basket-blocked pairs, duplicate lines collapse, exact lift") {
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 2L), // dup line for part 2 collapses
+      (2L, 1L), (2L, 2L),
+      (3L, 1L),
+      (4L, 2L), (4L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Analytics.copurchaseLift(li, minCo = 2).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        ((r.getAs[Long]("n_co"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("lift"))))
+      .toMap
+    // only (1,2) co-occurs twice; lift = 2*4/(3*3)
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == ((2L, 3L, 3L, 8.0 / 9.0)))
+  }
+
   test("topKPerGroup keeps exactly the k best with rank ties") {
     val orders = Seq(
       (1L, 10L, 100.0, ts("2024-01-01 00:00:00")),

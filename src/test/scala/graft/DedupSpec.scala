@@ -298,6 +298,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs: small doc inside big doc found (Jaccard would miss it); direction correct") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon"                       // 5 distinct tokens
+    val big = small + " zeta eta theta iota kappa lambda mu nu xi"     // superset, 14 tokens
+    val docs = Seq(
+      (1L, small, "en"),
+      (2L, big, "en"),
+      (3L, "unrelated words entirely different content here", "en"),
+      (4L, small, "fr") // other block: never paired
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", "lang", 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Double]("containment"))))
+      .toMap
+    // 1 ⊂ 2 fully: containment 5/5 = 1.0; the reverse is 5/14 < 0.8
+    assert(out((1L, 2L)) == ((5L, 1.0)))
+    assert(!out.contains((2L, 1L)))
+    // Jaccard(1,2) = 5/14 — the symmetric size-ratio filter would
+    // never emit this pair at t=0.8; containment is the point
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L })
+  }
+
   test("corpusOverlap: exact Jaccard from hand-counted shingles; disjoint pair at 0; identical at 1") {
     val spark = GraftTestSession.spark
     import spark.implicits._
