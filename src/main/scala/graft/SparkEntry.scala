@@ -3269,6 +3269,29 @@ object SparkEntry {
     // Market-basket lift over order-blocked part pairs.
     "q_copurchase_lift" -> ((s, dir) =>
       Analytics.copurchaseLift(t(s, dir, "lineitem"), minCo = 2)),
+    // Z-order layout: Morton-interleaved (custkey, day) codes cut into
+    // buckets, with the per-bucket min/max envelopes a table format
+    // would store per file for multi-dimensional pruning.
+    "q_zorder_layout" -> ((s, dir) =>
+      Analytics.zorderLayout(t(s, dir, "orders"), bucketShift = 16)),
+    // Space snapshot diff: added/removed/changed/same per key between
+    // two frozen versions (label bump on every 10th key = 'changed').
+    "emb_space_diff" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_spaces_diff"
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+      graft.sources.Spaces.delete(s, root, "vectors")
+      val v1 = graft.sources.Spaces.freeze(emb.where(col("vec_id") < 300), root, "vectors")
+      val v2 = graft.sources.Spaces.freeze(
+        emb.where(col("vec_id") >= 100)
+          .withColumn(
+            "label",
+            when(col("vec_id") % 10 === 0, col("label") + 1).otherwise(col("label"))),
+        root, "vectors")
+      graft.sources.Spaces.diff(
+        graft.sources.Spaces.load(s, root, "vectors", Some(v1)),
+        graft.sources.Spaces.load(s, root, "vectors", Some(v2)),
+        "vec_id", Seq("label", "embedding"))
+    }),
     "q_events_pivot" -> ((s, dir) =>
       Analytics.eventPivot(
         t(s, dir, "events"), Seq("click", "view", "purchase", "signup", "error"))
@@ -3389,6 +3412,26 @@ object SparkEntry {
 
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,4)) * " +
     "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  /** The same 16-bit Morton interleave as Analytics.zorderLayout,
+    * unrolled to bitwise SQL (32 OR terms), bucket = code >> 16.
+    */
+  private lazy val zorderOracleSql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((x >> $i) & 1) << ${2 * i})",
+      s"(((y >> $i) & 1) << ${2 * i + 1})"))
+    s"""
+      WITH m AS (
+        SELECT cust, day, ${terms.mkString(" | ")} AS z FROM (
+          SELECT o_custkey AS x, o_custkey AS cust,
+                 date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS y,
+                 date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day
+          FROM orders))
+      SELECT z >> 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             min(cust) AS min_cust, max(cust) AS max_cust,
+             CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
+      FROM m GROUP BY bucket"""
+  }
 
   private def analyticsOracles: Map[String, String] = Map(
     "q1_agg" -> s"""
@@ -3570,6 +3613,19 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM g GROUP BY user_id, sid""",
+    "q_zorder_layout" -> zorderOracleSql,
+    "emb_space_diff" -> """
+      WITH v1 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),
+      v2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 10 = 0 THEN label + 1 ELSE label END AS label
+        FROM embeddings WHERE vec_id >= 100)
+      SELECT coalesce(v1.vec_id, v2.vec_id) AS vec_id,
+             CASE WHEN v1.vec_id IS NULL THEN 'added'
+                  WHEN v2.vec_id IS NULL THEN 'removed'
+                  WHEN v1.label = v2.label THEN 'same'
+                  ELSE 'changed' END AS status
+      FROM v1 FULL JOIN v2 ON v1.vec_id = v2.vec_id""",
     "q_copurchase_lift" -> """
       WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),

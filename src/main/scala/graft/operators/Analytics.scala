@@ -364,6 +364,38 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Z-order (Morton) layout clustering over two dimensions — the
+    * space-filling-curve data-layout primitive behind multi-dimensional
+    * file pruning (Delta/Iceberg Z-ORDER): interleave the low 16 bits
+    * of (customer key, order day) into one code, then cut the code
+    * range into buckets. Rows range-partitioned by the code are local
+    * in BOTH dimensions at once, so a scan filtered on either
+    * dimension prunes most buckets — emitted here as per-bucket counts
+    * with per-dimension min/max envelopes (the pruning statistics a
+    * table format would store per file).
+    *
+    * At 100 TB the layout step is `repartitionByRange(mortonCode)` +
+    * write; this query computes the code (pure bitwise projection,
+    * scan speed) and the bucket envelopes (one aggregation).
+    */
+  def zorderLayout(orders: DataFrame, bucketShift: Int): DataFrame = {
+    val x = col("o_custkey").cast("bigint")
+    val y = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      .cast("bigint")
+    val morton = (0 until 16)
+      .flatMap(i => Seq(
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)))
+      .reduce(_ bitwiseOR _)
+    orders
+      .select(x.as("cust"), y.as("day"), morton.as("z"))
+      .groupBy(shiftright(col("z"), bucketShift).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("cust")).as("min_cust"), max(col("cust")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+  }
+
   /** Pivot: event counts per user x event_type. */
   def eventPivot(events: DataFrame, eventTypes: Seq[String]): DataFrame =
     events

@@ -70,6 +70,36 @@ object Spaces {
     spark.read.parquet(s"$root/$name/v$v")
   }
 
+  /** Snapshot diff between two space versions: per key, whether it was
+    * `added`, `removed`, `changed` (any compare column differs —
+    * including exact float-array equality for vectors) or `same` —
+    * the audit primitive for "what did this refresh actually do"
+    * between two frozen snapshots.
+    *
+    * Scale: ONE full-outer shuffle join on the key; compare columns
+    * travel as a struct so equality is a single comparator, no
+    * per-column join conditions. Run it between consecutive versions
+    * to gate a freeze (e.g. refuse to serve a snapshot that removed
+    * more than x% of keys).
+    */
+  def diff(
+      v1: DataFrame,
+      v2: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = v1.select(col(keyCol), struct(compareCols.map(col): _*).as("va"))
+    val b = v2.select(col(keyCol), struct(compareCols.map(col): _*).as("vb"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .select(
+        col(keyCol),
+        when(col("va").isNull, "added")
+          .when(col("vb").isNull, "removed")
+          .when(col("va") === col("vb"), "same")
+          .otherwise("changed").as("status"))
+  }
+
   /** Delete the whole space (all versions). */
   def delete(spark: SparkSession, root: String, name: String): Unit = {
     val dir = spaceDir(root, name)

@@ -160,6 +160,21 @@ class AnalyticsSpec extends AnyFunSuite {
       ((us("2024-01-01 00:30:00"), 1L, 8.0)))
   }
 
+  test("zorderLayout: morton interleave by hand; buckets envelope both dimensions") {
+    // custkey 5 = 101b, day 3 = 11b ->
+    // z = x0<<0 | y0<<1 | x1<<2 | y1<<3 | x2<<4 = 1 | 2 | 0 | 8 | 16 = 27
+    val orders = Seq(
+      (5L, ts("1995-01-04 00:00:00")), // day 3 -> z = 27
+      (0L, ts("1995-01-01 00:00:00"))  // day 0 -> z = 0
+    ).toDF("o_custkey", "o_orderdate")
+    val out = Analytics.zorderLayout(orders, bucketShift = 0).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("min_cust"), r.getAs[Long]("max_day"))))
+      .toMap
+    assert(out(27L) == ((1L, 5L, 3L)))
+    assert(out(0L) == ((1L, 0L, 0L)))
+  }
+
   test("copurchaseLift: basket-blocked pairs, duplicate lines collapse, exact lift") {
     val li = Seq(
       (1L, 1L), (1L, 2L), (1L, 3L), (1L, 2L), // dup line for part 2 collapses

@@ -92,4 +92,19 @@ class SourcesSpec extends AnyFunSuite {
     Spaces.delete(spark, root, "s1")
     assert(Spaces.versions(spark, root, "s1").isEmpty)
   }
+
+  test("Spaces.diff: added/removed/changed/same, with exact array compare") {
+    import graft.sources.Spaces
+    val v1 = Seq(
+      (1L, Array(1.0f, 2.0f), 10), (2L, Array(3.0f, 4.0f), 20),
+      (3L, Array(5.0f, 6.0f), 30)).toDF("k", "vec", "lab")
+    val v2 = Seq(
+      (2L, Array(3.0f, 4.0f), 20),   // same
+      (3L, Array(5.0f, 6.5f), 30),   // vector changed
+      (4L, Array(7.0f, 8.0f), 40))   // added
+    .toDF("k", "vec", "lab")
+    val out = Spaces.diff(v1, v2, "k", Seq("vec", "lab"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
 }
