@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -195,6 +196,35 @@ object SparkEntry {
           FeatureStore.sumAggregate(ev.where(col("ts") <= cut), "user_id", "value"),
           ev.where(col("ts") > cut), "user_id", "value")
         .select(col("entity"), col("total_dec").cast("double").as("total"), col("n"))
+    }),
+    // PIT leakage audit: a deliberately naive latest-value join (leaks
+    // future clicks into purchase labels) next to the time-correct PIT
+    // join — the audit must show n_leaks > 0 for the former and = 0
+    // for the latter, quantifying why PIT correctness matters.
+    "fs_leakage_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val labels = ev.where(col("event_type") === "purchase").select(
+        col("user_id").as("entity"),
+        unix_micros(col("ts")).as("label_ts_us"),
+        col("event_id"))
+      val clicks = ev.where(col("event_type") === "click").select(
+        col("user_id").as("entity"),
+        unix_micros(col("ts")).as("f_ts_us"),
+        col("event_id").as("f_event_id"))
+      val wLatest = Window.partitionBy(col("entity"))
+        .orderBy(col("f_ts_us").desc, col("f_event_id").desc)
+      val latest = clicks
+        .withColumn("rn", row_number().over(wLatest)).where(col("rn") === 1)
+        .select(col("entity"), col("f_ts_us"))
+      val naive = labels.join(latest, "entity")
+        .select(lit("naive_latest").as("method"), col("label_ts_us"), col("f_ts_us"))
+      val pit = labels.join(clicks, "entity")
+        .where(col("f_ts_us") <= col("label_ts_us"))
+        .groupBy(col("entity"), col("label_ts_us"), col("event_id"))
+        .agg(max(col("f_ts_us")).as("f_ts_us"))
+        .select(lit("pit").as("method"), col("label_ts_us"), col("f_ts_us"))
+      FeatureStore.leakageAudit(
+        naive.unionByName(pit), "method", "label_ts_us", "f_ts_us")
     }),
     // Incremental join-view maintenance: the stored orders⋈customer
     // view plus three delta joins must reproduce the full join exactly
@@ -468,6 +498,36 @@ object SparkEntry {
     "fs_join_incremental" -> """
       SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
       FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "fs_leakage_audit" -> """
+      WITH labels AS (
+        SELECT user_id AS entity, epoch_us(ts) AS label_ts_us, event_id
+        FROM events WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id AS entity, epoch_us(ts) AS f_ts_us, event_id AS f_event_id
+        FROM events WHERE event_type = 'click'),
+      latest AS (
+        SELECT entity, f_ts_us FROM (
+          SELECT entity, f_ts_us,
+                 row_number() OVER (PARTITION BY entity
+                   ORDER BY f_ts_us DESC, f_event_id DESC) AS rn
+          FROM clicks) WHERE rn = 1),
+      naive AS (
+        SELECT 'naive_latest' AS method, label_ts_us, f_ts_us
+        FROM labels JOIN latest USING (entity)),
+      pit AS (
+        SELECT 'pit' AS method, label_ts_us, max(f_ts_us) AS f_ts_us
+        FROM labels JOIN clicks USING (entity)
+        WHERE f_ts_us <= label_ts_us
+        GROUP BY entity, label_ts_us, event_id),
+      u AS (SELECT * FROM naive UNION ALL SELECT * FROM pit)
+      SELECT method, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN f_ts_us > label_ts_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaks,
+             coalesce(max(CASE WHEN f_ts_us > label_ts_us
+                               THEN f_ts_us - label_ts_us END), 0) AS max_lead_us,
+             coalesce(max(CASE WHEN f_ts_us <= label_ts_us
+                               THEN label_ts_us - f_ts_us END), 0) AS max_staleness_us
+      FROM u GROUP BY method""",
     "fs_target_encode" -> """
       WITH s AS (
         SELECT event_type AS category, count(*) AS n,

@@ -522,6 +522,35 @@ object FeatureStore {
       .unionByName(oldA.join(deltaB, cond(oldA, deltaB)))
       .unionByName(deltaA.join(deltaB, cond(deltaA, deltaB)))
 
+  /** Point-in-time LEAKAGE AUDIT — the correctness gate for any
+    * feature/label join: given joined rows tagged with the join method
+    * and carrying (label ts, feature ts), report per method how many
+    * rows used a feature from the FUTURE of its label (n_leaks — must
+    * be 0 for a sound training set), how far ahead the worst leak
+    * reached, and the worst-case staleness of the sound rows. Run it
+    * over a candidate join before shipping a training set; a non-zero
+    * n_leaks row is a blocked release.
+    *
+    * One map-side-combined aggregation over the joined rows — audit
+    * cost is a scan, never a re-join.
+    */
+  def leakageAudit(
+      rows: DataFrame,
+      methodCol: String,
+      labelTsUsCol: String,
+      featureTsUsCol: String
+  ): DataFrame = {
+    val lts = col(labelTsUsCol)
+    val fts = col(featureTsUsCol)
+    rows
+      .groupBy(col(methodCol).as("method"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(fts > lts, 1L).otherwise(0L)).as("n_leaks"),
+        coalesce(max(when(fts > lts, fts - lts)), lit(0L)).as("max_lead_us"),
+        coalesce(max(when(fts <= lts, lts - fts)), lit(0L)).as("max_staleness_us"))
+  }
+
   /** Leave-one-out target encoding — the classic high-cardinality
     * categorical encoder: each row's category becomes the mean target
     * of OTHER rows in that category, (Σy − y)/(n−1), so a row never

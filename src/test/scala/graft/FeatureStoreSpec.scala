@@ -400,6 +400,23 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out(102L) == ((None, null)))
   }
 
+  test("leakageAudit: future features counted as leaks, sound rows report staleness") {
+    val rows = Seq(
+      ("naive", 1000L, 1500L), // leak, lead 500
+      ("naive", 1000L, 900L),  // sound, staleness 100
+      ("pit", 1000L, 400L),    // sound, staleness 600
+      ("pit", 2000L, 2000L)    // exactly-at-label is sound (<=)
+    ).toDF("method", "label_ts_us", "f_ts_us")
+    val out = FeatureStore.leakageAudit(rows, "method", "label_ts_us", "f_ts_us")
+      .collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_leaks"),
+          r.getAs[Long]("max_lead_us"), r.getAs[Long]("max_staleness_us"))))
+      .toMap
+    assert(out("naive") == ((2L, 1L, 500L, 100L)))
+    assert(out("pit") == ((2L, 0L, 0L, 600L)))
+  }
+
   test("mergeJoinView: stored view + three delta terms = full recompute, incl. delta x delta") {
     val oldA = Seq((1L, 10L, "a1"), (2L, 20L, "a2")).toDF("k", "ak", "av")
     val dA = Seq((3L, 30L, "a3"), (4L, 10L, "a4")).toDF("k", "ak", "av")
