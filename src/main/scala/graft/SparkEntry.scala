@@ -2013,6 +2013,29 @@ object SparkEntry {
         .join(sizes, col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), col("n_merged"), col("n_chars"))
     }),
+    // INCREMENTAL connected components — the daily-delta path: docs
+    // with id < cut are "yesterday's corpus" whose CC labels are
+    // already stored; today only the label STAR EDGES (node ->
+    // canonical, |V_old| edges) plus the delta pairs (any pair
+    // touching a new doc) enter the loop, never yesterday's full pair
+    // set. Output must equal full CC over all pairs — the oracle IS
+    // the full recompute (recursive CTE), so the equivalence is
+    // hash-gated. Work scales with |delta| + |labels|, not |pairs|.
+    "dedup_cc_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = lit(docs.count() / 2) // "yesterday" = the older half
+      val pairs = Dedup.minhashLshNative(docs, "doc_id", "text")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val oldPairs = pairs.where(col("a") < cut && col("b") < cut)
+      val deltaPairs = pairs.where(col("a") >= cut || col("b") >= cut)
+      val oldDocs = docs.where(col("doc_id") < cut)
+      val oldLabels = Dedup.connectedComponents(oldPairs, oldDocs, "doc_id")
+      val starEdges = oldLabels
+        .where(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+      Dedup.connectedComponents(starEdges.unionByName(deltaPairs), docs, "doc_id")
+    }),
     // SemDeDup (Abbas et al. 2023): semantic pruning — same Lloyd
     // schedule as emb_kmeans (k=8, 3 iterations), members ranked by
     // similarity to their centroid, later-ranked members with an
@@ -2208,6 +2231,22 @@ object SparkEntry {
 
   private def dedupOracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    // Full-recompute CC over ALL minhash pairs: the incremental path
+    // must reproduce it exactly.
+    "dedup_cc_incremental" -> s"""
+      WITH RECURSIVE $minhashChainCtes,
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      sym AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+      cc(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, cc.lbl FROM cc JOIN sym s ON s.src = cc.node AND cc.lbl < s.dst)
+      SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node""",
     "dedup_corpus_overlap" -> corpusOverlapOracleSql,
     "dedup_containment" -> """
       WITH w AS (

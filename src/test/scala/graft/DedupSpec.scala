@@ -298,6 +298,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental CC: star edges from stored labels + delta pairs = full recompute") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nodes = (1L to 7L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b") // comps {1,2,3} {5,6}
+    val deltaPairs = Seq((3L, 7L), (7L, 5L)).toDF("a", "b")         // merges both via new node 7
+    val full = Dedup.connectedComponents(oldPairs.unionByName(deltaPairs), nodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldLabels = Dedup.connectedComponents(
+      oldPairs, nodes.where(col("doc_id") <= 6), "doc_id")
+    val star = oldLabels.where(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+    val incr = Dedup.connectedComponents(star.unionByName(deltaPairs), nodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full)
+    assert(full(7L) == 1L && full(5L) == 1L, "delta node merged both old components")
+    assert(full(4L) == 4L, "isolated node stays its own canonical")
+  }
+
   test("containmentPairs: small doc inside big doc found (Jaccard would miss it); direction correct") {
     val spark = GraftTestSession.spark
     import spark.implicits._
