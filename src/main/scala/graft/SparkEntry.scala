@@ -848,6 +848,17 @@ object SparkEntry {
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").where(col("vec_id") < 10),
         "vec_id", "embedding", m = 16, dims = 64, ksub = 32, iterations = 2, k = 5)),
+    // OPQ end-to-end (Ge et al. CVPR'13): learned orthogonal rotation
+    // (alternating PQ / Procrustes-SVD) -> PQ -> ADC in the rotated
+    // space. The oracle embeds the per-SF rotation as literals
+    // (opqKnnOracle) — generated by Verify, which computes R once.
+    "emb_opq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val rotated = Quantization.rotate(emb, "vec_id", "embedding", opqRot(s, dir))
+      Quantization.pqKnn(
+        rotated, rotated.where(col("vec_id") < 10),
+        "vec_id", "vec", m = PqM, dims = 64, ksub = PqKsub, iterations = 2, k = 5)
+    }),
     // Dimension-reduced PQ (the OPQ-shaped compression stack with the
     // training-free JL rotation): project 64 -> 16 dims with the
     // md5-signed random projection, then PQ (m=8, dsub=2) + ADC in
@@ -1233,6 +1244,50 @@ object SparkEntry {
   private val PqM = 16
   private val PqKsub = 32
   private val PqDsub = 64 / PqM
+
+  /** Set by Verify before building [[oracleSql]]: the sf dir whose DATA
+    * data-dependent oracles must derive from (OPQ's learned rotation is
+    * a function of the corpus, so its oracle embeds per-SF literals).
+    * When unset, those oracles are omitted from the map.
+    */
+  @volatile var oracleDataDir: Option[String] = None
+
+  /** Learned OPQ rotation per sf dir, memoized so the emb_opq_knn query
+    * and its generated oracle share the SAME matrix within one JVM run
+    * (and recomputation is bit-stable anyway: decimal-exact covariance
+    * + same-LAPACK SVD — see Quantization.opqRotation).
+    */
+  private val opqRotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]
+  private def opqRot(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    opqRotCache.computeIfAbsent(
+      dir,
+      _ => Quantization.opqRotation(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = PqM, dims = 64, ksub = PqKsub, pqIterations = 2, opqIterations = 2))
+
+  /** Generated emb_opq_knn oracle: the learned rotation as literal
+    * weights (each output dim an UNROLLED left-associated fold, the
+    * same add order as Quantization.rotate's aggregate — bit-identical
+    * doubles), feeding the standard unrolled PQ chain + ADC tail.
+    */
+  private def opqKnnOracle(dir: String): String = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rot = opqRot(spark, dir)
+    val vecSql = (0 until 64).map { out =>
+      (1 to 64)
+        .map(i => s"embedding[$i]::DOUBLE * (${rot(out)(i - 1)})::DOUBLE")
+        .mkString("(", " + ", ")")
+    }.mkString("list_value(", ", ", ")")
+    s"""
+      WITH opqv AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+      ${pqChainCtes(
+        s"""SELECT vec_id, j AS subspace,
+               v[(j * $PqDsub + 1):((j + 1) * $PqDsub)] AS subvec
+        FROM opqv, (SELECT unnest(range($PqM)) AS j)""",
+        seedSrc = "opqv")},
+      ${pqAdcSql(PqM, PqDsub, 5)}"""
+  }
 
   /** Ordered squared-L2 fold over `n` list positions — matches Spark's
     * sequential double accumulation exactly.
@@ -4210,5 +4265,9 @@ object SparkEntry {
     * invariants (IVF paths), or a fixed unrolled schedule (k-means).
     */
   def oracleSql: Map[String, String] =
-    fsOracles ++ embOracles ++ dedupOracles ++ textOracles ++ analyticsOracles ++ miscOracles
+    fsOracles ++ embOracles ++ dedupOracles ++ textOracles ++ analyticsOracles ++
+      miscOracles ++
+      // Data-dependent oracles (per-SF literals) — present only when the
+      // dump context (Verify) has declared its sf dir.
+      oracleDataDir.map(dir => "emb_opq_knn" -> opqKnnOracle(dir)).toMap
 }

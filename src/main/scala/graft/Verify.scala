@@ -25,6 +25,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Data-dependent oracles (e.g. OPQ's learned-rotation literals)
+    // derive from this run's corpus.
+    SparkEntry.oracleDataDir = Some(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

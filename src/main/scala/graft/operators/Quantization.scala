@@ -548,8 +548,11 @@ object Quantization {
     * one (i,j) sum — d² cells, collected once per iteration: 4096
     * doubles for d=64, the only driver-side data); the SVD is a d×d
     * driver-side Breeze call, same pattern as the CC loop's scalar
-    * fixpoint reads. Spec-verified (orthogonality + error vs plain PQ);
-    * no SQL oracle — LAPACK SVD has no cross-engine bit contract.
+    * fixpoint reads. Spec-verified (orthogonality + error vs plain PQ).
+    * LAPACK SVD has no cross-engine bit contract, so the emb_opq_knn
+    * oracle does not re-derive R in SQL — Verify computes R once
+    * (bit-stable: decimal-exact covariance + same-JVM SVD) and embeds
+    * it as literals in the generated oracle (SparkEntry.opqKnnOracle).
     */
   def opqRotation(
       space: DataFrame,
@@ -568,13 +571,17 @@ object Quantization {
       val cb = pqCodebooks(rotated, "vec_id", "vec", m, dims, ksub, pqIterations)
         .localCheckpoint()
       val recon = pqReconstruct(pqEncode(rotated, "vec_id", "vec", m, dims, cb), cb)
+      // Decimal-exact covariance: each x·ŷ term 12dp-rounded and summed
+      // as DECIMAL so A — and therefore the SVD and R — is bit-stable
+      // under any partitioning/run (two separate evaluations of this
+      // pipeline must hand the SAME matrix to the same LAPACK).
       val cells = space
         .select(col(keyCol).as("vec_id"), transform(col(vecCol), x => x.cast("double")).as("x"))
         .join(recon, "vec_id")
         .select(col("vec_id"), posexplode(col("x")).as(Seq("i", "xi")), col("recon"))
         .select(col("i"), posexplode(transform(col("recon"), y => col("xi") * y)).as(Seq("j", "v")))
         .groupBy(col("i"), col("j"))
-        .agg(sum(col("v")).as("a"))
+        .agg(sum(round(col("v"), 12).cast("decimal(38,12)")).cast("double").as("a"))
         .collect()
       val a = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
       cells.foreach(r => a(r.getAs[Int]("i"), r.getAs[Int]("j")) = r.getAs[Double]("a"))
