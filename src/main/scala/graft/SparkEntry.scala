@@ -848,6 +848,16 @@ object SparkEntry {
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").where(col("vec_id") < 10),
         "vec_id", "embedding", m = 16, dims = 64, ksub = 32, iterations = 2, k = 5)),
+    // ColBERT-style late interaction: 3-token-bag queries (first three
+    // members of labels 0-2) MaxSim-scored against label-bag documents.
+    "emb_maxsim" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val qtoks = emb.where(col("label") < 3)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("label").as("qid"), col("rn").cast("long").as("qtok"), col("embedding"))
+      Similarity.maxSim(emb, "label", qtoks, "qid", "embedding")
+    }),
     // OPQ end-to-end (Ge et al. CVPR'13): learned orthogonal rotation
     // (alternating PQ / Procrustes-SVD) -> PQ -> ADC in the rotated
     // space. The oracle embeds the per-SF rotation as literals
@@ -1762,6 +1772,27 @@ object SparkEntry {
              round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6) AS c_norm
       FROM cb""",
     "emb_pq_knn" -> pqKnnOracleSql,
+    "emb_maxsim" -> """
+      WITH qt AS (
+        SELECT label AS query_id, rn AS qtok, embedding AS q FROM (
+          SELECT label, vec_id, embedding,
+                 row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+          FROM embeddings WHERE label < 3) WHERE rn <= 3),
+      pairs AS (
+        SELECT query_id, doc_id, qtok, dvid,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+        FROM (
+          SELECT qt.query_id, e.label AS doc_id, qt.qtok, e.vec_id AS dvid,
+                 unnest(qt.q)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+          FROM qt CROSS JOIN embeddings e)
+        GROUP BY query_id, doc_id, qtok, dvid),
+      m AS (
+        SELECT query_id, doc_id, qtok, max(sim) AS tok_max
+        FROM pairs GROUP BY query_id, doc_id, qtok)
+      SELECT query_id, doc_id,
+             CAST(sum(CAST(tok_max AS DECIMAL(18,6))) AS DOUBLE) AS maxsim,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM m GROUP BY query_id, doc_id""",
     "emb_rp_pq_knn" -> rpPqKnnOracleSql,
     "emb_get_multi" -> """
       SELECT vec_id, len(embedding) AS dims, embedding[1] AS e_first,

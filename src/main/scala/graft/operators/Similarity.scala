@@ -236,6 +236,50 @@ object Similarity {
         (col("n_match").cast("double") / lit(k)).as("consistency"))
   }
 
+  /** ColBERT-style LATE-INTERACTION scoring (MaxSim; Khattab &
+    * Zaharia, SIGIR'20): a query is a BAG of token vectors, a document
+    * a bag of passage vectors; score(q, d) = Σ over query tokens of
+    * the max cosine against any document vector. Token-level matching
+    * without cross-attention — the retrieval scorer of multi-vector
+    * (per-token-embedding) models.
+    *
+    * Shape: token-pair scoring is one join of the (small, broadcast)
+    * query-token set against the corpus vector scan on the native
+    * cosine kernel; the per-(query, doc, token) MAX and the
+    * per-(query, doc) SUM are two map-side-combined aggregations.
+    * Work = |corpus vectors| × |query tokens| — at 100 TB prune the
+    * corpus side first with the single-vector ANN index (IVF/PQ) and
+    * late-interact only the survivors, exactly ColBERT's
+    * retrieve-then-rerank deployment.
+    *
+    * Exactness: per-pair cosines are 6dp-rounded; max is
+    * order-independent; the final sum adds ≤ |query tokens| rounded
+    * terms as exact decimals.
+    */
+  def maxSim(
+      corpus: DataFrame,
+      corpusDocCol: String,
+      queryTokens: DataFrame,
+      queryIdCol: String,
+      vecCol: String
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(queryTokens.select(
+      col(queryIdCol).as("query_id"), col("qtok"), col(vecCol).as("q_vec")))
+    corpus
+      .select(col(corpusDocCol).as("doc_id"), col(vecCol).as("d_vec"))
+      .join(q)
+      .select(
+        col("query_id"), col("doc_id"), col("qtok"),
+        round(cosine(col("q_vec"), col("d_vec")), 6).as("sim"))
+      .groupBy(col("query_id"), col("doc_id"), col("qtok"))
+      .agg(max(col("sim")).as("tok_max"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(col("tok_max").cast("decimal(18,6)")).cast("double").as("maxsim"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Generic bounded-heap top-k per group (posexploded to ranks) —
     * public: useful beyond knn wherever "k best per key" is needed.
     */

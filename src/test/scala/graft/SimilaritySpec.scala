@@ -289,6 +289,27 @@ class SimilaritySpec extends AnyFunSuite {
       ("neg", 1L) -> 3L, ("neg", 2L) -> 4L))  // 10 deg before 20 deg
   }
 
+  test("maxSim: per-token max over doc vectors, summed — axis-aligned hand case") {
+    // Doc A holds unit x and unit y; doc B holds only unit x.
+    val corpus = Seq(
+      ("A", Array(1.0f, 0.0f)), ("A", Array(0.0f, 1.0f)),
+      ("B", Array(1.0f, 0.0f))
+    ).toDF("doc", "embedding")
+    // Query = two tokens: unit x and unit y.
+    val qtoks = Seq(
+      (7L, 1L, Array(1.0f, 0.0f)),
+      (7L, 2L, Array(0.0f, 1.0f))
+    ).toDF("qid", "qtok", "embedding")
+    val out = Similarity.maxSim(corpus, "doc", qtoks, "qid", "embedding")
+      .collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        ((r.getAs[Double]("maxsim"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    // A matches both tokens exactly: 1 + 1; B matches only token x: 1 + 0
+    assert(out("A") == ((2.0, 2L)))
+    assert(out("B") == ((1.0, 2L)))
+  }
+
   test("labelConsistency flags the mislabeled point with score 0") {
     // Two tight clusters; point 12 sits in cluster A but carries
     // cluster B's label — its 2-NN are both label 1, so consistency 0.
