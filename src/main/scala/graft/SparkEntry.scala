@@ -300,10 +300,81 @@ object SparkEntry {
         .materializeLatest(
           t(s, dir, "events").where(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp")),
           "user_id", "value", "ts", "event_id")
-        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")))
+        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))),
+    // Declarative expectations gate over a raw source: one report row
+    // per check; mixes passing and failing checks on purpose.
+    "fs_data_contract" -> ((s, dir) =>
+      FeatureStore.dataContract(
+        t(s, dir, "events"),
+        Seq(
+          FeatureStore.ContractCheck.NotNull("value"),
+          FeatureStore.ContractCheck.InRange("value", 0.0, 100.0),
+          FeatureStore.ContractCheck.InSet(
+            "event_type", Seq("click", "view", "purchase", "signup")),
+          FeatureStore.ContractCheck.Unique("event_id"),
+          FeatureStore.ContractCheck.Unique("user_id")))),
+    // CDC merge: snapshot + Debezium-style changelog (op I/U/D, every
+    // 7th event; op cycles by event_id so inserts/updates/deletes mix).
+    "fs_cdc_apply" -> ((s, dir) => {
+      val snap = materializedLatest(s, dir)
+        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      val chg = t(s, dir, "events")
+        .where(col("event_id") % 7 === 0)
+        .select(
+          when(col("event_id") % 3 === 0, "U")
+            .when(col("event_id") % 3 === 1, "I")
+            .otherwise("D").as("op"),
+          col("user_id").as("entity"),
+          (col("value") * 2).as("value"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id").as("seq"))
+      FeatureStore.cdcApply(snap, chg)
+    })
   )
 
   private def fsOracles: Map[String, String] = Map(
+    "fs_data_contract" -> """
+      WITH agg AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+               CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 100)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                                  ('click', 'view', 'purchase', 'signup')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               count(event_id) - count(DISTINCT event_id) AS v3,
+               count(user_id) - count(DISTINCT user_id) AS v4
+        FROM events)
+      SELECT * FROM (
+        SELECT 'not_null' AS "check", 'value' AS column_name, v0 AS n_violations,
+               n_rows, v0 = 0 AS pass FROM agg
+        UNION ALL
+        SELECT 'in_range', 'value', v1, n_rows, v1 = 0 FROM agg
+        UNION ALL
+        SELECT 'in_set', 'event_type', v2, n_rows, v2 = 0 FROM agg
+        UNION ALL
+        SELECT 'unique', 'event_id', v3, n_rows, v3 = 0 FROM agg
+        UNION ALL
+        SELECT 'unique', 'user_id', v4, n_rows, v4 = 0 FROM agg)""",
+    "fs_cdc_apply" -> """
+      WITH snap AS (
+        SELECT user_id AS entity, value, epoch_us(ts) AS ts_us,
+               'I' AS op, 0 AS pri, -9223372036854775807 - 1 AS seq
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      chg AS (
+        SELECT user_id AS entity, value * 2 AS value, epoch_us(ts) AS ts_us,
+               CASE WHEN event_id % 3 = 0 THEN 'U'
+                    WHEN event_id % 3 = 1 THEN 'I' ELSE 'D' END AS op,
+               1 AS pri, event_id AS seq
+        FROM events WHERE event_id % 7 = 0),
+      u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg)
+      SELECT entity, value, ts_us FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY entity ORDER BY pri DESC, ts_us DESC, seq DESC) AS rn
+        FROM u)
+      WHERE rn = 1 AND op <> 'D'""",
     "fs_materialize_latest" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -3487,6 +3558,12 @@ object SparkEntry {
     "q_cube" -> ((s, dir) =>
       Analytics.cubeBalances(
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+    "q_grouping_sets" -> ((s, dir) =>
+      Analytics.groupingSetsBalances(
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+    "q_unpivot" -> ((s, dir) =>
+      Analytics.unpivotEventCounts(
+        t(s, dir, "events"), Seq("click", "view", "purchase", "signup", "error"))),
     "q_percentiles" -> ((s, dir) => Analytics.orderPercentiles(t(s, dir, "orders"))),
     // Histogram-sketch quantiles — the driver-verifiable approximate
     // percentile (power-of-two bin width => exact IEEE interpolation).
@@ -3849,6 +3926,24 @@ object SparkEntry {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY CUBE (r_name, c_mktsegment)""",
+    "q_grouping_sets" -> """
+      SELECT r_name, c_mktsegment,
+             CAST(grouping_id(r_name, c_mktsegment) AS BIGINT) AS gid,
+             count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))""",
+    "q_unpivot" -> """
+      WITH t(event_type) AS (
+        VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')),
+      u AS (SELECT DISTINCT user_id FROM events),
+      c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+      SELECT u.user_id AS entity, t.event_type,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      FROM u CROSS JOIN t
+      LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type""",
     "q_percentiles" -> """
       SELECT o_orderpriority,
              round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

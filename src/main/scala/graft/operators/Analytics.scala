@@ -1078,4 +1078,45 @@ object Analytics {
         col("total_value").cast("double") * lit(fraction))
       .select(col("l_partkey"), col("part_value").cast("double").as("part_value"))
   }
+
+  /** GROUPING SETS over (region, market segment) — the user-chosen
+    * subset of the aggregate lattice CUBE would materialize in full:
+    * here (r_name, c_mktsegment), (r_name), (c_mktsegment) — no grand
+    * total. Like cube/rollup this plans as ONE Expand (3 replicas per
+    * input row) feeding ONE hash aggregate with map-side combine, not
+    * three scans; at 100 TB the scan is paid once however many sets.
+    */
+  def groupingSetsBalances(
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame
+  ): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(
+          Seq(col("r_name"), col("c_mktsegment")),
+          Seq(col("r_name")),
+          Seq(col("c_mktsegment"))),
+        col("r_name"), col("c_mktsegment"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+
+  /** UNPIVOT (melt): the wide per-entity event-count matrix back to
+    * long (entity, event_type, n) rows — the reshape inverse of
+    * [[eventPivot]], used to turn serving-shaped feature rows back
+    * into EAV rows for storage. A pure per-row Expand projection:
+    * no shuffle, no join, width×rows output at scan speed.
+    */
+  def unpivotEventCounts(events: DataFrame, eventTypes: Seq[String]): DataFrame =
+    eventPivot(events, eventTypes)
+      .unpivot(
+        ids = Array(col("user_id")),
+        values = eventTypes.map(col).toArray,
+        variableColumnName = "event_type",
+        valueColumnName = "n_events")
+      .select(col("user_id").as("entity"), col("event_type"), col("n_events"))
 }

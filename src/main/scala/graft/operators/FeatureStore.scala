@@ -786,4 +786,98 @@ object FeatureStore {
         when(col("mb").isNull && col("mf").isNull, lit(null).cast("string"))
           .when(useBack, lit("back")).otherwise(lit("fwd")).as("direction"))
   }
+
+  /** A declarative data-quality contract check (the "expectations"
+    * gate a feature pipeline runs before registering a source —
+    * featureform validates source schemas at registration,
+    * provider/offline.go ResourceSchema; this is the value-level
+    * counterpart). Each check yields one report row
+    * (check, column, n_violations, n_rows, pass).
+    *
+    * Scale shape: every row-level check compiles to one conditional
+    * sum inside a SINGLE map-side-combined aggregate over one scan —
+    * adding a check adds an accumulator, not a pass. Uniqueness
+    * checks need real distinct-counting, so each adds one
+    * count(DISTINCT col) to the same aggregate (Spark plans the
+    * distincts via Expand — still one scan of the input).
+    */
+  sealed trait ContractCheck { def column: String }
+  object ContractCheck {
+    /** Column must never be null. */
+    case class NotNull(column: String) extends ContractCheck
+    /** Non-null values must lie in [lo, hi]. */
+    case class InRange(column: String, lo: Double, hi: Double) extends ContractCheck
+    /** Non-null values must be one of `allowed`. */
+    case class InSet(column: String, allowed: Seq[String]) extends ContractCheck
+    /** Non-null values must be distinct (duplicates are violations). */
+    case class Unique(column: String) extends ContractCheck
+  }
+
+  def dataContract(df: DataFrame, checks: Seq[ContractCheck]): DataFrame = {
+    import ContractCheck._
+    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    val aggs = checks.zipWithIndex.map { case (chk, i) =>
+      val c = col(chk.column)
+      val violations = chk match {
+        case NotNull(_)        => cnt(c.isNull)
+        case InRange(_, lo, hi) => cnt(c.isNotNull && (c < lo || c > hi))
+        case InSet(_, allowed) => cnt(c.isNotNull && !c.isin(allowed: _*))
+        case Unique(_)         => count(c) - countDistinct(c)
+      }
+      violations.as(s"v$i")
+    }
+    val name: ContractCheck => String = {
+      case NotNull(_)     => "not_null"
+      case InRange(_, _, _) => "in_range"
+      case InSet(_, _)    => "in_set"
+      case Unique(_)      => "unique"
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val reportRows = checks.zipWithIndex.map { case (chk, i) =>
+      struct(
+        lit(name(chk)).as("check"),
+        lit(chk.column).as("column_name"),
+        coalesce(col(s"v$i"), lit(0L)).as("n_violations"))
+    }
+    one
+      .select(col("n_rows"), explode(array(reportRows: _*)).as("c"))
+      .select(
+        col("c.check").as("check"), col("c.column_name").as("column_name"),
+        col("c.n_violations").as("n_violations"), col("n_rows"),
+        (col("c.n_violations") === 0L).as("pass"))
+  }
+
+  /** Apply a CDC changelog (op ∈ I/U/D) to a snapshot — the merge
+    * step every warehouse-fed feature table runs on a Debezium-style
+    * feed. Contract: the changelog postdates the snapshot, so any
+    * change to a key outdates its snapshot row; among changes the
+    * latest (ts, seq) wins; a winning D deletes the key; untouched
+    * keys keep their snapshot value.
+    *
+    * Same single-shuffle tagged-union window as [[materializeLatest]]:
+    * union both sides, ONE hash exchange on entity, per-entity sort,
+    * keep the top row, drop deletes. No join of snapshot × changelog,
+    * so at 100 TB cost is (|snapshot| + |log|) log-sorted per
+    * partition — and with a daily log the AQE-coalesced exchange is
+    * dominated by the snapshot scan itself.
+    */
+  def cdcApply(
+      snapshot: DataFrame, // (entity, value, ts_us)
+      changes: DataFrame // (op, entity, value, ts_us, seq)
+  ): DataFrame = {
+    val snap = snapshot.select(
+      col("entity"), col("value"), col("ts_us"),
+      lit("I").as("op"), lit(0).as("pri"), lit(Long.MinValue).as("seq"))
+    val chg = changes.select(
+      col("entity"), col("value"), col("ts_us"),
+      col("op"), lit(1).as("pri"), col("seq"))
+    val w = Window
+      .partitionBy(col("entity"))
+      .orderBy(col("pri").desc, col("ts_us").desc, col("seq").desc)
+    snap
+      .unionByName(chg)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") =!= "D")
+      .select(col("entity"), col("value"), col("ts_us"))
+  }
 }

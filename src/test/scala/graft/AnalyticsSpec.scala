@@ -438,4 +438,39 @@ class AnalyticsSpec extends AnyFunSuite {
       .toMap
     assert(out == Map(1L -> 800.0, 2L -> 150.0))
   }
+
+  test("groupingSetsBalances materializes exactly the three requested sets") {
+    val cust = Seq(
+      (1L, 0L, "BUILDING", 10.0),
+      (2L, 0L, "AUTO", 20.0),
+      (3L, 1L, "BUILDING", 40.0)
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val nat = Seq((0L, "N0", 0L), (1L, "N1", 1L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0L, "R0"), (1L, "R1")).toDF("r_regionkey", "r_name")
+    val rows = Analytics.groupingSetsBalances(cust, nat, reg).collect()
+    // 3 (r,seg) pairs + 2 region subtotals + 2 segment subtotals, no grand total
+    assert(rows.length == 7)
+    assert(!rows.exists(r => r.isNullAt(0) && r.isNullAt(1)), "no grand-total row")
+    val regionOnly = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getAs[String]("r_name") -> r.getAs[Double]("sum_bal")).toMap
+    assert(regionOnly == Map("R0" -> 30.0, "R1" -> 40.0))
+    val segOnly = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n_cust")).toMap
+    assert(segOnly == Map("BUILDING" -> 2L, "AUTO" -> 1L))
+  }
+
+  test("unpivotEventCounts inverts the pivot back to long EAV rows") {
+    val ev = Seq(
+      (1L, "click"), (1L, "click"), (1L, "view"), (2L, "purchase")
+    ).toDF("user_id", "event_type")
+    val out = Analytics.unpivotEventCounts(ev, Seq("click", "view", "purchase"))
+      .collect()
+      .map(r => (r.getAs[Long]("entity"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n_events"))
+      .toMap
+    assert(out.size == 6) // 2 entities x 3 types, zeros included
+    assert(out((1L, "click")) == 2L && out((1L, "view")) == 1L)
+    assert(out((1L, "purchase")) == 0L && out((2L, "purchase")) == 1L)
+    assert(out((2L, "click")) == 0L)
+  }
 }

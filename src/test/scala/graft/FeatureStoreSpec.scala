@@ -433,4 +433,67 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(incr.contains((3L, "b30")), "the delta x delta corner must be present")
     assert(incr.contains((4L, "b10")), "delta-A against old-B")
   }
+
+  test("dataContract reports violations per check from one pass") {
+    import FeatureStore.ContractCheck._
+    val df = Seq(
+      (1L, Some(5.0), "click"),
+      (2L, None, "click"),
+      (2L, Some(50.0), "zap"),
+      (3L, Some(-1.0), "view")
+    ).toDF("id", "v", "kind")
+    val out = FeatureStore
+      .dataContract(df, Seq(
+        NotNull("v"), InRange("v", 0.0, 10.0), InSet("kind", Seq("click", "view")),
+        Unique("id")))
+      .collect()
+      .map(r => (r.getAs[String]("check"), r.getAs[String]("column_name")) ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass")))
+      .toMap
+    assert(out(("not_null", "v")) == (1L, false))
+    assert(out(("in_range", "v")) == (2L, false)) // 50.0 and -1.0; null not counted
+    assert(out(("in_set", "kind")) == (1L, false)) // "zap"
+    assert(out(("unique", "id")) == (1L, false)) // id 2 twice
+    assert(out.values.forall(_._1 >= 0L))
+  }
+
+  test("dataContract passes on a clean frame") {
+    import FeatureStore.ContractCheck._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val out = FeatureStore
+      .dataContract(df, Seq(NotNull("v"), InRange("v", 0.0, 10.0), Unique("id")))
+      .collect()
+    assert(out.forall(_.getAs[Boolean]("pass")))
+    assert(out.forall(_.getAs[Long]("n_rows") == 2L))
+  }
+
+  test("cdcApply: latest change wins, deletes remove, untouched keys keep snapshot") {
+    val snap = Seq(
+      (1L, 10.0, 100L),
+      (2L, 20.0, 100L),
+      (3L, 30.0, 100L)
+    ).toDF("entity", "value", "ts_us")
+    val chg = Seq(
+      // entity 1: update then delete (delete is later) -> gone
+      ("U", 1L, 11.0, 200L, 1L),
+      ("D", 1L, 0.0, 300L, 2L),
+      // entity 2: two updates, same ts -> higher seq wins
+      ("U", 2L, 21.0, 200L, 3L),
+      ("U", 2L, 22.0, 200L, 4L),
+      // entity 4: fresh insert
+      ("I", 4L, 40.0, 200L, 5L)
+    ).toDF("op", "entity", "value", "ts_us", "seq")
+    val out = FeatureStore.cdcApply(snap, chg)
+      .collect().map(r => r.getAs[Long]("entity") -> r.getAs[Double]("value")).toMap
+    assert(out == Map(2L -> 22.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
+  test("cdcApply: a change always outdates its snapshot row, whatever the ts") {
+    val snap = Seq((1L, 10.0, 500L)).toDF("entity", "value", "ts_us")
+    // change ts is BEFORE the snapshot ts — the changelog postdating the
+    // snapshot is the contract, so the change still wins.
+    val chg = Seq(("U", 1L, 11.0, 100L, 1L)).toDF("op", "entity", "value", "ts_us", "seq")
+    val out = FeatureStore.cdcApply(snap, chg).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 11.0)
+  }
 }
