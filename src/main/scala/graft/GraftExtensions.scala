@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{AdcDistance, CosineSimilarity, DotProduct, GraftFunctions, L2SquaredDistance, MinHashBands, SignedProjection, SimHash64}
+import graft.plans.{AdcDistance, CosineSimilarity, DotProduct, GraftFunctions, L2SquaredDistance, MatrixApply, MinHashBands, SignedProjection, SimHash64}
 
 /** Spark-idiomatic packaging of graft's native expressions: set
   *
@@ -65,6 +65,23 @@ object GraftExtensions {
           s"graft_rp seed must be a string literal, got $other")
       }
       SignedProjection(exprs(0), litInt(exprs(1), "dims"), litInt(exprs(2), "outDims"), seed)
+    }),
+    GraftFunctions.MatApplyName -> (exprs => {
+      // The matrix arrives as an array<array<double>> literal (typedLit)
+      // consumed at analysis time — the built expression carries it as a
+      // JVM reference object, so no per-row literal walk survives in the
+      // plan.
+      val mat = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+              ad: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType, _), _)) =>
+          Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+        case other => throw new IllegalArgumentException(
+          s"graft_matapply matrix must be an array<array<double>> literal, got $other")
+      }
+      MatrixApply(exprs(0), mat)
     })
   )
 

@@ -493,7 +493,11 @@ object Quantization {
     */
   /** Rotate every vector by a plan-time constant matrix: y = R·x
     * (rows of `rot` are output coordinates). Narrow projection — the
-    * matrix broadcasts inside the plan as a literal; no shuffle.
+    * matrix rides along as a codegen reference object (one copy per
+    * generated class, not a per-row literal walk); no shuffle. The
+    * native kernel ([[graft.plans.MatrixApply]]) accumulates in
+    * ascending input-dim order, bit-identical to the previous HOF
+    * `aggregate` fold and to the unrolled literal-weight SQL oracle.
     */
   def rotate(
       space: DataFrame,
@@ -501,14 +505,10 @@ object Quantization {
       vecCol: String,
       rot: Seq[Seq[Double]]
   ): DataFrame = {
-    val r = typedLit(rot)
     space.select(
       col(keyCol).as("vec_id"),
-      transform(
-        r,
-        row => aggregate(
-          zip_with(row, transform(col(vecCol), x => x.cast("double")), (a, b) => a * b),
-          lit(0.0), (acc, v) => acc + v)).as("vec"))
+      call_function(
+        graft.plans.GraftFunctions.MatApplyName, col(vecCol), typedLit(rot)).as("vec"))
   }
 
   /** Decode PQ codes back to their reconstructed vectors (sub-centroid

@@ -373,6 +373,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val MinHashBandsName = "graft_minhash_bands"
   val RpName = "graft_rp"
+  val MatApplyName = "graft_matapply"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -19,18 +19,30 @@ object Tables {
 
   /** Read one table of the driver-generated corpus.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (nanosAsLong); we normalize it to a
-    * microsecond TIMESTAMP here (integer `div` — the value exceeds
-    * double precision, so no float math) so every downstream operator
-    * sees a plain timestamp column.
+    * `events.ts` has been written two ways across corpus generations:
+    * parquet TIMESTAMP(NANOS) (which Spark only reads as a raw long via
+    * nanosAsLong) and TIMESTAMP(MICROS) (which Spark reads as a real
+    * timestamp, TIMESTAMP_NTZ under some writer metadata). We branch on
+    * the *loaded* type so both corpora normalize to a plain session-TZ
+    * TIMESTAMP: a long is nanos → integer `div 1000` (the value exceeds
+    * double precision, so no float math) → timestamp_micros; any
+    * timestamp flavor is cast to TimestampType (NTZ→LTZ is a no-op wall
+    * clock under the UTC session, so downstream date_trunc/unix_micros
+    * semantics are unchanged).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType =>
+          df
+        case _ =>
+          df.withColumn(
+            "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

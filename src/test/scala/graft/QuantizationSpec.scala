@@ -333,6 +333,40 @@ class QuantizationSpec extends AnyFunSuite {
     assert(opq <= plain * 1.02, s"OPQ mse $opq vs plain $plain")
   }
 
+  test("rotate native kernel is bit-identical to the HOF fold and stays in codegen") {
+    import spark.implicits._
+    val rot = Seq.tabulate(8, 8)((j, i) => math.sin(j * 8 + i + 1.0) / 3.0)
+    val small = emb.select(
+      col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")).limit(200)
+    val native = Quantization.rotate(small, "vec_id", "embedding", rot)
+    // the HOF formulation rotate replaced: transform over literal rows,
+    // zip_with multiply, left-associated aggregate fold
+    val hof = small.select(
+      col("vec_id"),
+      transform(
+        typedLit(rot),
+        row => aggregate(
+          zip_with(row, transform(col("embedding"), x => x.cast("double")), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v)).as("vec"))
+    val mismatch = native.join(hof.withColumnRenamed("vec", "vec_hof"), "vec_id")
+      // exact bitwise comparison: array equality on doubles
+      .where(not(col("vec") === col("vec_hof")))
+      .count()
+    assert(mismatch == 0L, "native rotate diverged from the HOF fold")
+    // and the kernel participates in whole-stage codegen (the point):
+    val plan = native.queryExecution.executedPlan.toString
+    // the `*(n)` stage marker on the projection line = whole-stage codegen
+    assert(
+      plan.linesIterator.exists(l => l.contains("graft_matapply") && l.contains("*(")),
+      plan.take(500))
+    // null propagation: wrong length and null element -> null
+    val bad = Seq(
+      (1L, Array(1.0f, 2.0f)), // wrong length
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    assert(Quantization.rotate(bad, "vec_id", "embedding", rot)
+      .where(col("vec").isNull).count() == 2L)
+  }
+
   test("randomProjection: deterministic, sign-balanced, and JL-ish on average") {
     val signs = for (i <- 1 to 64; j <- 0 until 16) yield Quantization.rpSign("rp", i, j)
     val plus = signs.count(_ == 1.0).toDouble / signs.size

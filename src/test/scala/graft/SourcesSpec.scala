@@ -93,6 +93,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(Spaces.versions(spark, root, "s1").isEmpty)
   }
 
+  test("events ts normalizes from BOTH corpus generations: nanos-long and micros-timestamp") {
+    // The driver has shipped events.ts two ways across corpus
+    // generations: parquet TIMESTAMP(NANOS) (which Spark surfaces as a
+    // raw nanos LONG under nanosAsLong) and TIMESTAMP(MICROS)
+    // (surfaced as TIMESTAMP_NTZ for isAdjustedToUTC=false writer
+    // metadata). Tables.load must normalize either physical type to
+    // the same plain TIMESTAMP wall-clock values — a schema change
+    // under the engine must never break 39 queries again.
+    val instants = Seq("2024-01-01 00:00:00", "2024-06-15 12:34:56.789012")
+    val micros = instants.map(java.sql.Timestamp.valueOf).map { t =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    }
+
+    // Generation A: nanos stored as a LONG column (what the legacy
+    // nanosAsLong read of a TIMESTAMP(NANOS) file yields).
+    micros.map(u => (1L, u * 1000L)).toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/ev_nanos/events.parquet")
+
+    // Generation B: TIMESTAMP_NTZ — parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false), the current driver corpus.
+    micros.map(u => (1L, u)).toDF("user_id", "us")
+      .select($"user_id",
+        org.apache.spark.sql.functions.timestamp_micros($"us")
+          .cast(TimestampNTZType.catalogString).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/ev_ntz/events.parquet")
+    assert(spark.read.parquet(s"$tmp/ev_ntz/events.parquet")
+      .schema("ts").dataType == TimestampNTZType)
+
+    // Generation C: plain session-TZ TIMESTAMP(MICROS, adjustedToUTC).
+    micros.map(u => (1L, u)).toDF("user_id", "us")
+      .select($"user_id",
+        org.apache.spark.sql.functions.timestamp_micros($"us").as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/ev_ts/events.parquet")
+
+    def loaded(dir: String): Seq[Long] =
+      Tables.load(spark, dir, "events")
+        .select(org.apache.spark.sql.functions.unix_micros($"ts").as("us"))
+        .orderBy("us").collect().map(_.getLong(0)).toSeq
+
+    val a = loaded(s"$tmp/ev_nanos")
+    val b = loaded(s"$tmp/ev_ntz")
+    val c = loaded(s"$tmp/ev_ts")
+    assert(a == micros.sorted, "nanos-long generation mis-normalized")
+    assert(b == micros.sorted, "micros-NTZ generation mis-normalized")
+    assert(c == micros.sorted, "micros-LTZ generation mis-normalized")
+    // and the normalized type is always a plain TIMESTAMP
+    for (d <- Seq(s"$tmp/ev_nanos", s"$tmp/ev_ntz", s"$tmp/ev_ts"))
+      assert(Tables.load(spark, d, "events").schema("ts").dataType == TimestampType)
+  }
+
   test("Spaces.diff: added/removed/changed/same, with exact array compare") {
     import graft.sources.Spaces
     val v1 = Seq(
