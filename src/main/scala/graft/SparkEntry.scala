@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Lakehouse, Tables}
 import graft.streaming.StreamingFeatures
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -53,6 +53,17 @@ object SparkEntry {
           materializedLatest(s, dir)
             .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")),
           20, 70)),
+    // Paged export (IterateSegment, provider/offline.go:592): every
+    // 40-row page of the materialization, tagged with its page index —
+    // iterating all pages IS the full materialization, oracle-checked.
+    "fs_materialize_paged" -> ((s, dir) =>
+      FeatureStore
+        .pagedMaterialization(
+          materializedLatest(s, dir)
+            .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")),
+          pageSize = 40L)
+        .map { case (start, _, page) => page.withColumn("page", lit(start / 40L)) }
+        .reduce(_ unionByName _)),
     "fs_training_set_pit" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       FeatureStore
@@ -386,6 +397,13 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1)
       WHERE row_number > 20 AND row_number <= 70""",
+    "fs_materialize_paged" -> """
+      SELECT entity, value, ts_us, row_number,
+             CAST((row_number - 1) // 40 AS BIGINT) AS page FROM (
+        SELECT entity, value, ts_us, row_number() OVER (ORDER BY entity) AS row_number FROM (
+          SELECT user_id AS entity, value, epoch_us(ts) AS ts_us,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1)""",
     "fs_training_set_pit" -> """
       WITH u AS (
         SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
@@ -2140,8 +2158,13 @@ object SparkEntry {
     // 8-token spans survive only at their first corpus occurrence.
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
+    // Exact verification scaffold (O(|block|^2) by construction; the
+    // production paths are dedup_embedding_lsh / dedup_semantic). The
+    // maxBlockRows guard enforces that role: oversize blocks fail fast.
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)),
+      Dedup.embeddingNearDups(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3,
+        maxBlockRows = Some(100000L))),
     // Sub-quadratic embedding near-dup via random-hyperplane LSH
     // (Charikar'02): md5-signed hyperplanes -> sign-bit sketch ->
     // exact-band candidates -> exact-cosine verify. The data-adaptive
@@ -3669,6 +3692,32 @@ object SparkEntry {
           expectedSchema = Some(t(s, dir, "nation").schema))
         .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+    }),
+    // Lakehouse round-trip (the reference Spark runner's Iceberg/Delta
+    // registration path, offline_store_spark_runner.py:193/213,
+    // re-expressed on graft's own JSON-commit-log format): commit
+    // nation as v1, append a shifted slice as v2, then profile BOTH the
+    // pinned v1 snapshot (time travel) and the latest through the log.
+    // The oracle recomputes both snapshots from the raw parquet.
+    "source_lakehouse_roundtrip" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake"
+      val tablePath = new org.apache.hadoop.fs.Path(s"$root/nation_lake")
+      val fsys = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tablePath)) fsys.delete(tablePath, true) // fresh table per run
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      val v1 = Lakehouse.commit(nation, root, "nation_lake", "overwrite")
+      Lakehouse.commit(
+        nation.where(col("n_regionkey") === 0)
+          .select((col("n_nationkey") + 100L).as("n_nationkey"), col("n_regionkey")),
+        root, "nation_lake", "append")
+      def profile(tag: String, df: DataFrame): DataFrame =
+        df.groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+          .withColumn("snap", lit(tag))
+      profile("v1", Lakehouse.read(s, root, "nation_lake", Some(v1)))
+        .unionByName(profile("latest", Lakehouse.read(s, root, "nation_lake")))
     })
   )
 
@@ -4185,7 +4234,19 @@ object SparkEntry {
     "source_csv_roundtrip" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
              min(n_name) AS first_name
-      FROM nation GROUP BY n_regionkey"""
+      FROM nation GROUP BY n_regionkey""",
+    "source_lakehouse_roundtrip" -> """
+      WITH latest AS (
+        SELECT n_nationkey, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100, n_regionkey FROM nation WHERE n_regionkey = 0)
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+             CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'v1' AS snap
+      FROM nation GROUP BY n_regionkey
+      UNION ALL
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+             CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'latest' AS snap
+      FROM latest GROUP BY n_regionkey"""
   )
 
   // ---------------------------------------------------------------- //

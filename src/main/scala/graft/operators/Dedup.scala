@@ -666,8 +666,13 @@ object Dedup {
     * (|B|/chunkRows)^2 parallel tasks instead of one straggler.
     * Small blocks (one chunk) degenerate to the plain self-join.
     *
-    * For sub-quadratic approximate blocking see
-    * [[embeddingNearDupsCellBlocked]].
+    * SCALE ROLE: this is the exact VERIFICATION SCAFFOLD / oracle path
+    * — total work is inherently O(Σ|block|²) however well it is spread.
+    * The production 100 TB paths are [[embeddingNearDupsCellBlocked]]
+    * and the hyperplane-LSH dedup (sub-quadratic candidates + exact
+    * verify). `maxBlockRows` makes that contract enforceable: when set,
+    * the call fails fast if any block exceeds it instead of silently
+    * burning a quadratic block.
     */
   def embeddingNearDups(
       space: DataFrame,
@@ -675,14 +680,27 @@ object Dedup {
       vecCol: String,
       blockCol: String,
       threshold: Double,
-      chunkRows: Int = 4096
+      chunkRows: Int = 4096,
+      maxBlockRows: Option[Long] = None
   ): DataFrame = {
     require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
     graft.plans.GraftFunctions.register(space.sparkSession)
     val s = space.select(col(blockCol).as("block"), col(keyCol).as("k"), col(vecCol).as("vec"))
-    val sizes = s
-      .groupBy(col("block"))
-      .agg(ceil(count(lit(1)) / lit(chunkRows.toDouble)).cast("int").as("_nc"))
+    val counted = s.groupBy(col("block")).agg(count(lit(1)).as("_n"))
+    maxBlockRows.foreach { cap =>
+      // one-row driver read, only when the guard is requested
+      val worst = counted.agg(max(col("_n"))).head()
+      val w = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(
+        w <= cap,
+        s"embeddingNearDups is an exact O(|block|^2) verification scaffold; largest " +
+          s"block has $w rows > maxBlockRows=$cap. Use embeddingNearDupsCellBlocked " +
+          "or hyperplane-LSH dedup for corpora at this scale.")
+    }
+    val sizes = counted
+      .select(
+        col("block"),
+        ceil(col("_n") / lit(chunkRows.toDouble)).cast("int").as("_nc"))
     val rows = s
       .join(broadcast(sizes), Seq("block"))
       .withColumn("_c", pmod(xxhash64(col("k")), col("_nc")).cast("int"))

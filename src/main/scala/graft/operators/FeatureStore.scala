@@ -80,12 +80,20 @@ object FeatureStore {
       startExclusive: Long,
       endInclusive: Long
   ): DataFrame = {
-    val spark = materialized.sparkSession
-    import spark.implicits._
-    // localCheckpoint pins the range partitioning so the count job and
-    // the numbering job see the same partitions (range boundaries come
-    // from sampling). At cluster scale a paged materialization is
-    // persisted anyway; swap for .checkpoint()/a parquet write there.
+    val (parted, offsets) = numberedPartitions(materialized)
+    rangeSlice(parted, offsets, startExclusive, endInclusive)
+  }
+
+  /** Shared prep for the paged reads: range-partition by entity, pin,
+    * and collect per-partition counts into prefix-sum offsets
+    * (numPartitions rows — the one tiny driver aggregation).
+    * localCheckpoint pins the range partitioning so the count job and
+    * the numbering job see the same partitions (range boundaries come
+    * from sampling). At cluster scale a paged materialization is
+    * persisted anyway; swap for .checkpoint()/a parquet write there.
+    */
+  private def numberedPartitions(
+      materialized: DataFrame): (DataFrame, Array[(Int, Long, Long)]) = {
     val parted = materialized
       .repartitionByRange(col("entity"))
       .select(col("*"), spark_partition_id().as("_pid"))
@@ -94,6 +102,21 @@ object FeatureStore {
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, n) => val o = acc; acc += n; (pid, o, n) }
+    (parted, offsets)
+  }
+
+  /** One page [startExclusive, endInclusive] of the pinned numbering:
+    * partitions whose range cannot intersect the page are pruned by the
+    * broadcast inner join before any window work runs.
+    */
+  private def rangeSlice(
+      parted: DataFrame,
+      offsets: Array[(Int, Long, Long)],
+      startExclusive: Long,
+      endInclusive: Long
+  ): DataFrame = {
+    val spark = parted.sparkSession
+    import spark.implicits._
     val keep = offsets.filter { case (_, o, n) => o < endInclusive && o + n > startExclusive }
     val offDf = broadcast(keep.map { case (p, o, _) => (p, o) }.toSeq.toDF("_pid", "_off"))
     parted
@@ -104,6 +127,32 @@ object FeatureStore {
           + col("_off")).cast("long"))
       .where(col("row_number") > startExclusive && col("row_number") <= endInclusive)
       .drop("_pid", "_off")
+  }
+
+  /** Paged materialization export — the served-API analog of the
+    * reference's materialization chunk iterator (IterateSegment,
+    * provider/offline.go:592; paged by a global row number over entity,
+    * provider/bigquery.go:372-382): cut the materialization into
+    * contiguous `pageSize`-row segments and yield them in order. The
+    * entity range-partitioning and prefix-sum offsets are computed ONCE
+    * and shared by every page — each page is a partition-pruned slice,
+    * so exporting N pages costs one shuffle + N pruned window scans,
+    * not N full numberings.
+    */
+  def pagedMaterialization(
+      materialized: DataFrame,
+      pageSize: Long
+  ): Iterator[(Long, Long, DataFrame)] = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    val (parted, offsets) = numberedPartitions(materialized)
+    val total = offsets.map(_._3).sum
+    Iterator
+      .iterate(0L)(_ + pageSize)
+      .takeWhile(_ < total)
+      .map { start =>
+        val end = math.min(start + pageSize, total)
+        (start, end, rangeSlice(parted, offsets, start, end))
+      }
   }
 
   /** Incremental materialization (the reference's UpdateMaterialization,

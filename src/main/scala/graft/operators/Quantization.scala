@@ -334,6 +334,72 @@ object Quantization {
     index.copy(encoded = merged)
   }
 
+  /** Outcome of a drift-gated index maintenance pass: the (possibly
+    * rebuilt) index, whether the re-train fired, and the observed max
+    * per-cell centroid shift that drove the decision.
+    */
+  case class IvfPqMaintenance(index: IvfPqIndex, retrained: Boolean, maxShift: Double)
+
+  /** Drift-triggered IVF-PQ maintenance — the policy layer over
+    * [[upsertIvfPq]] (cheap, frozen quantizer) and [[buildIvfPq]]
+    * (full re-train): measure how far the corpus has drifted from the
+    * index's frozen coarse centroids, and re-train only when it
+    * matters. The drift statistic is the max L2 shift between each
+    * frozen cell centroid and the fresh mean of the vectors now
+    * assigned to that cell — the vector-space analog of
+    * Similarity.centroidDrift, computed against the LIVE index
+    * artifacts instead of a time split.
+    *
+    * Scale: assignment is the normal broadcast-centroid scan
+    * (O(|corpus|), no shuffle beyond the nCells-row mean agg); the
+    * shift reduction collects nCells doubles to take a max — the same
+    * tiny-driver-read pattern as the recall gates. The expensive
+    * branch (re-train) runs only when the threshold trips, which is
+    * the only sane cadence at 100 TB: daily deltas take the O(|delta|)
+    * upsert path; the quarterly distribution shift pays for one
+    * rebuild.
+    */
+  def maintainIvfPq(
+      index: IvfPqIndex,
+      corpus: DataFrame, // full post-delta corpus
+      delta: DataFrame, // the new/changed rows only
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iterations: Int,
+      nCells: Int,
+      coarseIterations: Int,
+      shiftThreshold: Double
+  ): IvfPqMaintenance = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val assigned = Similarity.nearestCentroid(
+      corpus, keyCol, vecCol,
+      index.coarse.select(col("cell").as("centroid_id"), col("c_vec").as("centroid")))
+    val fresh = Similarity.centroids(
+      corpus
+        .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
+        .join(assigned, "vec_id"),
+      "assigned", "v")
+    val shifts = fresh
+      .join(
+        index.coarse.select(col("cell").as("centroid_id"), col("c_vec")),
+        "centroid_id")
+      .select(sqrt(VectorFunctions.l2Sq(col("centroid"), col("c_vec"))).as("shift"))
+      .agg(max(col("shift")))
+      .head()
+    val maxShift = if (shifts.isNullAt(0)) 0.0 else shifts.getDouble(0)
+    if (maxShift > shiftThreshold)
+      IvfPqMaintenance(
+        buildIvfPq(corpus, keyCol, vecCol, m, dims, ksub, iterations, nCells, coarseIterations),
+        retrained = true, maxShift)
+    else
+      IvfPqMaintenance(
+        upsertIvfPq(index, delta, keyCol, vecCol, m, dims),
+        retrained = false, maxShift)
+  }
+
   /** Probe a built IVF-PQ index: nProbe nearest cells per query, ADC
     * over the residual codes of just those cells.
     */

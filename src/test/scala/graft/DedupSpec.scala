@@ -110,6 +110,25 @@ class DedupSpec extends AnyFunSuite {
     assert(chunked.nonEmpty && chunked.forall { case (a, b, _) => a < b })
   }
 
+  test("embeddingNearDups maxBlockRows guard fails fast on an oversize block") {
+    val space = fan(40)
+    // under the cap: identical result to the unguarded call
+    val guarded = Dedup.embeddingNearDups(
+      space, "vec_id", "embedding", "label", 0.9, maxBlockRows = Some(40L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Dedup.embeddingNearDups(space, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == plain)
+    // over the cap: fail fast, naming the production alternatives
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(
+        space, "vec_id", "embedding", "label", 0.9, maxBlockRows = Some(39L))
+        .collect()
+    }
+    assert(ex.getMessage.contains("verification scaffold"))
+    assert(ex.getMessage.contains("embeddingNearDupsCellBlocked"))
+  }
+
   test("cell-blocked near-dups: full probe equals exact, partial probe is a subset") {
     val space = fan(30)
     def keys(df: org.apache.spark.sql.DataFrame) =

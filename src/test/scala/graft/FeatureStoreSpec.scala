@@ -187,6 +187,28 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(page == (123L until 140L).toSeq)
   }
 
+  test("pagedMaterialization: iterating all pages reassembles the materialization exactly") {
+    val m = (0L until 237L).map(i => (i, i * 2.0)).toDF("entity", "value")
+    val pages = FeatureStore.pagedMaterialization(m, pageSize = 50L).toSeq
+    // page bounds tile [0, total] with no gaps and a short last page
+    assert(pages.map(p => (p._1, p._2)) ==
+      Seq((0L, 50L), (50L, 100L), (100L, 150L), (150L, 200L), (200L, 237L)))
+    // each page holds exactly its numbered slice, in global entity order
+    for ((start, end, df) <- pages) {
+      val rows = df.collect().map(r =>
+        (r.getAs[Long]("entity"), r.getAs[Long]("row_number"))).sortBy(_._2)
+      assert(rows.map(_._2).toSeq == ((start + 1) to end).toSeq, s"page ($start,$end]")
+      assert(rows.map(_._1).toSeq == (start until end).toSeq)
+    }
+    // the union of pages IS the materialization: no dupes, no gaps
+    val all = pages.map(_._3).reduce(_ unionByName _)
+      .select("entity").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == (0L until 237L).toSeq)
+    // empty input -> no pages
+    assert(FeatureStore.pagedMaterialization(
+      Seq.empty[(Long, Double)].toDF("entity", "value"), 10L).isEmpty)
+  }
+
   test("featureDrift: identical windows score ~0, a shifted window drifts") {
     val ref = (0 until 100).map(i => ("stable", ts("2024-01-01 00:00:00"), i % 10 * 1.0)) ++
       (0 until 100).map(i => ("shifted", ts("2024-01-01 00:00:00"), i % 10 * 1.0))
