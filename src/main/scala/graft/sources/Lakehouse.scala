@@ -32,8 +32,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Lakehouse {
 
-  /** One replayed commit. */
-  case class Commit(version: Int, action: String, dataDirs: Seq[String])
+  /** Per-file zone map for one clustering column: [lo, hi] of the
+    * column's values in that file (doubles — numeric cluster keys).
+    */
+  case class FileStat(path: String, lo: Double, hi: Double)
+
+  /** Zone maps attached to a commit by [[commitClustered]]. */
+  case class ClusterStats(column: String, files: Seq[FileStat])
+
+  /** One replayed commit. `batchId` marks idempotent streaming appends;
+    * `cluster` carries zone maps when the commit was range-clustered.
+    */
+  case class Commit(
+      version: Int,
+      action: String,
+      dataDirs: Seq[String],
+      batchId: Option[Long] = None,
+      cluster: Option[ClusterStats] = None)
 
   private def logDir(root: String, table: String) = new Path(s"$root/$table/_log")
   private def fs(spark: SparkSession, p: Path): FileSystem =
@@ -54,6 +69,21 @@ object Lakehouse {
         .sorted
   }
 
+  private def readCommit(spark: SparkSession, root: String, table: String, v: Int): Commit = {
+    val p = logPath(root, table, v)
+    val in = fs(spark, p).open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseCommit(v, body)
+  }
+
+  /** Every commit in the log, ascending — including ones an overwrite
+    * has superseded (they remain time-travelable and batchId-visible).
+    */
+  def allCommits(spark: SparkSession, root: String, table: String): Seq[Commit] =
+    versions(spark, root, table).map(v => readCommit(spark, root, table, v))
+
   /** Replay the log up to `versionAsOf` (inclusive; latest when None)
     * and return the commits that survive: everything since the last
     * overwrite at-or-before the pin.
@@ -65,18 +95,11 @@ object Lakehouse {
       versionAsOf: Option[Int] = None
   ): Seq[Commit] = {
     val vs = versions(spark, root, table)
-    val upTo = versionAsOf.fold(vs)(p => vs.filter(_ <= p))
     require(
       versionAsOf.forall(p => vs.contains(p)),
       s"version ${versionAsOf.getOrElse(-1)} of $table does not exist (have: $vs)")
-    val commits = upTo.map { v =>
-      val p = logPath(root, table, v)
-      val in = fs(spark, p).open(p)
-      val body =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      parseCommit(v, body)
-    }
+    val commits = vs.filter(v => versionAsOf.forall(v <= _))
+      .map(v => readCommit(spark, root, table, v))
     val lastOverwrite = commits.lastIndexWhere(_.action == "overwrite")
     if (lastOverwrite < 0) commits else commits.drop(lastOverwrite)
   }
@@ -97,20 +120,192 @@ object Lakehouse {
     * "overwrite". Returns the committed version number. Data files are
     * fully written BEFORE the log entry is created, so a reader can
     * never observe a half-written snapshot, and a crashed writer leaves
-    * only an unreferenced data directory (harmless garbage, vacuumable).
+    * only an unreferenced data directory (harmless garbage — see
+    * [[vacuum]]).
     */
-  def commit(df: DataFrame, root: String, table: String, mode: String): Int = {
-    require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
+  def commit(df: DataFrame, root: String, table: String, mode: String): Int =
+    commitInternal(root, table, mode, None, dataDir => {
+      df.write.mode("overwrite").parquet(dataDir)
+      None
+    })
+
+  /** Commit with RANGE CLUSTERING + per-file zone maps — the lakehouse
+    * data-skipping feature (Delta OPTIMIZE ZORDER / Iceberg sort
+    * orders; graft already has the multi-column Morton layout in
+    * q_zorder_layout — this is the single-column range variant wired
+    * into the table format). The data is range-partitioned and sorted
+    * on `clusterCol` into `numFiles` files, each owning a disjoint
+    * value range; one post-write scan records [min,max] per file into
+    * the commit, and [[readPruned]] skips files whose range misses the
+    * predicate. At 100 TB this is the difference between scanning the
+    * corpus and scanning the one-in-a-thousand files a point query
+    * touches.
+    */
+  def commitClustered(
+      df: DataFrame,
+      root: String,
+      table: String,
+      mode: String,
+      clusterCol: String,
+      numFiles: Int
+  ): Int = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val spark = df.sparkSession
+    commitInternal(root, table, mode, None, dataDir => {
+      df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+        .write.mode("overwrite").parquet(dataDir)
+      // zone maps: one aggregate over the just-written files — numFiles
+      // rows to the driver, stored as commit metadata
+      import org.apache.spark.sql.functions._
+      val stats = spark.read.parquet(dataDir)
+        .groupBy(input_file_name().as("f"))
+        .agg(
+          min(col(clusterCol)).cast("double").as("lo"),
+          max(col(clusterCol)).cast("double").as("hi"))
+        .collect()
+        .map(r => FileStat(r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq
+      Some(ClusterStats(clusterCol, stats))
+    })
+  }
+
+  /** Zone-map-pruned snapshot read: keep only the files whose [lo, hi]
+    * range on `clusterCol` intersects [lo, hi] (files without stats —
+    * unclustered commits — are always kept). The predicate itself is
+    * ALSO applied, so pruning is purely an IO optimization and the
+    * result equals `read(...).where(col between lo and hi)` exactly.
+    */
+  def readPruned(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      clusterCol: String,
+      lo: Double,
+      hi: Double,
+      versionAsOf: Option[Int] = None
+  ): DataFrame = {
+    val commits = snapshotCommits(spark, root, table, versionAsOf)
+    val paths = commits.flatMap { c =>
+      c.cluster match {
+        case Some(cs) if cs.column == clusterCol =>
+          cs.files.collect { case f if f.hi >= lo && f.lo <= hi => f.path }
+        case _ => c.dataDirs
+      }
+    }
+    import org.apache.spark.sql.functions.col
+    val pred = col(clusterCol) >= lo && col(clusterCol) <= hi
+    if (paths.isEmpty) {
+      // every file pruned: empty frame with the table's schema
+      read(spark, root, table, versionAsOf).where(pred).limit(0)
+    } else spark.read.parquet(paths: _*).where(pred)
+  }
+
+  /** Compact the current snapshot into ~`targetFileBytes` files — the
+    * small-file problem is THE operational failure of streaming appends
+    * at scale (a year of minutely commits = half a million tiny files;
+    * every reader pays the open() tax). Rewrites the snapshot as one
+    * overwrite commit of ceil(bytes/target) files; prior versions stay
+    * time-travelable until [[vacuum]]-after-expiry policies say
+    * otherwise (this vacuum only ever touches UNREFERENCED dirs).
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      targetFileBytes: Long
+  ): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    val dirs = snapshotCommits(spark, root, table).flatMap(_.dataDirs)
+    val totalBytes = dirs.map { d =>
+      val p = new Path(d)
+      val f = fs(spark, p)
+      if (f.exists(p))
+        f.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(_.getLen).sum
+      else 0L
+    }.sum
+    val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    commit(read(spark, root, table).repartition(numFiles), root, table, "overwrite")
+  }
+
+  /** Delete data directories referenced by NO commit in the log — the
+    * garbage of crashed or race-losing writers. Never touches a dir any
+    * version references, so time travel is unaffected.
+    */
+  def vacuum(spark: SparkSession, root: String, table: String): Seq[String] = {
+    val referenced = allCommits(spark, root, table)
+      .flatMap(_.dataDirs)
+      .map(d => new Path(d).toUri.getPath).toSet
+    val dataRoot = new Path(s"$root/$table/data")
+    val f = fs(spark, dataRoot)
+    if (!f.exists(dataRoot)) return Seq.empty
+    val removed = f.listStatus(dataRoot).toSeq
+      .map(_.getPath)
+      .filterNot(p => referenced.contains(p.toUri.getPath))
+    removed.foreach(p => f.delete(p, true))
+    removed.map(_.toString)
+  }
+
+  /** Idempotent micro-batch append — the foreachBatch body of a
+    * streaming lakehouse sink. A batchId already present in the log is
+    * a replayed batch (restart after a sink-side crash): skipped, so
+    * stream restarts never double-append. Returns the committed
+    * version, or None when the batch was a replay.
+    */
+  def appendBatch(df: DataFrame, root: String, table: String, batchId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    val seen = allCommits(spark, root, table).exists(_.batchId.contains(batchId))
+    if (seen) None
+    else Some(commitInternal(root, table, "append", Some(batchId), dataDir => {
+      df.write.mode("overwrite").parquet(dataDir)
+      None
+    }))
+  }
+
+  /** Structured-Streaming sink: append each micro-batch as one
+    * idempotent commit. `stream.writeStream` options (trigger,
+    * checkpointLocation) are the caller's; this supplies the
+    * foreachBatch body.
+    */
+  def streamAppend(
+      stream: DataFrame,
+      root: String,
+      table: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendBatch(batch, root, table, batchId): Unit
+    }
+
+  /** Shared commit protocol: write data (and optional zone maps), then
+    * atomically claim the next version in the log; on a lost race,
+    * delete the orphan data dir and retry at the new tip.
+    */
+  private def commitInternal(
+      root: String,
+      table: String,
+      mode: String,
+      batchId: Option[Long],
+      writeData: String => Option[ClusterStats]
+  ): Int = {
+    require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
+    val spark = SparkSession.active
     var attempt = versions(spark, root, table).lastOption.getOrElse(0) + 1
     while (true) {
       val dataDir = s"$root/$table/data/v$attempt"
-      df.write.mode("overwrite").parquet(dataDir)
+      val cluster = writeData(dataDir)
       val p = logPath(root, table, attempt)
       val f = fs(spark, p)
       f.mkdirs(p.getParent)
+      val batchField = batchId.fold("")(b => s""","batchId":$b""")
+      val clusterField = cluster.fold("") { cs =>
+        val files = cs.files
+          .map(st => s"""{"f":"${st.path}","lo":${st.lo},"hi":${st.hi}}""")
+          .mkString(",")
+        s""","cluster":{"col":"${cs.column}","files":[$files]}"""
+      }
       val body =
-        s"""{"version":$attempt,"action":"$mode","dataDirs":["$dataDir"]}"""
+        s"""{"version":$attempt,"action":"$mode","dataDirs":["$dataDir"]$batchField$clusterField}"""
       try {
         // overwrite=false create is the atomic claim of this version
         val out = f.create(p, false)
@@ -144,7 +339,8 @@ object Lakehouse {
   }
 
   /** Tiny single-object JSON parse (format is self-written; no JSON lib
-    * on the dependency list). Extracts version/action/dataDirs.
+    * on the dependency list). Extracts version/action/dataDirs plus the
+    * optional batchId and cluster zone maps.
     */
   private def parseCommit(version: Int, body: String): Commit = {
     val action = "\"action\":\"(\\w+)\"".r
@@ -155,6 +351,14 @@ object Lakehouse {
       .getOrElse(throw new IllegalStateException(s"bad commit $version: $body"))
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       .map(s => s.stripPrefix("\"").stripSuffix("\""))
-    Commit(version, action, dirs)
+    val batchId = "\"batchId\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    val cluster = "\"cluster\":\\{\"col\":\"([^\"]+)\"".r.findFirstMatchIn(body).map { m =>
+      val files = "\\{\"f\":\"([^\"]+)\",\"lo\":([^,]+),\"hi\":([^}]+)\\}".r
+        .findAllMatchIn(body)
+        .map(fm => FileStat(fm.group(1), fm.group(2).toDouble, fm.group(3).toDouble))
+        .toSeq
+      ClusterStats(m.group(1), files)
+    }
+    Commit(version, action, dirs, batchId, cluster)
   }
 }

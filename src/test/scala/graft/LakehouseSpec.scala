@@ -79,4 +79,86 @@ class LakehouseSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$root/$t/data/v99")
     assert(Lakehouse.read(spark, root, t).select("k").as[Long].collect().toSet == Set(1L))
   }
+
+  test("vacuum removes only unreferenced dirs; every version stays readable") {
+    val t = "t6"
+    Lakehouse.commit(Seq((1L, "a")).toDF("k", "v"), root, t, "overwrite")
+    Lakehouse.commit(Seq((2L, "b")).toDF("k", "v"), root, t, "append")
+    Seq((666L, "junk")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/$t/data/v99")
+    val removed = Lakehouse.vacuum(spark, root, t)
+    assert(removed.size == 1 && removed.head.endsWith("v99"))
+    assert(Lakehouse.read(spark, root, t, Some(1)).count() == 1)
+    assert(Lakehouse.read(spark, root, t).count() == 2)
+    assert(Lakehouse.vacuum(spark, root, t).isEmpty) // idempotent
+  }
+
+  test("compact rewrites many small commits into few files, preserving content and history") {
+    val t = "t7"
+    for (i <- 0 until 5)
+      Lakehouse.commit(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), root, t,
+        if (i == 0) "overwrite" else "append")
+    val before = Lakehouse.read(spark, root, t)
+    val beforeFiles = before.inputFiles.length
+    val beforeRows = before.orderBy("k").collect().toSeq
+    val cv = Lakehouse.compact(spark, root, t, targetFileBytes = 1L << 30)
+    val after = Lakehouse.read(spark, root, t)
+    assert(after.inputFiles.length == 1, s"expected 1 compacted file")
+    assert(after.inputFiles.length < beforeFiles)
+    assert(after.orderBy("k").collect().toSeq == beforeRows)
+    // pre-compaction versions still time travel
+    assert(Lakehouse.read(spark, root, t, Some(2)).count() == 2)
+    assert(Lakehouse.versions(spark, root, t).last == cv)
+  }
+
+  test("clustered commit + zone maps: readPruned skips files outside the predicate range") {
+    val t = "t8"
+    val df = (0L until 1000L).map(i => (i, i % 7)).toDF("k", "tag")
+    Lakehouse.commitClustered(df, root, t, "overwrite", "k", numFiles = 4)
+    val full = Lakehouse.read(spark, root, t)
+    assert(full.inputFiles.length == 4)
+    val pruned = Lakehouse.readPruned(spark, root, t, "k", 10.0, 20.0)
+    // zone maps must cut the file list (range clustering puts 10..20 in
+    // one file), and the result must equal the unpruned filter exactly
+    assert(pruned.inputFiles.length < 4 && pruned.inputFiles.nonEmpty)
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq == (10L to 20L).toSeq)
+    // a range beyond the data prunes every file and returns empty
+    assert(Lakehouse.readPruned(spark, root, t, "k", 5000.0, 6000.0).count() == 0)
+    // an appended UNclustered commit is always read (no stats -> no skip)
+    Lakehouse.commit(Seq((15L, 1L)).toDF("k", "tag"), root, t, "append")
+    assert(Lakehouse.readPruned(spark, root, t, "k", 10.0, 20.0).count() == 12)
+  }
+
+  test("appendBatch is idempotent on batchId (stream restart replays are no-ops)") {
+    val t = "t9"
+    assert(Lakehouse.appendBatch(
+      Seq((1L, "a")).toDF("k", "v"), root, t, batchId = 0L).contains(1))
+    assert(Lakehouse.appendBatch(
+      Seq((2L, "b")).toDF("k", "v"), root, t, batchId = 1L).contains(2))
+    // replay of batch 1 after a simulated restart: skipped
+    assert(Lakehouse.appendBatch(
+      Seq((2L, "b")).toDF("k", "v"), root, t, batchId = 1L).isEmpty)
+    assert(Lakehouse.read(spark, root, t).count() == 2)
+    assert(Lakehouse.versions(spark, root, t) == Seq(1, 2))
+  }
+
+  test("streamAppend sinks a memory stream into the table exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = "t10"
+    val src = MemoryStream[Long](spark)
+    val q = Lakehouse.streamAppend(src.toDF().withColumnRenamed("value", "k"), root, t)
+      .option("checkpointLocation", s"$root/_ckpt_$t")
+      .start()
+    try {
+      src.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      src.addData(4L)
+      q.processAllAvailable()
+      assert(Lakehouse.read(spark, root, t).select("k").as[Long].collect().toSet
+        == Set(1L, 2L, 3L, 4L))
+      // one commit per micro-batch, batchIds recorded
+      assert(Lakehouse.allCommits(spark, root, t).flatMap(_.batchId) == Seq(0L, 1L))
+    } finally q.stop()
+  }
 }
