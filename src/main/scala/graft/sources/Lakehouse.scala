@@ -37,18 +37,22 @@ object Lakehouse {
     */
   case class FileStat(path: String, lo: Double, hi: Double)
 
-  /** Zone maps attached to a commit by [[commitClustered]]. */
+  /** Zone maps for one column, attached to a commit by
+    * [[commitClustered]] / [[commitZOrdered]].
+    */
   case class ClusterStats(column: String, files: Seq[FileStat])
 
   /** One replayed commit. `batchId` marks idempotent streaming appends;
-    * `cluster` carries zone maps when the commit was range-clustered.
+    * `clusters` carries per-column zone maps when the commit was
+    * clustered (one entry for a range-clustered commit, one per
+    * dimension for a z-ordered commit).
     */
   case class Commit(
       version: Int,
       action: String,
       dataDirs: Seq[String],
       batchId: Option[Long] = None,
-      cluster: Option[ClusterStats] = None)
+      clusters: Seq[ClusterStats] = Nil)
 
   private def logDir(root: String, table: String) = new Path(s"$root/$table/_log")
   private def fs(spark: SparkSession, p: Path): FileSystem =
@@ -126,7 +130,7 @@ object Lakehouse {
   def commit(df: DataFrame, root: String, table: String, mode: String): Int =
     commitInternal(root, table, mode, None, dataDir => {
       df.write.mode("overwrite").parquet(dataDir)
-      None
+      Nil
     })
 
   /** Commit with RANGE CLUSTERING + per-file zone maps — the lakehouse
@@ -150,24 +154,78 @@ object Lakehouse {
       numFiles: Int
   ): Int = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val spark = df.sparkSession
     commitInternal(root, table, mode, None, dataDir => {
       df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
         .sortWithinPartitions(clusterCol)
         .write.mode("overwrite").parquet(dataDir)
-      // zone maps: one aggregate over the just-written files — numFiles
-      // rows to the driver, stored as commit metadata
-      import org.apache.spark.sql.functions._
-      val stats = spark.read.parquet(dataDir)
-        .groupBy(input_file_name().as("f"))
-        .agg(
-          min(col(clusterCol)).cast("double").as("lo"),
-          max(col(clusterCol)).cast("double").as("hi"))
-        .collect()
-        .map(r => FileStat(r.getString(0), r.getDouble(1), r.getDouble(2)))
-        .toSeq
-      Some(ClusterStats(clusterCol, stats))
+      zoneMaps(df.sparkSession, dataDir, Seq(clusterCol))
     })
+  }
+
+  /** Z-ORDER clustered commit — multi-dimensional data skipping (Delta
+    * OPTIMIZE ZORDER BY; the single-table analog of graft's
+    * q_zorder_layout Morton study). The 16 low bits of each cluster
+    * column (bigint-cast) are interleaved into one Morton code; files
+    * are range-partitioned on that code, so file locality follows ALL
+    * dimensions at once and zone maps stay tight on every column —
+    * point/range predicates on any clustered dimension prune files,
+    * not just the first sort key (the failure mode of lexicographic
+    * sorting). Zone maps for every cluster column are recorded in the
+    * commit; [[readPruned]] with any subset of them skips files.
+    */
+  def commitZOrdered(
+      df: DataFrame,
+      root: String,
+      table: String,
+      mode: String,
+      zCols: Seq[String],
+      numFiles: Int
+  ): Int = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    // selective import: functions.mode would shadow the `mode` parameter
+    import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+    val n = zCols.size
+    // bit i of column j lands at position i*n + j — the standard Morton
+    // interleave, 16 bits per dimension
+    val morton = (0 until 16).flatMap { i =>
+      zCols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(col(c).cast("bigint"), i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+    commitInternal(root, table, mode, None, dataDir => {
+      df.withColumn("_z", morton)
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(dataDir)
+      zoneMaps(df.sparkSession, dataDir, zCols)
+    })
+  }
+
+  /** Per-file [min,max] of each stat column over a just-written data
+    * dir: ONE aggregate scan, numFiles × |cols| doubles to the driver,
+    * stored as commit metadata.
+    */
+  private def zoneMaps(
+      spark: SparkSession,
+      dataDir: String,
+      cols: Seq[String]
+  ): Seq[ClusterStats] = {
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"_lo_$c"),
+      max(col(c)).cast("double").as(s"_hi_$c")))
+    val rows = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    cols.map { c =>
+      ClusterStats(
+        c,
+        rows.map(r => FileStat(
+          r.getAs[String]("f"), r.getAs[Double](s"_lo_$c"), r.getAs[Double](s"_hi_$c"))).toSeq)
+    }
   }
 
   /** Zone-map-pruned snapshot read: keep only the files whose [lo, hi]
@@ -184,17 +242,44 @@ object Lakehouse {
       lo: Double,
       hi: Double,
       versionAsOf: Option[Int] = None
+  ): DataFrame =
+    readPrunedMulti(spark, root, table, Seq((clusterCol, lo, hi)), versionAsOf)
+
+  /** Multi-predicate zone-map read: a file survives only if EVERY
+    * predicate's [lo, hi] intersects that file's recorded range for the
+    * predicate column — the payoff of z-order clustering, where zone
+    * maps are tight on all dimensions at once. Commits without stats
+    * for some predicate column are kept whole for correctness; all
+    * predicates are re-applied, so the result equals the unpruned
+    * filtered read exactly.
+    */
+  def readPrunedMulti(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      predicates: Seq[(String, Double, Double)],
+      versionAsOf: Option[Int] = None
   ): DataFrame = {
+    require(predicates.nonEmpty, "predicates must be non-empty")
     val commits = snapshotCommits(spark, root, table, versionAsOf)
     val paths = commits.flatMap { c =>
-      c.cluster match {
-        case Some(cs) if cs.column == clusterCol =>
-          cs.files.collect { case f if f.hi >= lo && f.lo <= hi => f.path }
-        case _ => c.dataDirs
+      val statCols = c.clusters.map(_.column).toSet
+      val applicable = predicates.filter(p => statCols.contains(p._1))
+      if (applicable.isEmpty) c.dataDirs
+      else {
+        val byCol = c.clusters.map(cs => cs.column -> cs.files).toMap
+        // files surviving every applicable predicate's zone map
+        applicable
+          .map { case (cName, lo, hi) =>
+            byCol(cName).collect { case f if f.hi >= lo && f.lo <= hi => f.path }.toSet
+          }
+          .reduce(_ intersect _).toSeq.sorted
       }
     }
     import org.apache.spark.sql.functions.col
-    val pred = col(clusterCol) >= lo && col(clusterCol) <= hi
+    val pred = predicates
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     if (paths.isEmpty) {
       // every file pruned: empty frame with the table's schema
       read(spark, root, table, versionAsOf).where(pred).limit(0)
@@ -259,7 +344,7 @@ object Lakehouse {
     if (seen) None
     else Some(commitInternal(root, table, "append", Some(batchId), dataDir => {
       df.write.mode("overwrite").parquet(dataDir)
-      None
+      Nil
     }))
   }
 
@@ -286,24 +371,29 @@ object Lakehouse {
       table: String,
       mode: String,
       batchId: Option[Long],
-      writeData: String => Option[ClusterStats]
+      writeData: String => Seq[ClusterStats]
   ): Int = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
     val spark = SparkSession.active
     var attempt = versions(spark, root, table).lastOption.getOrElse(0) + 1
     while (true) {
       val dataDir = s"$root/$table/data/v$attempt"
-      val cluster = writeData(dataDir)
+      val clusters = writeData(dataDir)
       val p = logPath(root, table, attempt)
       val f = fs(spark, p)
       f.mkdirs(p.getParent)
       val batchField = batchId.fold("")(b => s""","batchId":$b""")
-      val clusterField = cluster.fold("") { cs =>
-        val files = cs.files
-          .map(st => s"""{"f":"${st.path}","lo":${st.lo},"hi":${st.hi}}""")
-          .mkString(",")
-        s""","cluster":{"col":"${cs.column}","files":[$files]}"""
-      }
+      val clusterField =
+        if (clusters.isEmpty) ""
+        else {
+          val blocks = clusters.map { cs =>
+            val files = cs.files
+              .map(st => s"""{"f":"${st.path}","lo":${st.lo},"hi":${st.hi}}""")
+              .mkString(",")
+            s"""{"col":"${cs.column}","files":[$files]}"""
+          }
+          s""","clusters":[${blocks.mkString(",")}]"""
+        }
       val body =
         s"""{"version":$attempt,"action":"$mode","dataDirs":["$dataDir"]$batchField$clusterField}"""
       try {
@@ -352,13 +442,16 @@ object Lakehouse {
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       .map(s => s.stripPrefix("\"").stripSuffix("\""))
     val batchId = "\"batchId\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
-    val cluster = "\"cluster\":\\{\"col\":\"([^\"]+)\"".r.findFirstMatchIn(body).map { m =>
-      val files = "\\{\"f\":\"([^\"]+)\",\"lo\":([^,]+),\"hi\":([^}]+)\\}".r
-        .findAllMatchIn(body)
-        .map(fm => FileStat(fm.group(1), fm.group(2).toDouble, fm.group(3).toDouble))
-        .toSeq
-      ClusterStats(m.group(1), files)
-    }
-    Commit(version, action, dirs, batchId, cluster)
+    val clusters = "\\{\"col\":\"([^\"]+)\",\"files\":\\[([^\\]]*)\\]\\}".r
+      .findAllMatchIn(body)
+      .map { m =>
+        val files = "\\{\"f\":\"([^\"]+)\",\"lo\":([^,]+),\"hi\":([^}]+)\\}".r
+          .findAllMatchIn(m.group(2))
+          .map(fm => FileStat(fm.group(1), fm.group(2).toDouble, fm.group(3).toDouble))
+          .toSeq
+        ClusterStats(m.group(1), files)
+      }
+      .toSeq
+    Commit(version, action, dirs, batchId, clusters)
   }
 }

@@ -130,6 +130,32 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.readPruned(spark, root, t, "k", 10.0, 20.0).count() == 12)
   }
 
+  test("z-ordered commit: zone maps prune files on BOTH dimensions") {
+    val t = "t11"
+    // two independent 0..63 dimensions; z-order keeps both locally tight
+    val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x * 64 + y))
+      .toDF("x", "y", "payload")
+    Lakehouse.commitZOrdered(df, root, t, "overwrite", Seq("x", "y"), numFiles = 16)
+    val full = Lakehouse.read(spark, root, t)
+    assert(full.inputFiles.length == 16)
+    // a point-ish predicate on x alone prunes
+    val px = Lakehouse.readPruned(spark, root, t, "x", 3.0, 4.0)
+    assert(px.inputFiles.length < 16, "x-only predicate should prune files")
+    assert(px.count() == 2 * 64)
+    // a predicate on y ALONE also prunes — the z-order property that a
+    // lexicographic (x, y) sort could not give y
+    val py = Lakehouse.readPruned(spark, root, t, "y", 3.0, 4.0)
+    assert(py.inputFiles.length < 16, "y-only predicate should prune files")
+    assert(py.count() == 2 * 64)
+    // both predicates intersect file sets and equal the exact filter
+    val pxy = Lakehouse.readPrunedMulti(
+      spark, root, t, Seq(("x", 3.0, 4.0), ("y", 3.0, 4.0)))
+    assert(pxy.inputFiles.length <= math.min(px.inputFiles.length, py.inputFiles.length))
+    val expect = df.where($"x".between(3, 4) && $"y".between(3, 4))
+      .select("payload").as[Long].collect().sorted.toSeq
+    assert(pxy.select("payload").as[Long].collect().sorted.toSeq == expect)
+  }
+
   test("appendBatch is idempotent on batchId (stream restart replays are no-ops)") {
     val t = "t9"
     assert(Lakehouse.appendBatch(
