@@ -372,6 +372,11 @@ object TextAnalysis {
         val Array(x, y) = p.split(" ", 2)
         val merged = s"$x@@$y"
         learned += ((r.toLong, x, y, merged, n))
+        // Each round appends one `replace` projection to the lineage.
+        // Fine for the few-round schedule here; a real 30k-merge
+        // training run must re-pin (localCheckpoint / persist-to-table)
+        // every ~10 rounds, or analysis time grows quadratically in the
+        // round count as Catalyst re-walks the whole replace chain.
         texts = texts.select(replace(col("t"), lit(s" $x  $y "), lit(s" $merged ")).as("t"))
       }
     }

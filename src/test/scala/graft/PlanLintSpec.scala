@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanLintSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
 
-  test("no query plans a CartesianProduct or an unpartitioned Window") {
+  test("no query plans a CartesianProduct, an unpartitioned Window, or a UDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, GraftTestSession.Sf0001)
       val cart =
@@ -25,8 +25,34 @@ class PlanLintSpec extends AnyFunSuite {
       val badWindows = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => s"$name: unpartitioned Window"
       }
-      cart ++ badWindows
+      // UDFs break whole-stage codegen (ScalaUDF) or worse, cross the
+      // Python boundary per row — the inventory must stay native
+      val udfs = df.queryExecution.optimizedPlan.collect {
+        case p if p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])) =>
+          s"$name: ScalaUDF in plan"
+      }.distinct
+      cart ++ badWindows ++ udfs
     }
     assert(offenders.isEmpty, s"scale-unsafe plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("events scans push filters and prune columns (restored family plan audit)") {
+    // fs_training_set_pit filters events by event_type: the predicate
+    // must reach the parquet scan, not evaluate post-scan
+    val pit = SparkEntry.queries("fs_training_set_pit")(spark, GraftTestSession.Sf0001)
+    val pitScan = pit.queryExecution.executedPlan.toString
+    assert(
+      pitScan.contains("PushedFilters: [") &&
+        pitScan.matches("(?s).*PushedFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      "event_type filter not pushed to the events scan")
+    // fs_materialize_latest touches 4 of events' columns: the scan's
+    // ReadSchema must NOT include the unused JSON properties payload
+    val mat = SparkEntry.queries("fs_materialize_latest")(spark, GraftTestSession.Sf0001)
+    val matScans = mat.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(matScans.nonEmpty, "no parquet scan found")
+    assert(!matScans.contains("properties"),
+      s"materialize scan reads the unused properties column:\n$matScans")
   }
 }
