@@ -91,6 +91,11 @@ object Lakehouse {
   /** Replay the log up to `versionAsOf` (inclusive; latest when None)
     * and return the commits that survive: everything since the last
     * overwrite at-or-before the pin.
+    *
+    * Replay cost is bounded by LOG CHECKPOINTS ([[checkpoint]]): when
+    * one exists at-or-before the pin, replay starts from its snapshot
+    * instead of version 1 — a year of minutely appends resolves from
+    * the last checkpoint + tail, not 500k JSON reads.
     */
   def snapshotCommits(
       spark: SparkSession,
@@ -102,10 +107,98 @@ object Lakehouse {
     require(
       versionAsOf.forall(p => vs.contains(p)),
       s"version ${versionAsOf.getOrElse(-1)} of $table does not exist (have: $vs)")
-    val commits = vs.filter(v => versionAsOf.forall(v <= _))
+    val upTo = vs.filter(v => versionAsOf.forall(v <= _))
+    val ckpt = checkpointVersions(spark, root, table)
+      .filter(v => upTo.contains(v)).lastOption
+    val base = ckpt.fold(Seq.empty[Commit]) { cv =>
+      readCheckpoint(spark, root, table, cv)
+    }
+    val tail = upTo.filter(v => ckpt.forall(v > _))
       .map(v => readCommit(spark, root, table, v))
+    val commits = base ++ tail
     val lastOverwrite = commits.lastIndexWhere(_.action == "overwrite")
     if (lastOverwrite < 0) commits else commits.drop(lastOverwrite)
+  }
+
+  /** Write a log checkpoint at the current tip: one file holding the
+    * commits that survive replay AT that version (everything since the
+    * last overwrite), so later readers resolve snapshots from it plus
+    * the tail — Delta's _last_checkpoint design. Readers that predate
+    * the checkpoint are unaffected (per-version commit files are never
+    * rewritten); pins BEFORE the checkpoint still replay the raw log.
+    * Returns the checkpointed version (the current tip), or None for an
+    * empty table.
+    */
+  def checkpoint(spark: SparkSession, root: String, table: String): Option[Int] = {
+    val vs = versions(spark, root, table)
+    vs.lastOption.map { tip =>
+      // surviving commits at the tip, resolved through any prior ckpt
+      val commits = snapshotCommits(spark, root, table, Some(tip))
+      val body = commits.map(commitJson).mkString("[", ",", "]")
+      val p = checkpointPath(root, table, tip)
+      val f = fs(spark, p)
+      f.mkdirs(p.getParent)
+      val out = f.create(p, true) // deterministic content: overwrite ok
+      try out.write(body.getBytes("UTF-8"))
+      finally out.close()
+      tip
+    }
+  }
+
+  /** Checkpointed versions, ascending. */
+  def checkpointVersions(spark: SparkSession, root: String, table: String): Seq[Int] = {
+    val dir = logDir(root, table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{8}\\.checkpoint\\.json") =>
+          n.substring(1, 9).toInt }
+        .sorted
+  }
+
+  private def checkpointPath(root: String, table: String, version: Int): Path =
+    new Path(logDir(root, table), f"v$version%08d.checkpoint.json")
+
+  private def readCheckpoint(
+      spark: SparkSession, root: String, table: String, v: Int): Seq[Commit] = {
+    val p = checkpointPath(root, table, v)
+    val in = fs(spark, p).open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // split the top-level array into per-commit objects on version keys
+    "\\{\"version\":(\\d+),".r.findAllMatchIn(body).map(_.start).toSeq match {
+      case Seq() => Seq.empty
+      case starts =>
+        val bounds = starts :+ (body.length - 1)
+        bounds.sliding(2).map { case Seq(s, e) =>
+          val obj = body.substring(s, e).stripSuffix(",")
+          val ver = "\"version\":(\\d+)".r.findFirstMatchIn(obj).get.group(1).toInt
+          parseCommit(ver, obj)
+        }.toSeq
+    }
+  }
+
+  /** A commit's canonical JSON — shared by the log writer and the
+    * checkpoint writer so replay-from-checkpoint parses identically.
+    */
+  private def commitJson(c: Commit): String = {
+    val batchField = c.batchId.fold("")(b => s""","batchId":$b""")
+    val clusterField =
+      if (c.clusters.isEmpty) ""
+      else {
+        val blocks = c.clusters.map { cs =>
+          val files = cs.files
+            .map(st => s"""{"f":"${st.path}","lo":${st.lo},"hi":${st.hi}}""")
+            .mkString(",")
+          s"""{"col":"${cs.column}","files":[$files]}"""
+        }
+        s""","clusters":[${blocks.mkString(",")}]"""
+      }
+    val dirsField = c.dataDirs.map(d => s""""$d"""").mkString("[", ",", "]")
+    s"""{"version":${c.version},"action":"${c.action}","dataDirs":$dirsField$batchField$clusterField}"""
   }
 
   /** Read a snapshot as a DataFrame (latest, or pinned to a version). */
@@ -382,20 +475,7 @@ object Lakehouse {
       val p = logPath(root, table, attempt)
       val f = fs(spark, p)
       f.mkdirs(p.getParent)
-      val batchField = batchId.fold("")(b => s""","batchId":$b""")
-      val clusterField =
-        if (clusters.isEmpty) ""
-        else {
-          val blocks = clusters.map { cs =>
-            val files = cs.files
-              .map(st => s"""{"f":"${st.path}","lo":${st.lo},"hi":${st.hi}}""")
-              .mkString(",")
-            s"""{"col":"${cs.column}","files":[$files]}"""
-          }
-          s""","clusters":[${blocks.mkString(",")}]"""
-        }
-      val body =
-        s"""{"version":$attempt,"action":"$mode","dataDirs":["$dataDir"]$batchField$clusterField}"""
+      val body = commitJson(Commit(attempt, mode, Seq(dataDir), batchId, clusters))
       try {
         // overwrite=false create is the atomic claim of this version
         val out = f.create(p, false)

@@ -169,6 +169,32 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.versions(spark, root, t) == Seq(1, 2))
   }
 
+  test("log checkpoint: snapshot resolution from checkpoint + tail equals raw replay") {
+    val t = "t12"
+    Lakehouse.commit(Seq((1L, "a")).toDF("k", "v"), root, t, "overwrite")
+    Lakehouse.commit(Seq((2L, "b")).toDF("k", "v"), root, t, "append")
+    Lakehouse.commitClustered(
+      (10L until 20L).map(i => (i, "c")).toDF("k", "v"), root, t, "append", "k", 2)
+    assert(Lakehouse.checkpoint(spark, root, t).contains(3))
+    // post-checkpoint tail
+    Lakehouse.commit(Seq((30L, "d")).toDF("k", "v"), root, t, "append")
+    assert(Lakehouse.checkpointVersions(spark, root, t) == Seq(3))
+    // latest = checkpoint base + tail
+    assert(Lakehouse.read(spark, root, t).select("k").as[Long].collect().toSet
+      == (Set(1L, 2L, 30L) ++ (10L until 20L)))
+    // a pin AT the checkpoint resolves from it
+    assert(Lakehouse.read(spark, root, t, Some(3)).count() == 12)
+    // a pin BEFORE the checkpoint replays the raw log
+    assert(Lakehouse.read(spark, root, t, Some(1)).select("k").as[Long].collect().toSet
+      == Set(1L))
+    // zone maps survive the checkpoint round-trip: pruning still works
+    val pruned = Lakehouse.readPruned(spark, root, t, "k", 10.0, 12.0)
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
+    // an overwrite after the checkpoint supersedes it cleanly
+    Lakehouse.commit(Seq((99L, "z")).toDF("k", "v"), root, t, "overwrite")
+    assert(Lakehouse.read(spark, root, t).select("k").as[Long].collect().toSet == Set(99L))
+  }
+
   test("streamAppend sinks a memory stream into the table exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val t = "t10"
