@@ -201,7 +201,11 @@ object Lakehouse {
     s"""{"version":${c.version},"action":"${c.action}","dataDirs":$dirsField$batchField$clusterField}"""
   }
 
-  /** Read a snapshot as a DataFrame (latest, or pinned to a version). */
+  /** Read a snapshot as a DataFrame (latest, or pinned to a version).
+    * `mergeSchema` is on so a schema-evolved snapshot (see
+    * `evolveSchema` on [[commit]]) surfaces the union schema, with
+    * nulls for columns a pre-evolution file lacks.
+    */
   def read(
       spark: SparkSession,
       root: String,
@@ -210,7 +214,39 @@ object Lakehouse {
   ): DataFrame = {
     val dirs = snapshotCommits(spark, root, table, versionAsOf).flatMap(_.dataDirs)
     require(dirs.nonEmpty, s"table $table has no committed data")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Append-time schema contract: an append must carry every column of
+    * the current snapshot with matching types. With `evolveSchema` it
+    * may ADD new columns (readers see nulls for old files via
+    * mergeSchema); dropping or retyping columns is always rejected —
+    * silent drift is how a feature store poisons its training sets.
+    */
+  private def checkAppendSchema(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      incoming: org.apache.spark.sql.types.StructType,
+      evolveSchema: Boolean
+  ): Unit = {
+    if (versions(spark, root, table).isEmpty) return
+    val current = read(spark, root, table).schema
+    val in = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val missing = current.fields.filterNot(f => in.get(f.name).contains(f.dataType))
+    require(
+      missing.isEmpty,
+      s"append to $table drops or retypes columns: " +
+        missing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ") +
+        " (schema contract; overwrite to change the schema)")
+    if (!evolveSchema) {
+      val cur = current.fields.map(f => f.name -> f.dataType).toMap
+      val added = incoming.fields.filterNot(f => cur.get(f.name).contains(f.dataType))
+      require(
+        added.isEmpty,
+        s"append to $table adds columns ${added.map(_.name).mkString(", ")}; " +
+          "pass evolveSchema=true to allow additive evolution")
+    }
   }
 
   /** Commit `df` as the next version. `mode` is "append" or
@@ -220,11 +256,20 @@ object Lakehouse {
     * only an unreferenced data directory (harmless garbage — see
     * [[vacuum]]).
     */
-  def commit(df: DataFrame, root: String, table: String, mode: String): Int =
+  def commit(
+      df: DataFrame,
+      root: String,
+      table: String,
+      mode: String,
+      evolveSchema: Boolean = false
+  ): Int = {
+    if (mode == "append")
+      checkAppendSchema(df.sparkSession, root, table, df.schema, evolveSchema)
     commitInternal(root, table, mode, None, dataDir => {
       df.write.mode("overwrite").parquet(dataDir)
       Nil
     })
+  }
 
   /** Commit with RANGE CLUSTERING + per-file zone maps — the lakehouse
     * data-skipping feature (Delta OPTIMIZE ZORDER / Iceberg sort
@@ -247,6 +292,8 @@ object Lakehouse {
       numFiles: Int
   ): Int = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    if (mode == "append")
+      checkAppendSchema(df.sparkSession, root, table, df.schema, evolveSchema = false)
     commitInternal(root, table, mode, None, dataDir => {
       df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
         .sortWithinPartitions(clusterCol)
@@ -276,6 +323,8 @@ object Lakehouse {
   ): Int = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     require(zCols.nonEmpty, "zCols must be non-empty")
+    if (mode == "append")
+      checkAppendSchema(df.sparkSession, root, table, df.schema, evolveSchema = false)
     // selective import: functions.mode would shadow the `mode` parameter
     import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
     val n = zCols.size
@@ -434,6 +483,7 @@ object Lakehouse {
   def appendBatch(df: DataFrame, root: String, table: String, batchId: Long): Option[Int] = {
     val spark = df.sparkSession
     val seen = allCommits(spark, root, table).exists(_.batchId.contains(batchId))
+    if (!seen) checkAppendSchema(spark, root, table, df.schema, evolveSchema = false)
     if (seen) None
     else Some(commitInternal(root, table, "append", Some(batchId), dataDir => {
       df.write.mode("overwrite").parquet(dataDir)

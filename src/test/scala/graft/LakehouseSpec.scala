@@ -169,6 +169,35 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.versions(spark, root, t) == Seq(1, 2))
   }
 
+  test("append schema contract: drop/retype rejected, additive evolution opt-in") {
+    val t = "t13"
+    Lakehouse.commit(Seq((1L, "a")).toDF("k", "v"), root, t, "overwrite")
+    // dropping a column is rejected
+    val exDrop = intercept[IllegalArgumentException] {
+      Lakehouse.commit(Seq(Tuple1(2L)).toDF("k"), root, t, "append")
+    }
+    assert(exDrop.getMessage.contains("drops or retypes"))
+    // retyping a column is rejected
+    val exType = intercept[IllegalArgumentException] {
+      Lakehouse.commit(Seq((2L, 5.0)).toDF("k", "v"), root, t, "append")
+    }
+    assert(exType.getMessage.contains("drops or retypes"))
+    // adding a column needs the opt-in...
+    val widened = Seq((2L, "b", 9L)).toDF("k", "v", "extra")
+    val exAdd = intercept[IllegalArgumentException] {
+      Lakehouse.commit(widened, root, t, "append")
+    }
+    assert(exAdd.getMessage.contains("evolveSchema"))
+    // ...and with it, old files read as null for the new column
+    Lakehouse.commit(widened, root, t, "append", evolveSchema = true)
+    val out = Lakehouse.read(spark, root, t)
+      .select("k", "extra").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(9L)))
+    // overwrite may change schema freely
+    Lakehouse.commit(Seq(Tuple1("fresh")).toDF("s"), root, t, "overwrite")
+    assert(Lakehouse.read(spark, root, t).columns.toSeq == Seq("s"))
+  }
+
   test("log checkpoint: snapshot resolution from checkpoint + tail equals raw replay") {
     val t = "t12"
     Lakehouse.commit(Seq((1L, "a")).toDF("k", "v"), root, t, "overwrite")
