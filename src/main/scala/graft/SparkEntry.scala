@@ -340,10 +340,162 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"),
           col("event_id").as("seq"))
       FeatureStore.cdcApply(snap, chg)
-    })
+    }),
+    // Feature TTL at serving: the corpus-max ts is "now"; anything
+    // materialized > 3 days before it reads as a miss (NULL), not a
+    // stale hit. The 1-row serving-ts aggregate is broadcast.
+    "fs_ttl_serving" -> ((s, dir) => {
+      val serveTs = broadcast(t(s, dir, "events").agg(max(col("ts")).as("_serve_ts")))
+      FeatureStore.serveWithTtl(
+        materializedLatest(s, dir).crossJoin(serveTs),
+        col("_serve_ts"), expr("INTERVAL 3 DAYS"))
+    }),
+    // On-demand features (featureform client-computed features):
+    // purchase events are the serving requests; two materialized
+    // features join on and the derived columns evaluate row-locally.
+    // ratio is fixed-point micro-units (floor(x*1e6)) — engine-portable.
+    "fs_ondemand_transform" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def latest(kind: String) = FeatureStore.materializeLatest(
+        ev.where(col("event_type") === kind), "user_id", "value", "ts", "event_id")
+      val requests = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("entity"),
+          unix_micros(col("ts")).as("req_ts_us"), col("value").as("amount"))
+      FeatureStore.onDemandServe(
+        requests,
+        Seq("f_click" -> latest("click"), "f_view" -> latest("view")),
+        Seq(
+          "engagement" -> (coalesce(col("f_click"), lit(0.0)) + coalesce(col("f_view"), lit(0.0))),
+          "ratio_micro" -> floor(col("amount") / (coalesce(col("f_click"), lit(0.0)) + lit(1.0))
+            * lit(1000000.0)).cast("long")))
+    }),
+    // Entity mapping before materialization (featureform
+    // EntityMappings): alias ids (user_id%10==7) resolve to a
+    // canonical anchor via a broadcast mapping TABLE; unmapped ids
+    // pass through. Materialization then keys on canonical entities.
+    "fs_entity_map" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mapping = ev.select(col("user_id")).distinct()
+        .where(col("user_id") % 10 === 7)
+        .select(col("user_id").as("alias_id"), (col("user_id") - 7L).as("canonical_id"))
+      FeatureStore.materializeLatest(
+        FeatureStore.mapEntities(ev, "user_id", mapping, "alias_id", "canonical_id"),
+        "user_id", "value", "ts", "event_id")
+        .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    }),
+    // Feature-selection screening: MI between per-user click count
+    // (capped bin) and the purchased label, per-cell pico-nat terms.
+    "fs_feature_importance_mi" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      FeatureStore.mutualInformation(per, least(col("clicks"), lit(5L)), col("label"))
+    }),
+    // Sliding event-time feature aggregations: trailing 1h / 24h click
+    // count+spend as of each purchase (point-in-time clean frames,
+    // ONE shuffle for all horizons).
+    "fs_rolling_features" -> ((s, dir) =>
+      FeatureStore.rollingFeatures(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "value",
+        labelType = "purchase", featureType = "click",
+        windowsUs = Seq("1h" -> 3600000000L, "24h" -> 86400000000L))),
+    // Offline→online bulk-load manifest: 32 md5 hash shards with
+    // count / exact sum / span / order-independent checksum per shard.
+    "fs_online_export" -> ((s, dir) =>
+      FeatureStore.onlineExport(
+        materializedLatest(s, dir)
+          .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")),
+        shards = 32))
   )
 
   private def fsOracles: Map[String, String] = Map(
+    "fs_ttl_serving" -> """
+      WITH mat AS (
+        SELECT user_id AS entity, value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      st AS (SELECT max(ts) AS serve_ts FROM events)
+      SELECT entity,
+             CASE WHEN ts >= serve_ts - INTERVAL 3 DAY THEN value END AS value,
+             ts >= serve_ts - INTERVAL 3 DAY AS fresh,
+             epoch_us(serve_ts) - epoch_us(ts) AS age_us
+      FROM mat CROSS JOIN st""",
+    "fs_ondemand_transform" -> """
+      WITH fc AS (
+        SELECT user_id AS entity, value AS f_click FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'click') WHERE rn = 1),
+      fv AS (
+        SELECT user_id AS entity, value AS f_view FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'view') WHERE rn = 1),
+      req AS (
+        SELECT user_id AS entity, epoch_us(ts) AS req_ts_us, value AS amount
+        FROM events WHERE event_type = 'purchase')
+      SELECT entity, req_ts_us, amount, f_click, f_view,
+             coalesce(f_click, 0) + coalesce(f_view, 0) AS engagement,
+             CAST(floor(amount / (coalesce(f_click, 0) + 1) * 1000000.0) AS BIGINT) AS ratio_micro
+      FROM req LEFT JOIN fc USING (entity) LEFT JOIN fv USING (entity)""",
+    "fs_entity_map" -> """
+      SELECT entity, value, epoch_us(ts) AS ts_us FROM (
+        SELECT *, row_number() OVER (PARTITION BY entity ORDER BY ts DESC, event_id DESC) AS rn
+        FROM (
+          SELECT CASE WHEN user_id % 10 = 7 THEN user_id - 7 ELSE user_id END AS entity,
+                 value, ts, event_id
+          FROM events))
+      WHERE rn = 1""",
+    "fs_feature_importance_mi" -> """
+      WITH per AS (
+        SELECT user_id,
+               CAST(least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 5) AS BIGINT) AS bin,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS label
+        FROM events GROUP BY user_id),
+      cells AS (SELECT bin, label, count(*) AS n FROM per GROUP BY bin, label),
+      bins AS (SELECT bin, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY bin),
+      labels AS (SELECT label, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY label),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+      SELECT bin, label, n, nb, nl, nt,
+             CAST(floor(ln((CAST(n AS DOUBLE) * nt) / (CAST(nb AS DOUBLE) * nl))
+                        * n * 1000000000000.0 / nt) AS BIGINT) AS mi_pico
+      FROM cells JOIN bins USING (bin) JOIN labels USING (label) CROSS JOIN tot""",
+    "fs_rolling_features" -> """
+      WITH base AS (
+        SELECT user_id AS entity, epoch_us(ts) AS ts_us, event_type AS etype, value
+        FROM events),
+      win AS (
+        SELECT entity, ts_us, etype, value,
+          CAST(coalesce(sum(CASE WHEN etype = 'click' THEN 1 END) OVER
+            (PARTITION BY entity ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_1h,
+          coalesce(CAST(sum(CASE WHEN etype = 'click' THEN CAST(value AS DECIMAL(18,6)) END) OVER
+            (PARTITION BY entity ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS DOUBLE), 0) AS sum_1h,
+          CAST(coalesce(sum(CASE WHEN etype = 'click' THEN 1 END) OVER
+            (PARTITION BY entity ORDER BY ts_us
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_24h,
+          coalesce(CAST(sum(CASE WHEN etype = 'click' THEN CAST(value AS DECIMAL(18,6)) END) OVER
+            (PARTITION BY entity ORDER BY ts_us
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS DOUBLE), 0) AS sum_24h
+        FROM base)
+      SELECT entity, ts_us, value AS label, n_1h, sum_1h, n_24h, sum_24h
+      FROM win WHERE etype = 'purchase'""",
+    "fs_online_export" -> """
+      WITH mat AS (
+        SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      keyed AS (
+        SELECT ('0x' || substr(md5(CAST(entity AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard,
+               entity, value,
+               ('0x' || substr(md5(CAST(entity AS VARCHAR) || '|' || CAST(ts_us AS VARCHAR)), 1, 15))::BIGINT AS row_key
+        FROM mat)
+      SELECT shard, count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(entity) AS min_entity, max(entity) AS max_entity,
+             bit_xor(row_key) AS checksum
+      FROM keyed GROUP BY shard""",
     "fs_data_contract" -> """
       WITH agg AS (
         SELECT count(*) AS n_rows,
@@ -2590,6 +2742,20 @@ object SparkEntry {
     }),
     "text_subword_count" -> ((s, dir) =>
       TextAnalysis.subwordCounts(t(s, dir, "documents"), "doc_id", "text")),
+    // Pretraining sequence-packing manifest: docs concatenated in id
+    // order, cut into 2048-token sequences; per doc its stream offset
+    // and first/last pack. Distributed prefix sum — no global window.
+    "text_seq_pack" -> ((s, dir) =>
+      TextAnalysis.seqPack(t(s, dir, "documents"), "doc_id", "text", capacity = 2048L)),
+    // DSIR data selection: lang='en' is the target domain; top-50 raw
+    // docs by unigram log-likelihood ratio (pico-nat integer weights).
+    "text_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      val top = w.orderBy(col("weight_pico").desc, col("doc_id")).limit(50)
+      top.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("weight_pico"))
+    }),
     // Deterministic 10% corpus sample: content-keyed hash, so the
     // selection is identical on any cluster / partitioning / engine.
     "sample_hash" -> ((s, dir) =>
@@ -2855,6 +3021,47 @@ object SparkEntry {
              len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS n_subwords,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents""",
+    "text_seq_pack" -> """
+      WITH c AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      s AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS stream_offset
+        FROM c)
+      SELECT doc_id, n_tokens, stream_offset,
+             stream_offset // 2048 AS pack_first,
+             (stream_offset + n_tokens - 1) // 2048 AS pack_last,
+             (stream_offset + n_tokens - 1) // 2048 - stream_offset // 2048 + 1 AS n_packs
+      FROM s""",
+    "text_dsir_select" -> """
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_target, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok, count(*) AS cr,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM toks GROUP BY tok),
+      tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
+               count(*) AS v
+        FROM vocab),
+      scored AS (
+        SELECT tok,
+               CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / (tt + v)) * 1000000000000.0) AS BIGINT)
+               - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) / (tr + v)) * 1000000000000.0) AS BIGINT)
+                 AS dw_pico
+        FROM vocab CROSS JOIN tot),
+      w AS (
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(dw_pico) AS BIGINT) AS weight_pico
+        FROM toks JOIN scored USING (tok)
+        GROUP BY doc_id)
+      SELECT w.doc_id, d.lang, w.n_tokens, w.weight_pico
+      FROM w JOIN documents d ON w.doc_id = d.doc_id
+      ORDER BY weight_pico DESC, w.doc_id
+      LIMIT 50""",
     // hexThreshold(0.1) = floor(0.1 * 2^32) = 0x19999999, etc. — the
     // same fixed-width-hex compare Sampling.hashSample runs.
     "sample_hash" -> """
@@ -3718,6 +3925,39 @@ object SparkEntry {
           .withColumn("snap", lit(tag))
       profile("v1", Lakehouse.read(s, root, "nation_lake", Some(v1)))
         .unionByName(profile("latest", Lakehouse.read(s, root, "nation_lake")))
+    }),
+    // MERGE INTO on the lakehouse format (Delta/Iceberg upsert
+    // statement; the reference registers feature tables into exactly
+    // these formats — offline_store_spark_runner.py:193/213): orders
+    // range-clustered by key, then ONE merge carrying updates
+    // (k%100==0, price doubled), inserts (k%100==2, key shifted +1e9)
+    // and deletes (k%100==1). Zone-map pruning rewrites only files the
+    // delta touches; profiled per status class so updated / inserted /
+    // surviving rows all land in the hash.
+    "lake_merge_into" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_merge"
+      val tp = new org.apache.hadoop.fs.Path(s"$root/orders_lake")
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh table per run
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      Lakehouse.commitClustered(base, root, "orders_lake", "overwrite", "k", 8)
+      val upd = base.where(col("k") % 100 === 0)
+        .select(col("k"), (col("price") * 2).as("price"), lit("U").as("status"))
+      val ins = base.where(col("k") % 100 === 2)
+        .select((col("k") + 1000000000L).as("k"), col("price"), lit("N").as("status"))
+      val del = base.where(col("k") % 100 === 1)
+        .select(col("k"), col("price"), lit("D").as("status"))
+      Lakehouse.merge(
+        s, root, "orders_lake", upd.unionByName(ins).unionByName(del),
+        "k", deleteWhen = Some(col("status") === "D"))
+      Lakehouse.read(s, root, "orders_lake")
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          decSumD(col("price")).as("total"),
+          sum(col("k")).as("sum_keys"))
     })
   )
 
@@ -4246,7 +4486,21 @@ object SparkEntry {
       UNION ALL
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
              CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'latest' AS snap
-      FROM latest GROUP BY n_regionkey"""
+      FROM latest GROUP BY n_regionkey""",
+    "lake_merge_into" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        FROM orders),
+      merged AS (
+        SELECT k, price, status FROM base WHERE k % 100 NOT IN (0, 1)
+        UNION ALL
+        SELECT k, price * 2 AS price, 'U' AS status FROM base WHERE k % 100 = 0
+        UNION ALL
+        SELECT k + 1000000000 AS k, price, 'N' AS status FROM base WHERE k % 100 = 2)
+      SELECT status, count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             CAST(sum(k) AS BIGINT) AS sum_keys
+      FROM merged GROUP BY status"""
   )
 
   // ---------------------------------------------------------------- //
@@ -4327,7 +4581,15 @@ object SparkEntry {
           size(col("embedding")).cast("long").as("dims"),
           element_at(col("embedding"), 1).as("e_first"),
           element_at(col("embedding"), -1).as("e_last"))
-    })
+    }),
+    // Stream-static enrichment (batch analog; stream semantics in
+    // StreamingSpec): events left-join the broadcast customer dim,
+    // profiled per segment — dim misses surface under the NULL group.
+    "stream_enrich" -> ((s, dir) =>
+      StreamingFeatures.enrichBatch(
+        t(s, dir, "events"),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey", "c_mktsegment"))
   )
 
   private def miscOracles: Map[String, String] = Map(
@@ -4438,7 +4700,14 @@ object SparkEntry {
              embedding[1] AS e_first, embedding[-1] AS e_last FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY pri DESC) AS rn
         FROM writes)
-      WHERE rn = 1"""
+      WHERE rn = 1""",
+    "stream_enrich" -> """
+      SELECT c_mktsegment,
+             count(*) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment"""
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

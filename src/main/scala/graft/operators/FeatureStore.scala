@@ -929,4 +929,178 @@ object FeatureStore {
       .where(col("rn") === 1 && col("op") =!= "D")
       .select(col("entity"), col("value"), col("ts_us"))
   }
+
+  /** Multi-horizon rolling features at label times — the classic
+    * feature-store "aggregations over sliding event-time windows"
+    * surface (count/sum of feature events in the trailing 1h / 24h /
+    * … as of each label event). Point-in-time clean by construction:
+    * each frame is (label_ts − window, label_ts − 1µs], so nothing
+    * at-or-after the label leaks in.
+    *
+    * Plan shape: every horizon shares ONE partition-by-entity /
+    * order-by-ts sort — Spark evaluates all the range frames inside a
+    * single Window operator over a single shuffle, so adding a horizon
+    * adds zero exchanges. Value sums run in DECIMAL (order-exact).
+    */
+  def rollingFeatures(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      labelType: String,
+      featureType: String,
+      windowsUs: Seq[(String, Long)] // (suffix, window length in µs)
+  ): DataFrame = {
+    val base = events.select(
+      col(entityCol).as("entity"), unix_micros(col(tsCol)).as("ts_us"),
+      col(typeCol).as("etype"), col(valueCol).as("value"))
+    val isF = col("etype") === featureType
+    val withWins = windowsUs.foldLeft(base) { case (df, (name, us)) =>
+      val w = Window.partitionBy(col("entity")).orderBy(col("ts_us"))
+        .rangeBetween(-us, -1)
+      df.withColumn(s"n_$name",
+          coalesce(sum(when(isF, 1L)).over(w), lit(0L)))
+        .withColumn(s"sum_$name",
+          coalesce(
+            sum(when(isF, col("value").cast("decimal(18,6)"))).over(w).cast("double"),
+            lit(0.0)))
+    }
+    withWins
+      .where(col("etype") === labelType)
+      .select(
+        Seq(col("entity"), col("ts_us"), col("value").as("label")) ++
+          windowsUs.flatMap { case (n, _) => Seq(col(s"n_$n"), col(s"sum_$n")) }: _*)
+  }
+
+  /** Online-store bulk-load manifest — the offline→online
+    * materialization handoff (featureform materializes features into
+    * Redis/Dynamo-class stores; the bulk path ships hash shards). The
+    * latest materialization is hash-sharded on entity (md5-based, so
+    * any engine reproduces the assignment) and each shard reports its
+    * row count, exact value sum, entity span, and an order-independent
+    * content checksum (bit-XOR of per-row md5 keys) — what a loader
+    * needs to verify a shard landed complete. One aggregate, map-side
+    * combined; `shards` output rows.
+    */
+  def onlineExport(mat: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val shard = pmod(
+      graft.functions.TextFunctions.md5Long60(col("entity").cast("string")), lit(shards.toLong))
+    val rowKey = graft.functions.TextFunctions.md5Long60(
+      concat_ws("|", col("entity"), col("ts_us")))
+    mat
+      .withColumn("_row_key", rowKey)
+      .groupBy(shard.as("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        min(col("entity")).as("min_entity"),
+        max(col("entity")).as("max_entity"),
+        expr("bit_xor(_row_key)").as("checksum"))
+  }
+
+  /** TTL-gated serving view — the batch analog of an online store's
+    * feature TTL (a materialized value older than `ttl` at serving
+    * time must not be served; it reads as a miss, not a stale hit).
+    * `matWithServingTs` is a materialization carrying a serving
+    * timestamp column (typically cross-joined from a 1-row broadcast
+    * aggregate); stale entities keep their row with a NULL value and
+    * `fresh = false`, so coverage accounting still sees them.
+    * Pure row-local projection — no shuffle beyond the input's.
+    */
+  def serveWithTtl(
+      matWithServingTs: DataFrame, // (entity, value, ts, <servingTs>)
+      servingTs: Column,
+      ttl: Column // an INTERVAL expression
+  ): DataFrame = {
+    val fresh = col("ts") >= servingTs - ttl
+    matWithServingTs.select(
+      col("entity"),
+      when(fresh, col("value")).as("value"),
+      fresh.as("fresh"),
+      (unix_micros(servingTs) - unix_micros(col("ts"))).as("age_us"))
+  }
+
+  /** On-demand features (featureform's client-computed features:
+    * functions of request-time inputs plus precomputed features,
+    * evaluated at serving — not materialized). Batch analog: left-join
+    * each named feature view onto the request frame by entity, then
+    * evaluate the derived columns row-locally. Missing features
+    * surface as NULLs to the derivation (exactly what the serving
+    * runtime sees), and the derived exprs are plain Catalyst columns —
+    * whole-stage codegen, no UDFs.
+    */
+  def onDemandServe(
+      requests: DataFrame, // carries `entity` plus request context cols
+      features: Seq[(String, DataFrame)], // name -> (entity, value)
+      derived: Seq[(String, Column)]
+  ): DataFrame = {
+    val joined = features.foldLeft(requests) { case (acc, (name, f)) =>
+      acc.join(f.select(col("entity"), col("value").as(name)), Seq("entity"), "left")
+    }
+    derived.foldLeft(joined) { case (acc, (name, c)) => acc.withColumn(name, c) }
+  }
+
+  /** Entity mapping (featureform's EntityMappings on SQL
+    * transformations: raw source ids resolved to canonical entities
+    * before materialization). Ids absent from the mapping pass through
+    * unchanged. The mapping is broadcast by default — an identity map
+    * is a classic small dim — set `broadcastMapping=false` when it is
+    * itself large (then the hash join shuffles on the entity key the
+    * downstream materialization needs anyway).
+    */
+  def mapEntities(
+      df: DataFrame,
+      entityCol: String,
+      mapping: DataFrame,
+      aliasCol: String,
+      canonicalCol: String,
+      broadcastMapping: Boolean = true
+  ): DataFrame = {
+    val m0 = mapping.select(col(aliasCol).as("_alias"), col(canonicalCol).as("_canon"))
+    val m = if (broadcastMapping) broadcast(m0) else m0
+    df.join(m, df(entityCol) === m("_alias"), "left")
+      .withColumn(entityCol, coalesce(col("_canon"), col(entityCol)))
+      .drop("_alias", "_canon")
+  }
+
+  /** Mutual information between a (binned) feature and a label —
+    * feature-selection screening over a materialized frame. Emits one
+    * row per (bin, label) cell with its joint/marginal counts and the
+    * cell's MI contribution p·ln(p/(px·py)) in FIXED-POINT pico-nats
+    * (the same engine-portable integer-units trick as entropyScore:
+    * every float op is an IEEE op both engines execute identically,
+    * and floor pins the result, so the BIGINT is hash-exact). Total MI
+    * is the plain sum of `mi_pico` over the cells.
+    *
+    * Plan: one groupBy to the cell table (≤ |bins|·|labels| rows),
+    * then marginals and the total are broadcast joins of frames
+    * derived from it — nothing rescans the input.
+    */
+  def mutualInformation(
+      df: DataFrame,
+      featureBin: Column,
+      label: Column
+  ): DataFrame = {
+    val cells = df
+      .select(featureBin.as("bin"), label.as("label"))
+      .groupBy(col("bin"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // cells are tiny; compute once, derive thrice
+    val bins = cells.groupBy(col("bin")).agg(sum(col("n")).as("nb"))
+    val labels = cells.groupBy(col("label")).agg(sum(col("n")).as("nl"))
+    val total = cells.agg(sum(col("n")).as("nt"))
+    cells
+      .join(broadcast(bins), "bin")
+      .join(broadcast(labels), "label")
+      .crossJoin(broadcast(total))
+      .select(
+        col("bin"), col("label"), col("n"), col("nb"), col("nl"), col("nt"),
+        floor(
+          log((col("n").cast("double") * col("nt")) /
+              (col("nb").cast("double") * col("nl")))
+            * col("n") * lit(1000000000000.0) / col("nt"))
+          .cast("long").as("mi_pico"))
+  }
 }

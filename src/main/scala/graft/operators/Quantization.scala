@@ -571,6 +571,7 @@ object Quantization {
       vecCol: String,
       rot: Seq[Seq[Double]]
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
     space.select(
       col(keyCol).as("vec_id"),
       call_function(

@@ -427,4 +427,95 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
         .cast("long").as("n_subwords"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
+
+  /** Sequence-packing manifest — GPT-style pretraining batching:
+    * documents are concatenated in id order into one token stream and
+    * cut into fixed-`capacity` training sequences (docs split at pack
+    * boundaries; no padding waste). Emits, per doc, its token count,
+    * its offset in the global stream, and the first/last pack it lands
+    * in — the manifest a loader needs to assemble any pack by reading
+    * only the docs that intersect it.
+    *
+    * Scale: the global running offset is NOT a single-task
+    * `ORDER BY doc_id` window. Docs are range-partitioned by id (so a
+    * partition owns a contiguous id range), only the numPartitions
+    * per-partition token SUMS come to the driver, and each partition
+    * adds its broadcast prefix offset to a partition-local cumsum —
+    * the materializeRange prefix-sum pattern applied to token counts.
+    */
+  def seqPack(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long
+  ): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val counts = docs.select(
+      col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val parted = counts
+      .repartitionByRange(col("doc_id"))
+      .select(col("*"), spark_partition_id().as("_pid"))
+      .localCheckpoint() // pin the partition assignment the offsets describe
+    val sums = parted.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("doc_id"))
+    parted
+      .join(offDf, Seq("_pid"))
+      .withColumn(
+        "stream_offset", sum(col("n_tokens")).over(w) - col("n_tokens") + col("_off"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stream_offset"),
+        expr(s"stream_offset div $capacity").as("pack_first"),
+        expr(s"(stream_offset + n_tokens - 1) div $capacity").as("pack_last"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1L)
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by the log-likelihood ratio of a target-domain unigram LM over
+    * the raw-corpus LM, log p_t(x) − log p_r(x) = Σ_w c_w(x)·(ln
+    * p_t(w) − ln p_r(w)), with add-one smoothing over the shared
+    * vocabulary; the top-weighted docs are the ones to keep.
+    * The per-token log-ratio is fixed-point pico-nats (floor(ln·1e12)
+    * per probability, then an integer difference), so per-doc weights
+    * are integer sums — partition-order exact and engine-portable.
+    *
+    * Plan: one explode → token-level (cr, ct) counts (map-side
+    * combined), a 1-row totals broadcast, then the per-doc aggregate
+    * re-joins tokens to the scored vocab — two shuffles total (vocab
+    * key, doc key) regardless of corpus size.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column
+  ): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"), isTarget.as("is_target"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = vocab.agg(
+      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"), count(lit(1)).as("v"))
+    val scored = vocab
+      .crossJoin(broadcast(totals))
+      .select(
+        col("tok"),
+        (floor(log((col("ct") + 1L).cast("double") / (col("tt") + col("v"))) * lit(1000000000000.0))
+          - floor(log((col("cr") + 1L).cast("double") / (col("tr") + col("v"))) * lit(1000000000000.0)))
+          .cast("long").as("dw_pico"))
+    toks
+      .join(scored, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("dw_pico")).as("weight_pico"))
+  }
 }

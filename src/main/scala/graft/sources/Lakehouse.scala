@@ -428,6 +428,110 @@ object Lakehouse {
     } else spark.read.parquet(paths: _*).where(pred)
   }
 
+  /** What a [[merge]] did: the committed version plus how many files it
+    * actually rewrote vs carried forward untouched.
+    */
+  case class MergeStats(version: Int, rewrittenFiles: Int, retainedFiles: Int)
+
+  /** MERGE INTO (the Delta/Iceberg upsert statement, batch semantics —
+    * reference registers its features into exactly these formats,
+    * provider/scripts/spark/offline_store_spark_runner.py:193/213):
+    * target rows whose `keyCol` matches a source row are replaced by
+    * that source row — or deleted when the source row satisfies
+    * `deleteWhen` — unmatched source rows (minus deletes) are inserted,
+    * and unmatched target rows survive unchanged. Source keys must be
+    * unique per key (multiple matches per target row is Delta's
+    * MERGE cardinality violation and would make the rewrite ambiguous;
+    * callers dedup first).
+    *
+    * Scale path: only files whose `keyCol` zone map can contain a
+    * source key are read and rewritten; every other file of the
+    * snapshot is RE-REFERENCED in the new commit byte-untouched, its
+    * zone map carried forward — so merge cost follows the files the
+    * delta touches, not table size. When the source has ≤ `maxPruneKeys`
+    * distinct keys the overlap test is per-key (binary search of the
+    * sorted key array against each file's [lo, hi]) — a point-delta
+    * against a range-clustered 100 TB table rewrites a handful of
+    * files; beyond the cap it falls back to the source's global key
+    * range. Commits without `keyCol` stats are rewritten wholesale:
+    * cluster on the merge key ([[commitClustered]]/[[commitZOrdered]])
+    * to keep merges cheap.
+    */
+  def merge(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      source: DataFrame,
+      keyCol: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      maxPruneKeys: Int = 100000
+  ): MergeStats = {
+    import org.apache.spark.sql.functions.col
+    val commits = snapshotCommits(spark, root, table)
+    require(commits.nonEmpty, s"table $table has no committed data")
+    val snapSchema = read(spark, root, table).schema
+    // the source must carry every snapshot column (update-all /
+    // insert-all semantics); EXTRA source columns are fine — they feed
+    // `deleteWhen` (e.g. a CDC op flag) and are dropped on write
+    val in = source.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = snapSchema.fields.filterNot(f => in.get(f.name).contains(f.dataType))
+    require(
+      missing.isEmpty,
+      s"merge source for $table is missing or retypes columns: " +
+        missing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+
+    // distinct non-null source keys in the zone-map domain (double),
+    // capped: ≤ cap ⇒ exact per-key pruning, > cap ⇒ global range only
+    val keys = source.select(col(keyCol).cast("double"))
+      .where(col(keyCol).isNotNull)
+      .distinct().limit(maxPruneKeys + 1)
+      .collect().map(_.getDouble(0)).sorted
+    val exact = keys.length <= maxPruneKeys
+    def overlaps(lo: Double, hi: Double): Boolean =
+      if (keys.isEmpty) false
+      else if (exact) {
+        val i = java.util.Arrays.binarySearch(keys, lo)
+        val idx = if (i >= 0) i else -i - 1
+        idx < keys.length && keys(idx) <= hi
+      } else keys.last >= lo && keys.head <= hi
+
+    val touchedB = Seq.newBuilder[String]
+    val retainedB = Seq.newBuilder[FileStat]
+    commits.foreach { c =>
+      c.clusters.find(_.column == keyCol) match {
+        case Some(cs) =>
+          cs.files.foreach { f =>
+            if (f.lo.isNaN || f.hi.isNaN || overlaps(f.lo, f.hi)) touchedB += f.path
+            else retainedB += f
+          }
+        case None => touchedB ++= c.dataDirs // no stats: must rewrite
+      }
+    }
+    val touched = touchedB.result()
+    val retained = retainedB.result()
+
+    val target =
+      if (touched.nonEmpty) spark.read.option("mergeSchema", "true").parquet(touched: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
+    val upserts = deleteWhen.fold(source)(d => source.where(!d))
+    val cols = snapSchema.fieldNames.toSeq.map(col)
+    val rewrite = target
+      .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .select(cols: _*)
+      .unionByName(upserts.select(cols: _*))
+    val numFiles = math.max(1, touched.size)
+    val version = commitInternal(root, table, "overwrite", None, dataDir => {
+      rewrite
+        .repartitionByRange(numFiles, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(dataDir)
+      val fresh = zoneMaps(spark, dataDir, Seq(keyCol))
+      Seq(ClusterStats(keyCol, retained ++ fresh.head.files))
+    }, extraDirs = retained.map(_.path))
+    MergeStats(version, touched.size, retained.size)
+  }
+
   /** Compact the current snapshot into ~`targetFileBytes` files — the
     * small-file problem is THE operational failure of streaming appends
     * at scale (a year of minutely commits = half a million tiny files;
@@ -514,7 +618,8 @@ object Lakehouse {
       table: String,
       mode: String,
       batchId: Option[Long],
-      writeData: String => Seq[ClusterStats]
+      writeData: String => Seq[ClusterStats],
+      extraDirs: Seq[String] = Nil
   ): Int = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
     val spark = SparkSession.active
@@ -525,7 +630,7 @@ object Lakehouse {
       val p = logPath(root, table, attempt)
       val f = fs(spark, p)
       f.mkdirs(p.getParent)
-      val body = commitJson(Commit(attempt, mode, Seq(dataDir), batchId, clusters))
+      val body = commitJson(Commit(attempt, mode, extraDirs :+ dataDir, batchId, clusters))
       try {
         // overwrite=false create is the atomic claim of this version
         val out = f.create(p, false)

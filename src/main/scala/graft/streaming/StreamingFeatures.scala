@@ -265,6 +265,40 @@ object StreamingFeatures {
         col("n"),
         col("sum_value"))
 
+  /** Stream-static enrichment: each event joins its dimension row at
+    * PROCESSING time (the dimension is re-resolved per micro-batch, so
+    * a dim update is visible to the next batch — exactly Structured
+    * Streaming's stream-static join contract). Left join: events
+    * without a dim row flow through with NULLs instead of being
+    * dropped. The dimension is broadcast — no stream-side shuffle, the
+    * hot path stays one stage per micro-batch.
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      dimKeyCol: String
+  ): DataFrame =
+    stream.join(broadcast(dim), stream(keyCol) === dim(dimKeyCol), "left")
+
+  /** Batch analog of [[enrichStream]], profiled per dimension group so
+    * the join (incl. dim misses, surfaced under the NULL group) is
+    * oracle-checkable.
+    */
+  def enrichBatch(
+      events: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      dimKeyCol: String,
+      groupCol: String
+  ): DataFrame =
+    enrichStream(events, dim, keyCol, dimKeyCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(keyCol)).as("n_entities"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+
   /** Streaming MultiSet: the reference's client-STREAMING write RPC
     * (reference: embeddinghub/embeddingstore/embedding_store.proto:15
     * `rpc MultiSet(stream MultiSetRequest)`; server.cc applies each

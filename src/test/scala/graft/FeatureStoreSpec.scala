@@ -518,4 +518,101 @@ class FeatureStoreSpec extends AnyFunSuite {
     val out = FeatureStore.cdcApply(snap, chg).collect()
     assert(out.length == 1 && out.head.getAs[Double]("value") == 11.0)
   }
+
+  test("serveWithTtl: stale entities read as a miss (NULL), not a stale hit") {
+    val mat = Seq(
+      (1L, 10.0, ts("2024-01-10 00:00:00")), // fresh at serving time
+      (2L, 20.0, ts("2024-01-01 00:00:00"))  // 9 days old: expired
+    ).toDF("entity", "value", "ts")
+      .withColumn("_serve_ts", lit(ts("2024-01-10 12:00:00")))
+    val out = FeatureStore
+      .serveWithTtl(mat, col("_serve_ts"), expr("INTERVAL 3 DAYS"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((Some(10.0), true, 12L * 3600 * 1000000)))
+    assert(out(2L)._1.isEmpty && !out(2L)._2) // stale: NULL value, fresh=false
+    assert(out(2L)._3 == (9L * 24 + 12) * 3600 * 1000000) // age still reported
+  }
+
+  test("onDemandServe: derived columns see joined features, misses surface as NULL") {
+    val requests = Seq((1L, 100.0), (2L, 50.0)).toDF("entity", "amount")
+    val fa = Seq((1L, 4.0)).toDF("entity", "value") // entity 2 has no feature
+    val out = FeatureStore
+      .onDemandServe(
+        requests,
+        Seq("f_a" -> fa),
+        Seq("boosted" -> (col("amount") + coalesce(col("f_a"), lit(0.0)) * 10)))
+      .collect()
+      .map(r => r.getAs[Long]("entity") ->
+        ((Option(r.getAs[Any]("f_a")), r.getAs[Double]("boosted")))).toMap
+    assert(out(1L) == ((Some(4.0), 140.0)))
+    assert(out(2L) == ((None, 50.0))) // missing feature = NULL into the derivation
+  }
+
+  test("mapEntities: aliases resolve through the mapping, unmapped ids pass through") {
+    val df = Seq((17L, 1.0), (10L, 2.0), (3L, 3.0)).toDF("user_id", "v")
+    val mapping = Seq((17L, 10L)).toDF("alias_id", "canonical_id")
+    val out = FeatureStore
+      .mapEntities(df, "user_id", mapping, "alias_id", "canonical_id")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("v"))).toSet
+    assert(out == Set((10L, 1.0), (10L, 2.0), (3L, 3.0)))
+  }
+
+  test("rollingFeatures: point-in-time clean trailing windows, per horizon") {
+    val ev = Seq(
+      // entity 1: clicks at 00:00, 00:30, 02:00; purchase at 02:30
+      (1L, 5.0, ts("2024-01-01 00:00:00"), "click", 1L),
+      (1L, 7.0, ts("2024-01-01 00:30:00"), "click", 2L),
+      (1L, 9.0, ts("2024-01-01 02:00:00"), "click", 3L),
+      (1L, 99.0, ts("2024-01-01 02:30:00"), "purchase", 4L),
+      // entity 2: a click AT the purchase instant must NOT leak in
+      (2L, 1.0, ts("2024-01-01 01:00:00"), "click", 5L),
+      (2L, 50.0, ts("2024-01-01 01:00:00"), "purchase", 6L)
+    ).toDF("user_id", "value", "ts", "event_type", "event_id")
+    val out = FeatureStore
+      .rollingFeatures(ev, "user_id", "ts", "event_type", "value",
+        "purchase", "click", Seq("1h" -> 3600000000L, "24h" -> 86400000000L))
+      .collect()
+      .map(r => r.getAs[Long]("entity") ->
+        ((r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"),
+          r.getAs[Long]("n_24h"), r.getAs[Double]("sum_24h")))).toMap
+    // 1h frame (01:30, 02:30): only the 02:00 click; 24h: all three
+    assert(out(1L) == ((1L, 9.0, 3L, 21.0)))
+    // same-instant click excluded from both horizons
+    assert(out(2L) == ((0L, 0.0, 0L, 0.0)))
+  }
+
+  test("onlineExport: shards partition the rows; checksum is the xor of row keys") {
+    import graft.functions.TextFunctions
+    val mat = (1L to 100L).map(i => (i, i * 1.5, i * 1000L))
+      .toDF("entity", "value", "ts_us")
+    val out = FeatureStore.onlineExport(mat, shards = 8).collect()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 100L)
+    // recompute one shard's membership + checksum independently
+    val keyed = mat.select(
+      org.apache.spark.sql.functions.pmod(
+        TextFunctions.md5Long60(col("entity").cast("string")), lit(8L)).as("shard"),
+      TextFunctions.md5Long60(
+        concat_ws("|", col("entity"), col("ts_us"))).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val shard0 = keyed.filter(_._1 == 0L).map(_._2)
+    val row0 = out.find(_.getAs[Long]("shard") == 0L).get
+    assert(row0.getAs[Long]("n_rows") == shard0.length)
+    assert(row0.getAs[Long]("checksum") == shard0.foldLeft(0L)(_ ^ _))
+  }
+
+  test("mutualInformation: zero for independence, ln2 pico-nats for a perfect predictor") {
+    // independent: every (bin,label) cell has the same count
+    val indep = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("bin", "label")
+    val mi0 = FeatureStore.mutualInformation(indep, col("bin"), col("label"))
+      .agg(sum("mi_pico")).head.getLong(0)
+    assert(mi0 == 0L)
+    // bin == label exactly: MI = ln 2 nats
+    val dep = Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 1L)).toDF("bin", "label")
+    val mi1 = FeatureStore.mutualInformation(dep, col("bin"), col("label"))
+      .agg(sum("mi_pico")).head.getLong(0)
+    assert(math.abs(mi1 - math.round(math.log(2) * 1e12)) <= 2) // floor error ≤ 1 per cell
+  }
 }

@@ -242,4 +242,49 @@ class LakehouseSpec extends AnyFunSuite {
       assert(Lakehouse.allCommits(spark, root, t).flatMap(_.batchId) == Seq(0L, 1L))
     } finally q.stop()
   }
+
+  test("merge: update/insert/delete semantics, pruned files carried forward untouched") {
+    val t = "t_merge"
+    val base = spark.range(1, 101)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+    val v1 = Lakehouse.commitClustered(base, root, t, "overwrite", "k", 5)
+    // delta: update k=3, delete k=7 (flag column NOT in the target
+    // schema — merge drops it), insert k=500
+    val src = Seq((3L, "u3", false), (7L, "gone", true), (500L, "v500", false))
+      .toDF("k", "v", "del")
+    val stats = Lakehouse.merge(spark, root, t, src, "k", deleteWhen = Some(col("del")))
+
+    // files 21-40 / 41-60 / 61-80 / 81-100 never contain a source key:
+    // retained by the per-key zone-map check; only 1-20 is rewritten
+    assert(stats.rewrittenFiles == 1 && stats.retainedFiles == 4)
+    val merged = Lakehouse.read(spark, root, t)
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(merged.size == 100) // 100 - 1 delete + 1 insert
+    assert(merged(3L) == "u3" && !merged.contains(7L) && merged(500L) == "v500")
+    assert(merged(42L) == "v42") // untouched row survives byte-identical
+    // retained files are RE-REFERENCED, not rewritten: the merge commit
+    // lists 4 paths from the v1 data dir plus its own new dir
+    val mergeCommit = Lakehouse.allCommits(spark, root, t).last
+    assert(mergeCommit.dataDirs.count(_.contains("/data/v1/")) == 4)
+    // zone maps carried forward + fresh: pruned reads still exact
+    val pruned = Lakehouse.readPruned(spark, root, t, "k", 41, 60)
+      .select($"k").as[Long].collect().toSet
+    assert(pruned == (41L to 60L).toSet)
+    // time travel: the pre-merge snapshot is untouched
+    assert(Lakehouse.read(spark, root, t, Some(v1)).count() == 100)
+  }
+
+  test("merge on an unclustered table falls back to a full rewrite, still correct") {
+    val t = "t_merge_flat"
+    Lakehouse.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, t, "overwrite")
+    val stats = Lakehouse.merge(
+      spark, root, t, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k")
+    assert(stats.retainedFiles == 0)
+    val m = Lakehouse.read(spark, root, t).as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // a source missing target columns is rejected (schema contract)
+    assert(intercept[IllegalArgumentException] {
+      Lakehouse.merge(spark, root, t, Seq(4L).toDF("k"), "k")
+    }.getMessage.contains("missing"))
+  }
 }

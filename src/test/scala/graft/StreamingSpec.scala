@@ -466,4 +466,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamCounts == want)
     } finally query.stop()
   }
+
+  test("enrichStream: stream-static left join keeps dim misses, broadcast dim") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val input = MemoryStream[(Long, Double)](spark)
+    val enriched = StreamingFeatures.enrichStream(
+      input.toDS().toDF("user_id", "value"), dim, "user_id", "cust_id")
+    val query = enriched
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, 10.0), (3L, 30.0)) // 3 has no dim row
+      query.processAllAvailable()
+      input.addData((2L, 20.0))
+      query.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally query.stop()
+  }
 }

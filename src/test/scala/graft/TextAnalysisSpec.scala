@@ -254,4 +254,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._1 == 4L && out(3L)._2 == 1L && close(out(3L)._3, 0.0) && out(3L)._4 == 0)
     assert(out(4L) == ((0L, 0L, None, 0)))
   }
+
+  test("seqPack: global stream offsets are a gapless prefix sum; packs cut at capacity") {
+    // 20 docs × 3 tokens, capacity 5 → stream of 60 tokens, packs 0..11
+    val docs = (1L to 20L).map(i => (i, "a b c")).toDF("doc_id", "text")
+      .repartition(7) // offsets must survive an arbitrary input layout
+    val out = TextAnalysis.seqPack(docs, "doc_id", "text", capacity = 5L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("stream_offset"), r.getAs[Long]("pack_first"),
+          r.getAs[Long]("pack_last"), r.getAs[Long]("n_packs"))))
+      .toMap
+    (1L to 20L).foreach { i =>
+      val off = (i - 1) * 3
+      assert(out(i)._1 == off, s"doc $i offset")
+      assert(out(i)._2 == off / 5 && out(i)._3 == (off + 2) / 5)
+      assert(out(i)._4 == (off + 2) / 5 - off / 5 + 1)
+    }
+    // doc 2 (tokens 3..5) straddles the first pack boundary
+    assert(out(2L) == ((3L, 0L, 1L, 2L)))
+  }
+
+  test("dsirWeights: docs made of target-domain tokens score above off-domain docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "tea tea tea", true), // target domain speaks "tea"
+      (2L, "tea tea tea", false), // same text, raw side: same weight as 1
+      (3L, "ore ore ore", false), // off-domain tokens: negative ratio
+      (4L, "tea ore tea", false)
+    ).toDF("doc_id", "text", "is_target")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_pico")).toMap
+    assert(w(1L) == w(2L)) // weight depends on content, not membership
+    assert(w(1L) > w(4L) && w(4L) > w(3L)) // monotone in target-token share
+    assert(w(3L) < 0) // "ore" never appears in the target: ratio < 1
+  }
 }
