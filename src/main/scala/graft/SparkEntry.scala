@@ -2742,6 +2742,22 @@ object SparkEntry {
     }),
     "text_subword_count" -> ((s, dir) =>
       TextAnalysis.subwordCounts(t(s, dir, "documents"), "doc_id", "text")),
+    // Temperature-rebalanced mixture (mT5-style α=0.5): per-source
+    // budgets from the sqrt-scaled distribution (all-integer targets),
+    // md5-ranked selection within each source.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(
+        t(s, dir, "documents"), "source", "doc_id", totalBudget = 200L, seed = 23L)),
+    // Tokenizer fertility (subwords per whitespace word) by language —
+    // the standard multilingual tokenizer-quality metric.
+    "text_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.subwordCounts(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_subwords")).as("subwords"), sum(col("n_tokens")).as("words"))
+        .withColumn("fertility_micro", expr("(subwords * 1000000) div words"))
+    }),
     // Pretraining sequence-packing manifest: docs concatenated in id
     // order, cut into 2048-token sequences; per doc its stream offset
     // and first/last pack. Distributed prefix sum — no global window.
@@ -3021,6 +3037,34 @@ object SparkEntry {
              len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS n_subwords,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents""",
+    "sample_temperature" -> """
+      WITH counts AS (
+        SELECT source, count(*) AS n,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS r
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM counts),
+      targets AS (
+        SELECT source, CAST(least(n, (200 * r) // t) AS BIGINT) AS target
+        FROM counts CROSS JOIN tot)
+      SELECT doc_id, source, rank FROM (
+        SELECT d.doc_id, d.source, t.target,
+               row_number() OVER (PARTITION BY d.source
+                 ORDER BY substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+                 AS rank
+        FROM documents d JOIN targets t USING (source))
+      WHERE rank <= target""",
+    "text_fertility" -> """
+      WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT lang,
+             CAST(sum(n_subwords) AS BIGINT) AS subwords,
+             CAST(sum(n_tokens) AS BIGINT) AS words,
+             (CAST(sum(n_subwords) AS BIGINT) * 1000000) // CAST(sum(n_tokens) AS BIGINT)
+               AS fertility_micro
+      FROM c JOIN documents USING (doc_id) GROUP BY lang""",
     "text_seq_pack" -> """
       WITH c AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

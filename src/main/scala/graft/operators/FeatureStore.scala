@@ -956,17 +956,19 @@ object FeatureStore {
       col(entityCol).as("entity"), unix_micros(col(tsCol)).as("ts_us"),
       col(typeCol).as("etype"), col(valueCol).as("value"))
     val isF = col("etype") === featureType
-    val withWins = windowsUs.foldLeft(base) { case (df, (name, us)) =>
+    // all horizons in ONE select: same-frame exprs merge into a single
+    // Window operator per horizon, all sharing one Exchange+Sort
+    val winCols = windowsUs.flatMap { case (name, us) =>
       val w = Window.partitionBy(col("entity")).orderBy(col("ts_us"))
         .rangeBetween(-us, -1)
-      df.withColumn(s"n_$name",
-          coalesce(sum(when(isF, 1L)).over(w), lit(0L)))
-        .withColumn(s"sum_$name",
-          coalesce(
-            sum(when(isF, col("value").cast("decimal(18,6)"))).over(w).cast("double"),
-            lit(0.0)))
+      Seq(
+        coalesce(sum(when(isF, 1L)).over(w), lit(0L)).as(s"n_$name"),
+        coalesce(
+          sum(when(isF, col("value").cast("decimal(18,6)"))).over(w).cast("double"),
+          lit(0.0)).as(s"sum_$name"))
     }
-    withWins
+    base
+      .select(col("*") +: winCols: _*)
       .where(col("etype") === labelType)
       .select(
         Seq(col("entity"), col("ts_us"), col("value").as("label")) ++

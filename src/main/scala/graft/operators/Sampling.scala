@@ -84,6 +84,43 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Temperature-rebalanced corpus mixture (the mT5/XLM-R α-scaled
+    * multinomial: sample groups ∝ p^α so small languages/sources are
+    * upweighted without letting any group dominate), at the fixed
+    * α = 0.5 where p^α is an IEEE-exact sqrt — no pow() portability
+    * hazard. Group targets are all-integer: r_g = floor(√n_g · 1e6)
+    * (sqrt and multiply are correctly-rounded IEEE ops, floor pins
+    * them), target_g = min(n_g, B·r_g div Σr) — so the per-group
+    * budgets, and therefore the md5-ranked selection, are
+    * engine-exact. One tiny count aggregate + broadcast targets + one
+    * rank window partitioned by group (never global).
+    */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      totalBudget: Long,
+      seed: Long
+  ): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_r",
+        floor(sqrt(col("_n").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = counts.agg(sum(col("_r")).as("_t"))
+    val targets = counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col(groupCol),
+        least(col("_n"), expr(s"($totalBudget * _r) div _t")).as("_target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(bucket(col(keyCol), seed), col(keyCol))
+    df.join(broadcast(targets), Seq(groupCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= col("_target"))
+      .select(col(keyCol), col(groupCol), col("_rn").cast("long").as("rank"))
+  }
+
   /** Greedy k-center coreset (Gonzalez 1985, the classic max-min
     * 2-approximation): start from the smallest id, then repeatedly
     * add the point FARTHEST from its nearest selected center —

@@ -265,6 +265,68 @@ object StreamingFeatures {
         col("n"),
         col("sum_value"))
 
+  final case class RollingEvent(entity: Long, value: Double, ts: Timestamp, etype: String)
+  final case class RollingOut(
+      entity: Long, ts_us: Long, label: Double,
+      n_1h: Long, sum_1h: Double, n_24h: Long, sum_24h: Double)
+  final case class RollingState(feats: List[(Long, java.math.BigDecimal)])
+
+  /** Streaming twin of FeatureStore.rollingFeatures (the Tecton-style
+    * streaming window aggregate): per entity, keep the trailing-24h
+    * feature events as keyed state and emit 1h/24h count+sum features
+    * the moment a label event arrives — same point-in-time frames
+    * (label_ts − W, label_ts − 1µs], so a feature AT the label instant
+    * never leaks in (within a micro-batch, events sort by ts with
+    * labels first among equal timestamps). Values accumulate as
+    * 6dp-rounded BigDecimal — the exact arithmetic of the batch op's
+    * DECIMAL(18,6) sums, so stream and batch agree bit-for-bit. State
+    * per entity is O(events in the largest window): pruned against the
+    * newest timestamp seen on every batch.
+    */
+  def rollingFeaturesStream(
+      events: Dataset[RollingEvent],
+      labelType: String,
+      featureType: String
+  ): Dataset[RollingOut] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    def dec(v: Double) =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    events
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, batch: Iterator[RollingEvent], state: GroupState[RollingState]) =>
+          var feats = state.getOption.map(_.feats).getOrElse(Nil)
+          val out = List.newBuilder[RollingOut]
+          // labels before features at the same instant = the batch
+          // frame's exclusive upper bound
+          val ordered = batch.toSeq.sortBy(e =>
+            (e.ts.getTime * 1000, if (e.etype == featureType) 1 else 0))
+          ordered.foreach { e =>
+            val tsUs = e.ts.getTime * 1000
+            if (e.etype == labelType) {
+              def window(w: Long): (Long, Double) = {
+                val in = feats.filter { case (t, _) => t > tsUs - w && t <= tsUs - 1 }
+                (in.size.toLong,
+                  in.foldLeft(java.math.BigDecimal.ZERO) { case (a, (_, v)) => a.add(v) }
+                    .doubleValue)
+              }
+              val (n1, s1) = window(hourUs)
+              val (n24, s24) = window(dayUs)
+              out += RollingOut(entity, tsUs, e.value, n1, s1, n24, s24)
+            } else if (e.etype == featureType) {
+              feats = (tsUs, dec(e.value)) :: feats
+            }
+          }
+          // prune state against the newest event seen
+          val hi = ordered.lastOption.map(_.ts.getTime * 1000)
+          hi.foreach(h => feats = feats.filter(_._1 > h - dayUs))
+          state.update(RollingState(feats))
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: each event joins its dimension row at
     * PROCESSING time (the dimension is re-resolved per micro-batch, so
     * a dim update is visible to the next batch — exactly Structured

@@ -168,4 +168,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.forall(_._2 == "A"))
     assert(out.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)) && out.nonEmpty)
   }
+
+  test("temperatureSample: sqrt-scaled budgets upweight small groups, selection exact") {
+    import org.apache.spark.sql.functions._
+    // 900 'big' rows vs 100 'small' rows: plain proportional budgeting
+    // gives small 10%, sqrt scaling gives it 25% (√100/(√900+√100))
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(df, "source", "doc_id", totalBudget = 100L, seed = 1L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // r_big = 30e6, r_small = 10e6, t = 40e6 → targets 75 / 25 exactly
+    assert(bySrc == Map("big" -> 75, "small" -> 25))
+    // deterministic: same seed reproduces the same ids
+    val again = Sampling.temperatureSample(df, "source", "doc_id", 100L, seed = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(again == out.map(_._1).toSet)
+    // a group smaller than its budget is capped at its size
+    val tiny = ((1L to 4L).map(i => (i, "a")) ++ (5L to 400L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val capped = Sampling.temperatureSample(tiny, "source", "doc_id", 300L, seed = 1L)
+      .collect().map(r => r.getAs[String]("source"))
+    assert(capped.count(_ == "a") == 4) // min(4, budget share)
+  }
 }

@@ -467,6 +467,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("rollingFeaturesStream: trailing-window features at labels match the batch op") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingFeatures.RollingEvent
+    val evs = Seq(
+      RollingEvent(1L, 5.0, ts("2024-01-01 00:00:00"), "click"),
+      RollingEvent(1L, 7.0, ts("2024-01-01 00:30:00"), "click"),
+      RollingEvent(1L, 9.0, ts("2024-01-01 02:00:00"), "click"),
+      RollingEvent(1L, 99.0, ts("2024-01-01 02:30:00"), "purchase"),
+      // same-instant click must not leak into entity 2's label
+      RollingEvent(2L, 1.0, ts("2024-01-01 01:00:00"), "click"),
+      RollingEvent(2L, 50.0, ts("2024-01-01 01:00:00"), "purchase"),
+      // second label later, after more clicks (state carries across batches)
+      RollingEvent(1L, 2.5, ts("2024-01-01 02:45:00"), "click"),
+      RollingEvent(1L, 80.0, ts("2024-01-01 03:15:00"), "purchase"))
+    val input = MemoryStream[RollingEvent](spark)
+    val query = StreamingFeatures
+      .rollingFeaturesStream(input.toDS(), "purchase", "click")
+      .writeStream.format("memory").queryName("rolling_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val (b1, b2) = evs.splitAt(6)
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val got = spark.table("rolling_out").collect()
+        .map(r => (r.getAs[Long]("entity"), r.getAs[Long]("ts_us")) ->
+          ((r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"),
+            r.getAs[Long]("n_24h"), r.getAs[Double]("sum_24h")))).toMap
+      val want = graft.operators.FeatureStore
+        .rollingFeatures(
+          evs.toDS().toDF().withColumnRenamed("entity", "user_id"),
+          "user_id", "ts", "etype", "value", "purchase", "click",
+          Seq("1h" -> 3600000000L, "24h" -> 86400000000L))
+        .collect()
+        .map(r => (r.getAs[Long]("entity"), r.getAs[Long]("ts_us")) ->
+          ((r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"),
+            r.getAs[Long]("n_24h"), r.getAs[Double]("sum_24h")))).toMap
+      assert(got == want)
+      assert(got.size == 3)
+    } finally query.stop()
+  }
+
   test("enrichStream: stream-static left join keeps dim misses, broadcast dim") {
     import org.apache.spark.sql.functions._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
