@@ -2763,6 +2763,11 @@ object SparkEntry {
     // and first/last pack. Distributed prefix sum — no global window.
     "text_seq_pack" -> ((s, dir) =>
       TextAnalysis.seqPack(t(s, dir, "documents"), "doc_id", "text", capacity = 2048L)),
+    // Bigram LM with stupid backoff, trained on the even-id half so
+    // backoff genuinely fires on the scored half.
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(
+        t(s, dir, "documents"), "doc_id", "text", col("doc_id") % 2 === 0)),
     // DSIR data selection: lang='en' is the target domain; top-50 raw
     // docs by unigram log-likelihood ratio (pico-nat integer weights).
     "text_dsir_select" -> ((s, dir) => {
@@ -3080,6 +3085,37 @@ object SparkEntry {
              (stream_offset + n_tokens - 1) // 2048 AS pack_last,
              (stream_offset + n_tokens - 1) // 2048 - stream_offset // 2048 + 1 AS n_packs
       FROM s""",
+    "text_bigram_lm" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      docbi AS (
+        SELECT doc_id, doc_id % 2 = 0 AS is_train,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bi
+        FROM toks),
+      trainbi AS (SELECT bi, count(*) AS c12 FROM docbi WHERE is_train GROUP BY bi),
+      trainuni AS (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id % 2 = 0)
+        GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM trainuni),
+      terms AS (
+        SELECT d.doc_id,
+          CASE WHEN tb.c12 IS NOT NULL THEN
+            CAST(floor(ln(CAST(tb.c12 AS DOUBLE) / u1.c) * 1000000000000.0) AS BIGINT)
+          ELSE
+            CAST(floor(ln(0.4 * (CAST(coalesce(u2.c, 0) + 1 AS DOUBLE) / (t + v)))
+                       * 1000000000000.0) AS BIGINT)
+          END AS term_pico,
+          tb.c12 IS NULL AS is_backoff
+        FROM docbi d
+        LEFT JOIN trainbi tb USING (bi)
+        LEFT JOIN trainuni u1 ON split_part(d.bi, ' ', 1) = u1.tok
+        LEFT JOIN trainuni u2 ON split_part(d.bi, ' ', 2) = u2.tok
+        CROSS JOIN tot)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN is_backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+             CAST(-sum(term_pico) AS BIGINT) AS nll_pico
+      FROM terms GROUP BY doc_id""",
     "text_dsir_select" -> """
       WITH toks AS (
         SELECT doc_id, lang = 'en' AS is_target, unnest(string_split(text, ' ')) AS tok
@@ -3905,6 +3941,12 @@ object SparkEntry {
     }),
     // Salted-join correctness at query level: result must equal the
     // plain equi-join (which IS the oracle).
+    // Experimentation readout: deterministic md5 A/B split of users,
+    // two-proportion z on purchase conversion, micro-unit fixed point.
+    "q_ab_test_zscore" -> ((s, dir) =>
+      Analytics.abTestZScore(
+        t(s, dir, "events"), "user_id",
+        col("event_type") === "purchase" && col("value") > 90, seed = 11L)),
     "q_skew_salted_join" -> ((s, dir) =>
       Skew
         .saltedJoin(
@@ -4505,6 +4547,32 @@ object SparkEntry {
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
         SELECT s_nationkey FROM supplier)""",
+    "q_ab_test_zscore" -> """
+      WITH conv AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END)
+                 AS conv
+        FROM events GROUP BY user_id),
+      per AS (
+        SELECT ('0x' || substr(md5('11:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+                 AS variant,
+               conv
+        FROM conv),
+      agg AS (SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+              FROM per GROUP BY variant),
+      a AS (SELECT n AS n_a, c AS conv_a FROM agg WHERE variant = 0),
+      b AS (SELECT n AS n_b, c AS conv_b FROM agg WHERE variant = 1)
+      SELECT n_a, conv_a, n_b, conv_b,
+        CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b)) > 0 THEN
+          CAST(floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+            / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b))
+            * 1000000.0) AS BIGINT)
+        END AS z_micro
+      FROM a CROSS JOIN b""",
     "q_skew_salted_join" -> """
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

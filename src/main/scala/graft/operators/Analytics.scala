@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1119,4 +1119,48 @@ object Analytics {
         variableColumnName = "event_type",
         valueColumnName = "n_events")
       .select(col("user_id").as("entity"), col("event_type"), col("n_events"))
+
+  /** Two-proportion z-test over a deterministic hash split — the
+    * experimentation readout every feature platform bolts on (did the
+    * B cohort convert differently?). Variants come from an md5 entity
+    * hash (engine-reproducible, stable under reruns), conversion is
+    * any `convType` event per entity. z = (p_a − p_b) /
+    * √(p̂(1−p̂)(1/n_a + 1/n_b)), emitted in fixed-point micro-units:
+    * every op from the integer counts onward is a mirrored IEEE op, so
+    * the statistic is hash-exact. One entity aggregate + a 2-row
+    * reduce; the final row is a driver-side cross of two 1-row frames.
+    */
+  def abTestZScore(
+      events: DataFrame,
+      entityCol: String,
+      convWhen: Column, // row-level conversion predicate
+      seed: Long
+  ): DataFrame = {
+    val per = events
+      .groupBy(col(entityCol).as("entity"))
+      .agg(max(when(convWhen, 1L).otherwise(0L)).as("conv"))
+      .withColumn(
+        "variant",
+        pmod(
+          graft.functions.TextFunctions.md5Long60(
+            concat(lit(s"$seed:"), col("entity").cast("string"))),
+          lit(2L)))
+    val agg = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val a = agg.where(col("variant") === 0)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = agg.where(col("variant") === 1)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a")
+    val pB = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // degenerate cohorts (p̂ = 0 or 1 ⇒ se = 0) have no defined z:
+    // NULL, not an ANSI divide-by-zero (the spec-level guard every
+    // experimentation dashboard needs on day one)
+    a.crossJoin(b).select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(se > 0, floor((pA - pB) / se * lit(1000000.0)).cast("long"))
+        .as("z_micro"))
+  }
 }

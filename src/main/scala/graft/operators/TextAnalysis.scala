@@ -477,6 +477,68 @@ object TextAnalysis {
       .withColumn("n_packs", col("pack_last") - col("pack_first") + 1L)
   }
 
+  /** Bigram language-model scoring with stupid backoff (Brants et al.
+    * 2007): the LM trains on a held-out SLICE of the corpus (`isTrain`)
+    * and scores every doc, so unseen bigrams genuinely back off to the
+    * 0.4-discounted add-one unigram — the higher-order sibling of
+    * [[lmScore]]'s unigram perplexity, and a sharper fluency signal
+    * (word-salad shuffles keep their unigram score but crater here).
+    * score(w1 w2) = ln(c12/c1) when the train corpus saw the bigram,
+    * else ln(0.4·(c2+1)/(T+V)). Terms are fixed-point pico-nats, so
+    * per-doc totals are exact integer sums; `n_backoff` counts the
+    * out-of-model bigrams (itself a novelty signal).
+    *
+    * Plan: two count aggregates over the train slice (bigram, unigram),
+    * unigram side broadcast twice (w1, w2 lookups), bigram join on the
+    * composite key — shuffle count independent of horizon count.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTrain: Column
+  ): DataFrame = {
+    def bigrams(textC: Column): Column = {
+      val toks = tokens(textC)
+      filter(
+        zip_with(toks, slice(toks, 2, 2147483646), (a, b) => concat_ws(" ", a, b)),
+        p => p.contains(" "))
+    }
+    val docBi = docs.select(
+      col(idCol).as("doc_id"), isTrain.as("is_train"),
+      explode(bigrams(col(textCol))).as("bi"))
+    val trainBi = docBi.where(col("is_train"))
+      .groupBy(col("bi")).agg(count(lit(1)).as("c12"))
+    val trainUni = docs.where(isTrain)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = trainUni.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val w1c = trainUni.select(col("tok").as("_w1"), col("c").as("c1"))
+    val w2c = trainUni.select(col("tok").as("_w2"), col("c").as("c2"))
+    docBi
+      .withColumn("_w1", split(col("bi"), " ").getItem(0))
+      .withColumn("_w2", split(col("bi"), " ").getItem(1))
+      .join(trainBi, Seq("bi"), "left")
+      .join(broadcast(w1c), Seq("_w1"), "left")
+      .join(broadcast(w2c), Seq("_w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        when(col("c12").isNotNull,
+          floor(log(col("c12").cast("double") / col("c1")) * lit(1000000000000.0)))
+          .otherwise(
+            floor(log(lit(0.4) *
+              ((coalesce(col("c2"), lit(0L)) + 1L).cast("double") / (col("t") + col("v"))))
+              * lit(1000000000000.0)))
+          .cast("long").as("term_pico"),
+        col("c12").isNull.as("is_backoff"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("is_backoff"), 1L).otherwise(0L)).as("n_backoff"),
+        (-sum(col("term_pico"))).as("nll_pico"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw doc
     * by the log-likelihood ratio of a target-domain unigram LM over

@@ -473,4 +473,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((1L, "purchase")) == 0L && out((2L, "purchase")) == 1L)
     assert(out((2L, "click")) == 0L)
   }
+
+  test("abTestZScore: hash split partitions all users; z matches the closed form") {
+    import graft.functions.TextFunctions
+    // users 1..200; users with id <= 60 convert (id-keyed, split-agnostic)
+    val evs = (1L to 200L).flatMap { u =>
+      val base = Seq((u, "view"))
+      if (u <= 60) base :+ ((u, "purchase")) else base
+    }.toDF("user_id", "event_type")
+    val r = Analytics
+      .abTestZScore(evs, "user_id", col("event_type") === "purchase", seed = 11L)
+      .collect().head
+    val (nA, cA, nB, cB) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    assert(nA + nB == 200 && cA + cB == 60)
+    // the split itself is the md5 parity, independently recomputed
+    val wantNa = (1L to 200L).count { u =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"11:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0
+    }
+    assert(nA == wantNa)
+    val pA = cA.toDouble / nA; val pB = cB.toDouble / nB
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (pA - pB) / math.sqrt(p * (1.0 - p) * (1.0 / nA + 1.0 / nB))
+    assert(r.getAs[Long]("z_micro") == math.floor(z * 1000000.0).toLong)
+    // degenerate cohorts (everyone converts): z undefined -> NULL, no
+    // ANSI divide-by-zero
+    val all = (1L to 50L).map(u => (u, "purchase")).toDF("user_id", "event_type")
+    val rd = Analytics
+      .abTestZScore(all, "user_id", col("event_type") === "purchase", seed = 11L)
+      .collect().head
+    assert(rd.isNullAt(rd.fieldIndex("z_micro")))
+  }
 }

@@ -275,6 +275,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 0L, 1L, 2L)))
   }
 
+  test("bigramLmScore: seen bigrams score ln(c12/c1), unseen back off to 0.4-discounted unigram") {
+    import org.apache.spark.sql.functions.col
+    // train = doc 2 ("a b b"): uni a:1 b:2 (t=3, v=2); bi "a b":1 "b b":1
+    val docs = Seq((1L, "a b a"), (2L, "a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text", col("doc_id") % 2 === 0)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_backoff"),
+          r.getAs[Long]("nll_pico")))).toMap
+    // doc 1: "a b" seen -> ln(1/1)=0; "b a" unseen -> ln(0.4*(1+1)/(3+2))
+    val backoffA = math.floor(math.log(0.4 * (2.0 / 5)) * 1e12).toLong
+    assert(out(1L) == ((2L, 1L, -backoffA)))
+    // doc 2 (train): "a b" -> 0; "b b" -> ln(1/2)
+    val halfTerm = math.floor(math.log(1.0 / 2) * 1e12).toLong
+    assert(out(2L) == ((2L, 0L, -halfTerm)))
+  }
+
   test("dsirWeights: docs made of target-domain tokens score above off-domain docs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
