@@ -1186,6 +1186,14 @@ object SparkEntry {
       Quantization.knnBinaryHamming(
         emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", dims = 64, k = 5)
     }),
+    // Two-stage binary prefilter: hamming top-20 candidates at sketch
+    // scan speed, exact float cosine only on those, cut to top-5.
+    "emb_knn_binary_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Quantization.knnBinaryRerank(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        dims = 64, k = 5, overfetch = 4)
+    }),
     // Storage-tier int8 scalar quantization with per-vector
     // reconstruction-error stats (the 4x embedding compression knob).
     "emb_int8_quant" -> ((s, dir) =>
@@ -1969,6 +1977,36 @@ object SparkEntry {
       SELECT query_id, neighbor_id, rank FROM (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5""",
+    "emb_knn_binary_rerank" -> """
+      WITH s AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> CASE WHEN embedding[i + 1] <= 0 THEN 0::BIGINT
+                              WHEN i = 63 THEN ((-9223372036854775807)::BIGINT - 1)
+                              ELSE (1::BIGINT << i) END)) AS BIGINT) AS sk
+        FROM embeddings),
+      cands AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.sk, n.sk)), n.vec_id) AS hrank
+          FROM s q JOIN s n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        WHERE hrank <= 20),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM cands c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id)
+        GROUP BY query_id, neighbor_id)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= 5""",
     "emb_knn_ip" -> """
@@ -4044,6 +4082,29 @@ object SparkEntry {
           count(lit(1)).as("n"),
           decSumD(col("price")).as("total"),
           sum(col("k")).as("sum_keys"))
+    }),
+    // DELETE WHERE on the lakehouse (GDPR erasure path): clustered by
+    // key, predicate bounded to keys <= 30000 with a matching prune
+    // hint — files above the range are re-referenced untouched.
+    "lake_delete_where" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_del"
+      val tp = new org.apache.hadoop.fs.Path(s"$root/orders_lake")
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh table per run
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      Lakehouse.commitClustered(base, root, "orders_lake", "overwrite", "k", 8)
+      Lakehouse.deleteWhere(
+        s, root, "orders_lake",
+        col("k") % 10 === 3 && col("k") <= 30000,
+        prune = Some(("k", 0.0, 30000.0)))
+      Lakehouse.read(s, root, "orders_lake")
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          decSumD(col("price")).as("total"),
+          sum(col("k")).as("sum_keys"))
     })
   )
 
@@ -4612,7 +4673,16 @@ object SparkEntry {
       SELECT status, count(*) AS n,
              CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total,
              CAST(sum(k) AS BIGINT) AS sum_keys
-      FROM merged GROUP BY status"""
+      FROM merged GROUP BY status""",
+    "lake_delete_where" -> """
+      WITH kept AS (
+        SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        FROM orders
+        WHERE NOT (o_orderkey % 10 = 3 AND o_orderkey <= 30000))
+      SELECT status, count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             CAST(sum(k) AS BIGINT) AS sum_keys
+      FROM kept GROUP BY status"""
   )
 
   // ---------------------------------------------------------------- //

@@ -760,6 +760,39 @@ object Quantization {
     Similarity.topKPerGroup(scored, "query_id", "sim", "neighbor_id", k)
   }
 
+  /** Two-stage binary-prefilter kNN — the practical deployment of the
+    * 32x sketch tier: hamming over packed sign bits generates
+    * k·`overfetch` candidates at xor+popcount scan speed, then ONLY
+    * those candidates are re-scored with exact float cosine and cut to
+    * top-k. At 100 TB the full-precision vectors are touched for
+    * k·overfetch rows per query instead of the whole corpus — the
+    * sketch is the scan, the floats are a point lookup. Stage 2 is a
+    * candidate⨝corpus hash join (shuffles only candidate-sized data)
+    * plus the broadcast query vectors.
+    */
+  def knnBinaryRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      overfetch: Int
+  ): DataFrame = {
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val cands = knnBinaryHamming(corpus, queries, keyCol, vecCol, dims, k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(
+      queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
+    val rescored = cands
+      .join(corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec")),
+        "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosine(col("q_vec"), col("n_vec")))
+    Similarity.topKPerGroup(rescored, "query_id", "sim", "neighbor_id", k)
+  }
+
   def int8Quantize(space: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     // Per-row min/scale as TOP-LEVEL projection columns feeding a
     // Generate (explode) boundary — each is computed once per vector.

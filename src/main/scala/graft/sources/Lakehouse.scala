@@ -532,6 +532,69 @@ object Lakehouse {
     MergeStats(version, touched.size, retained.size)
   }
 
+  /** DELETE WHERE — predicate deletion over the snapshot (the
+    * GDPR/right-to-erasure path every lakehouse needs; Delta/Iceberg
+    * DELETE). Rows matching `predicate` are removed; the rest survive
+    * byte-identical. With a `prune` hint (column, lo, hi) — the
+    * caller's assertion that every matching row has prune-col ∈
+    * [lo, hi] — files whose zone map misses that range are
+    * RE-REFERENCED untouched (zone maps carried forward) and only
+    * overlapping files rewrite: a single-entity erasure against an
+    * entity-clustered 100 TB table rewrites one file, not the corpus.
+    * Without the hint every file is rewritten (still one commit, still
+    * time-travel safe).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      prune: Option[(String, Double, Double)] = None
+  ): MergeStats = {
+    import org.apache.spark.sql.functions.col
+    val commits = snapshotCommits(spark, root, table)
+    require(commits.nonEmpty, s"table $table has no committed data")
+    val touchedB = Seq.newBuilder[String]
+    val retainedB = Seq.newBuilder[FileStat]
+    commits.foreach { c =>
+      prune.flatMap { case (cName, _, _) => c.clusters.find(_.column == cName) } match {
+        case Some(cs) =>
+          val (_, lo, hi) = prune.get
+          cs.files.foreach { f =>
+            if (f.lo.isNaN || f.hi.isNaN || (f.hi >= lo && f.lo <= hi)) touchedB += f.path
+            else retainedB += f
+          }
+        case None => touchedB ++= c.dataDirs
+      }
+    }
+    val touched = touchedB.result()
+    val retained = retainedB.result()
+    require(touched.nonEmpty || retained.nonEmpty, s"table $table resolves to no files")
+    val kept =
+      if (touched.isEmpty) null
+      else spark.read.option("mergeSchema", "true").parquet(touched: _*).where(!predicate)
+    val version = commitInternal(root, table, "overwrite", None, dataDir => {
+      val df =
+        if (kept != null) kept
+        else { // nothing overlapped: commit an empty rewrite dir
+          val schema = read(spark, root, table).schema
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+      prune match {
+        case Some((cName, _, _)) =>
+          df.repartitionByRange(math.max(1, touched.size), col(cName))
+            .sortWithinPartitions(cName)
+            .write.mode("overwrite").parquet(dataDir)
+          val fresh = zoneMaps(spark, dataDir, Seq(cName))
+          Seq(ClusterStats(cName, retained ++ fresh.head.files))
+        case None =>
+          df.write.mode("overwrite").parquet(dataDir)
+          Nil
+      }
+    }, extraDirs = retained.map(_.path))
+    MergeStats(version, touched.size, retained.size)
+  }
+
   /** Compact the current snapshot into ~`targetFileBytes` files — the
     * small-file problem is THE operational failure of streaming appends
     * at scale (a year of minutely commits = half a million tiny files;

@@ -468,4 +468,35 @@ class QuantizationSpec extends AnyFunSuite {
       .count()
     assert(violations == 0L)
   }
+
+  test("knnBinaryRerank: overfetch covering the corpus equals exact brute-force kNN") {
+    val queries = emb.where(col("vec_id") < 5)
+    // k*overfetch >= corpus: stage 1 passes everything through, so the
+    // cosine rerank must reproduce brute force exactly
+    val rerank = Quantization
+      .knnBinaryRerank(emb, queries, "vec_id", "embedding", dims = 64, k = 5,
+        overfetch = 1000)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val brute = graft.operators.Similarity
+      .knnBruteForce(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(rerank == brute)
+  }
+
+  test("knnBinaryRerank with overfetch=1 reorders exactly the hamming top-k by cosine") {
+    val queries = emb.where(col("vec_id") < 5)
+    val rerank = Quantization
+      .knnBinaryRerank(emb, queries, "vec_id", "embedding", dims = 64, k = 5, overfetch = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hamming = Quantization
+      .knnBinaryHamming(emb, queries, "vec_id", "embedding", dims = 64, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rerank == hamming) // same candidate SET, possibly different order
+  }
 }
