@@ -43,6 +43,26 @@ object Tables {
           df.withColumn(
             "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       }
+    } else if (name == "embeddings") {
+      // drift guard (the events-ts lesson generalized): a regenerated
+      // corpus may write the vector as list<double> or the label as
+      // int64 — normalize both to the contract (array<float>, int)
+      // so every downstream kernel sees one physical type. The casts
+      // are no-ops when the file already matches.
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val withVec = df.schema("embedding").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, _) => df
+        case _ => df.withColumn("embedding", col("embedding").cast("array<float>"))
+      }
+      if (withVec.schema("label").dataType == org.apache.spark.sql.types.IntegerType)
+        withVec
+      else withVec.withColumn("label", col("label").cast("int"))
+    } else if (name == "documents") {
+      // same guard for the documents count column (int32 vs int64)
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("n_chars").dataType == org.apache.spark.sql.types.LongType) df
+      else df.withColumn("n_chars", col("n_chars").cast("long"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -143,6 +143,28 @@ class SourcesSpec extends AnyFunSuite {
       assert(Tables.load(spark, d, "events").schema("ts").dataType == TimestampType)
   }
 
+  test("embeddings/documents drift guards normalize regenerated physical types") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+    // a regenerated embeddings file with list<double> vectors + int64 labels
+    Seq((1L, Seq(0.5d, -1.25d), 7L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/emb_drift/embeddings.parquet")
+    val emb = Tables.load(spark, s"$tmp/emb_drift", "embeddings")
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+    assert(emb.schema("label").dataType == IntegerType)
+    assert(emb.select(col("embedding")).head.getSeq[Float](0) == Seq(0.5f, -1.25f))
+    // a regenerated documents file with int32 n_chars
+    Seq((1L, "hi", "en", "src0", 2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/doc_drift/documents.parquet")
+    val docs = Tables.load(spark, s"$tmp/doc_drift", "documents")
+    assert(docs.schema("n_chars").dataType == LongType)
+    // the real corpus passes through the guards unchanged
+    val real = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    assert(real.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+  }
+
   test("Spaces.diff: added/removed/changed/same, with exact array compare") {
     import graft.sources.Spaces
     val v1 = Seq(
