@@ -43,6 +43,22 @@ object SparkEntry {
   private def materializedLatest(s: SparkSession, dir: String): DataFrame =
     FeatureStore.materializeLatest(t(s, dir, "events"), "user_id", "value", "ts", "event_id")
 
+  private def pitTrainingSet(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    FeatureStore
+      .trainingSet(
+        ev.where(col("event_type") === "purchase"),
+        "user_id", "value", "ts", "event_id",
+        Seq(
+          FeatureStore.FeatureDef(
+            "f_click", ev.where(col("event_type") === "click"), "user_id", "value", "ts"),
+          FeatureStore.FeatureDef(
+            "f_view", ev.where(col("event_type") === "view"), "user_id", "value", "ts")))
+      .select(
+        col("entity"), unix_micros(col("ts")).as("label_ts_us"), col("label"),
+        col("f_click"), col("f_view"))
+  }
+
   private def fsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_materialize_latest" -> ((s, dir) =>
       materializedLatest(s, dir)
@@ -64,21 +80,18 @@ object SparkEntry {
           pageSize = 40L)
         .map { case (start, _, page) => page.withColumn("page", lit(start / 40L)) }
         .reduce(_ unionByName _)),
-    "fs_training_set_pit" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+    "fs_training_set_pit" -> ((s, dir) => pitTrainingSet(s, dir)),
+    // Paged training-set export — the served GetTrainingSet iterator
+    // (provider/offline.go:551): same one-shuffle shared numbering as
+    // fs_materialize_paged, ordered by the total (entity, label_ts)
+    // key since entities repeat across label rows.
+    "fs_training_set_paged" -> ((s, dir) =>
       FeatureStore
-        .trainingSet(
-          ev.where(col("event_type") === "purchase"),
-          "user_id", "value", "ts", "event_id",
-          Seq(
-            FeatureStore.FeatureDef(
-              "f_click", ev.where(col("event_type") === "click"), "user_id", "value", "ts"),
-            FeatureStore.FeatureDef(
-              "f_view", ev.where(col("event_type") === "view"), "user_id", "value", "ts")))
-        .select(
-          col("entity"), unix_micros(col("ts")).as("label_ts_us"), col("label"),
-          col("f_click"), col("f_view"))
-    }),
+        .pagedMaterialization(
+          pitTrainingSet(s, dir), pageSize = 400L,
+          orderCols = Seq("entity", "label_ts_us"))
+        .map { case (start, _, page) => page.withColumn("page", lit(start / 400L)) }
+        .reduce(_ unionByName _)),
     "fs_training_set_lag" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       FeatureStore
@@ -574,6 +587,29 @@ object SparkEntry {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click, f_view
       FROM f WHERE kind = 1""",
+    "fs_training_set_paged" -> """
+      WITH u AS (
+        SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
+               CAST(NULL AS DOUBLE) AS f_click, CAST(NULL AS DOUBLE) AS f_view
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, value, NULL FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, NULL, value FROM events WHERE event_type = 'view'
+      ), f AS (
+        SELECT entity, ts, kind, label,
+               last_value(f_click IGNORE NULLS) OVER w AS f_click,
+               last_value(f_view IGNORE NULLS) OVER w AS f_view
+        FROM u WINDOW w AS (
+          PARTITION BY entity ORDER BY ts, kind, tb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), tset AS (
+        SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click, f_view
+        FROM f WHERE kind = 1)
+      SELECT entity, label_ts_us, label, f_click, f_view, row_number,
+             CAST((row_number - 1) // 400 AS BIGINT) AS page FROM (
+        SELECT *, row_number() OVER (ORDER BY entity, label_ts_us) AS row_number
+        FROM tset)""",
     "fs_training_set_lag" -> """
       WITH u AS (
         SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,

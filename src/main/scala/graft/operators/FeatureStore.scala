@@ -93,9 +93,10 @@ object FeatureStore {
     * persisted anyway; swap for .checkpoint()/a parquet write there.
     */
   private def numberedPartitions(
-      materialized: DataFrame): (DataFrame, Array[(Int, Long, Long)]) = {
+      materialized: DataFrame,
+      orderCols: Seq[String] = Seq("entity")): (DataFrame, Array[(Int, Long, Long)]) = {
     val parted = materialized
-      .repartitionByRange(col("entity"))
+      .repartitionByRange(orderCols.map(col): _*)
       .select(col("*"), spark_partition_id().as("_pid"))
       .localCheckpoint()
     val counts = parted.groupBy(col("_pid")).count().collect()
@@ -113,7 +114,8 @@ object FeatureStore {
       parted: DataFrame,
       offsets: Array[(Int, Long, Long)],
       startExclusive: Long,
-      endInclusive: Long
+      endInclusive: Long,
+      orderCols: Seq[String] = Seq("entity")
   ): DataFrame = {
     val spark = parted.sparkSession
     import spark.implicits._
@@ -123,7 +125,8 @@ object FeatureStore {
       .join(offDf, Seq("_pid")) // inner join = partition pruning
       .withColumn(
         "row_number",
-        (row_number().over(Window.partitionBy(col("_pid")).orderBy(col("entity")))
+        (row_number().over(
+          Window.partitionBy(col("_pid")).orderBy(orderCols.map(col): _*))
           + col("_off")).cast("long"))
       .where(col("row_number") > startExclusive && col("row_number") <= endInclusive)
       .drop("_pid", "_off")
@@ -141,17 +144,18 @@ object FeatureStore {
     */
   def pagedMaterialization(
       materialized: DataFrame,
-      pageSize: Long
+      pageSize: Long,
+      orderCols: Seq[String] = Seq("entity") // must be a TOTAL order
   ): Iterator[(Long, Long, DataFrame)] = {
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-    val (parted, offsets) = numberedPartitions(materialized)
+    val (parted, offsets) = numberedPartitions(materialized, orderCols)
     val total = offsets.map(_._3).sum
     Iterator
       .iterate(0L)(_ + pageSize)
       .takeWhile(_ < total)
       .map { start =>
         val end = math.min(start + pageSize, total)
-        (start, end, rangeSlice(parted, offsets, start, end))
+        (start, end, rangeSlice(parted, offsets, start, end, orderCols))
       }
   }
 

@@ -559,6 +559,25 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out == Set((10L, 1.0), (10L, 2.0), (3L, 3.0)))
   }
 
+  test("pagedMaterialization composite order: repeated entities page deterministically") {
+    val rows = Seq(
+      (1L, 10.0, 100L), (1L, 11.0, 200L), (1L, 12.0, 300L),
+      (2L, 20.0, 100L), (2L, 21.0, 200L)
+    ).toDF("entity", "value", "ts_us").repartition(3)
+    val pages = FeatureStore
+      .pagedMaterialization(rows, pageSize = 2L, orderCols = Seq("entity", "ts_us"))
+      .map { case (start, end, df) =>
+        (start, end,
+          df.orderBy("row_number")
+            .collect().map(r => (r.getAs[Long]("entity"), r.getAs[Long]("ts_us"))).toSeq)
+      }.toSeq
+    assert(pages.map(p => (p._1, p._2)) == Seq((0L, 2L), (2L, 4L), (4L, 5L)))
+    assert(pages.map(_._3) == Seq(
+      Seq((1L, 100L), (1L, 200L)),
+      Seq((1L, 300L), (2L, 100L)),
+      Seq((2L, 200L))))
+  }
+
   test("rollingFeatures: point-in-time clean trailing windows, per horizon") {
     val ev = Seq(
       // entity 1: clicks at 00:00, 00:30, 02:00; purchase at 02:30
