@@ -406,6 +406,39 @@ object SparkEntry {
           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
       FeatureStore.mutualInformation(per, least(col("clicks"), lit(5L)), col("label"))
     }),
+    // The production materialization loop end-to-end: day-1 events
+    // materialize into an entity-clustered lakehouse table; day-2's
+    // delta computes its per-entity winners AGAINST the current
+    // snapshot (materializeIncremental) and MERGEs only the touched
+    // entities — zone maps keep untouched files byte-identical. The
+    // final table must equal a from-scratch materialization of ALL
+    // events (the oracle).
+    "fs_materialize_merge" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_fs"
+      val tp = new org.apache.hadoop.fs.Path(s"$root/feat")
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh table per run
+      val ev = t(s, dir, "events")
+      val oldM = FeatureStore
+        .materializeLatest(
+          ev.where(col("event_id") % 2 === 0), "user_id", "value", "ts", "event_id")
+        .select(col("entity"), col("value"),
+          unix_micros(col("ts")).as("ts_us"), col("tiebreak"))
+      Lakehouse.commitClustered(oldM, root, "feat", "overwrite", "entity", 4)
+      val delta = ev.where(col("event_id") % 2 === 1)
+      val current = Lakehouse.read(s, root, "feat")
+        .select(col("entity"), col("value"),
+          timestamp_micros(col("ts_us")).as("ts"), col("tiebreak"))
+      val newState = FeatureStore
+        .materializeIncremental(current, delta, "user_id", "value", "ts", "event_id")
+        .select(col("entity"), col("value"),
+          unix_micros(col("ts")).as("ts_us"), col("tiebreak"))
+      val src = newState.join(
+        delta.select(col("user_id").as("entity")).distinct(), "entity")
+      Lakehouse.merge(s, root, "feat", src, "entity")
+      Lakehouse.read(s, root, "feat")
+        .select(col("entity"), col("value"), col("ts_us"))
+    }),
     // Sliding event-time feature aggregations: trailing 1h / 24h click
     // count+spend as of each purchase (point-in-time clean frames,
     // ONE shuffle for all horizons).
@@ -473,6 +506,10 @@ object SparkEntry {
              CAST(floor(ln((CAST(n AS DOUBLE) * nt) / (CAST(nb AS DOUBLE) * nl))
                         * n * 1000000000000.0 / nt) AS BIGINT) AS mi_pico
       FROM cells JOIN bins USING (bin) JOIN labels USING (label) CROSS JOIN tot""",
+    "fs_materialize_merge" -> """
+      SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1""",
     "fs_rolling_features" -> """
       WITH base AS (
         SELECT user_id AS entity, epoch_us(ts) AS ts_us, event_type AS etype, value
