@@ -60,4 +60,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned.count() ==
       table.where(col("doc_id") >= lo && col("doc_id") <= hi).count())
   }
+
+  test("pretraining pipeline: temperature mixture -> seq-pack manifest -> packs cover the stream") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, GraftTestSession.Sf0001, "documents")
+    // 1. rebalance the corpus across sources (α=0.5, budget 120)
+    val picked = Sampling.temperatureSample(docs, "source", "doc_id", 120L, seed = 5L)
+    val nPicked = picked.count()
+    assert(nPicked > 0 && nPicked <= 120)
+    // small sources must be over-represented vs their raw share
+    val raw = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = picked.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (minSrc, maxSrc) = (raw.minBy(_._2)._1, raw.maxBy(_._2)._1)
+    if (raw(minSrc) < raw(maxSrc)) // sqrt scaling compresses the ratio
+      assert(sel(minSrc).toDouble / sel(maxSrc) >=
+        raw(minSrc).toDouble / raw(maxSrc))
+    // 2. pack the selected docs into 512-token training sequences
+    val selected = docs.join(picked.select("doc_id"), "doc_id")
+    val manifest = TextAnalysis.seqPack(selected, "doc_id", "text", capacity = 512L)
+      .collect()
+    // the manifest is a gapless cover of the concatenated stream
+    val totalTokens = manifest.map(_.getAs[Long]("n_tokens")).sum
+    val byOffset = manifest.sortBy(_.getAs[Long]("stream_offset"))
+    assert(byOffset.head.getAs[Long]("stream_offset") == 0L)
+    byOffset.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("stream_offset") + a.getAs[Long]("n_tokens")
+          == b.getAs[Long]("stream_offset"))
+      case _ =>
+    }
+    val lastPack = byOffset.last.getAs[Long]("pack_last")
+    assert(lastPack == (totalTokens - 1) / 512)
+  }
 }
