@@ -4052,6 +4052,12 @@ object SparkEntry {
     }),
     // Salted-join correctness at query level: result must equal the
     // plain equi-join (which IS the oracle).
+    // Time-bounded funnel (windowFunnel): click→view→purchase chains
+    // completed within 1 day of the first click, earliest-greedy.
+    "q_funnel_window" -> ((s, dir) =>
+      Analytics.windowFunnel(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("click", "view", "purchase"), windowUs = 86400000000L)),
     // Experimentation readout: deterministic md5 A/B split of users,
     // two-proportion z on purchase conversion, micro-unit fixed point.
     "q_ab_test_zscore" -> ((s, dir) =>
@@ -4681,6 +4687,29 @@ object SparkEntry {
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
         SELECT s_nationkey FROM supplier)""",
+    "q_funnel_window" -> """
+      WITH base AS (
+        SELECT user_id AS entity, event_type AS etype, epoch_us(ts) AS ts_us FROM events),
+      s1 AS (SELECT entity, min(ts_us) AS t1 FROM base WHERE etype = 'click' GROUP BY entity),
+      s2 AS (
+        SELECT s1.entity, t1, min(CASE WHEN b.ts_us > t1 THEN b.ts_us END) AS t2
+        FROM s1 LEFT JOIN base b ON b.entity = s1.entity AND b.etype = 'view'
+        GROUP BY s1.entity, t1),
+      s3 AS (
+        SELECT s2.entity, t1, t2, min(CASE WHEN b.ts_us > t2 THEN b.ts_us END) AS t3
+        FROM s2 LEFT JOIN base b ON b.entity = s2.entity AND b.etype = 'purchase'
+        GROUP BY s2.entity, t1, t2),
+      d AS (
+        SELECT entity,
+               CASE WHEN t3 IS NOT NULL AND t3 - t1 <= 86400000000 THEN 3
+                    WHEN t2 IS NOT NULL AND t2 - t1 <= 86400000000 THEN 2
+                    ELSE 1 END AS depth
+        FROM s3)
+      SELECT CAST(1 AS BIGINT) AS stage_idx, count(*) AS n_users FROM d WHERE depth >= 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*) FROM d WHERE depth >= 2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*) FROM d WHERE depth >= 3""",
     "q_ab_test_zscore" -> """
       WITH conv AS (
         SELECT user_id,

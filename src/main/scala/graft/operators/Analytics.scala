@@ -1120,6 +1120,59 @@ object Analytics {
         valueColumnName = "n_events")
       .select(col("user_id").as("entity"), col("event_type"), col("n_events"))
 
+  /** Time-bounded sequential funnel (ClickHouse windowFunnel
+    * semantics, earliest-greedy): per entity, t1 = first stage-1
+    * event, t_n = first stage-n event strictly AFTER t_{n-1}; a depth
+    * counts as reached only when its t_n falls within `windowUs` of
+    * t1. Unlike [[funnel]] (unbounded ever-reached), this answers
+    * "converted within a day", the form product analytics actually
+    * asks. Emits (stage_idx, n_users) with n_users = entities reaching
+    * ≥ that depth inside the window.
+    *
+    * Plan: one aggregate per stage, every one keyed on entity — under
+    * AQE the chain re-uses the entity partitioning; per-stage state is
+    * one timestamp per entity, never an event list.
+    */
+  def windowFunnel(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    require(stages.size >= 2, "windowFunnel needs at least 2 stages")
+    val base = events.select(
+      col(entityCol).as("entity"), col(typeCol).as("etype"),
+      unix_micros(col(tsCol)).as("ts_us"))
+    var cur = base.where(col("etype") === stages.head)
+      .groupBy(col("entity")).agg(min(col("ts_us")).as("t1"))
+    stages.tail.zipWithIndex.foreach { case (s, i) =>
+      val n = i + 2
+      val prevCols = (1 until n).map(j => col(s"t$j"))
+      cur = cur
+        .join(
+          base.where(col("etype") === s).select(col("entity"), col("ts_us")),
+          Seq("entity"), "left")
+        .groupBy(col("entity") +: prevCols: _*)
+        .agg(min(when(col("ts_us") > col(s"t${n - 1}"), col("ts_us"))).as(s"t$n"))
+    }
+    val depth = (stages.size to 2 by -1)
+      .foldLeft(when(lit(false), lit(0L))) { (acc, n) =>
+        acc.when(
+          col(s"t$n").isNotNull && col(s"t$n") - col("t1") <= windowUs, n.toLong)
+      }
+      .otherwise(1L)
+    val aggCols = stages.indices.map(i =>
+      sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"s${i + 1}"))
+    val agg = cur.select(depth.as("depth")).agg(aggCols.head, aggCols.tail: _*)
+    agg.select(explode(array(
+      stages.indices.map(i =>
+        struct(lit((i + 1).toLong).as("stage_idx"), col(s"s${i + 1}").as("n_users"))): _*))
+      .as("e"))
+      .select(col("e.stage_idx"), col("e.n_users"))
+  }
+
   /** Two-proportion z-test over a deterministic hash split — the
     * experimentation readout every feature platform bolts on (did the
     * B cohort convert differently?). Variants come from an md5 entity

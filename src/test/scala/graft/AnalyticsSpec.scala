@@ -474,6 +474,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((2L, "click")) == 0L)
   }
 
+  test("windowFunnel: earliest-greedy chain, strictly ordered, bounded by the window") {
+    def ev(u: Long, t: String, ty: String) = (u, ty, ts(t))
+    val events = Seq(
+      // completes within a day
+      ev(1, "2024-01-01 00:00:00", "click"), ev(1, "2024-01-01 01:00:00", "view"),
+      ev(1, "2024-01-01 02:00:00", "purchase"),
+      // purchase lands outside the 1-day window: depth 2
+      ev(2, "2024-01-01 00:00:00", "click"), ev(2, "2024-01-01 01:00:00", "view"),
+      ev(2, "2024-01-03 00:00:00", "purchase"),
+      // skips the view stage: depth 1 even though a purchase exists
+      ev(3, "2024-01-01 00:00:00", "click"), ev(3, "2024-01-01 01:00:00", "purchase"),
+      // view BEFORE the first click doesn't count (strict ordering)
+      ev(4, "2024-01-01 00:00:00", "view"), ev(4, "2024-01-01 01:00:00", "click"),
+      // never clicks: not in the funnel at all
+      ev(5, "2024-01-01 00:00:00", "view"), ev(5, "2024-01-01 01:00:00", "purchase")
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics
+      .windowFunnel(events, "user_id", "event_type", "ts",
+        Seq("click", "view", "purchase"), windowUs = 86400000000L)
+      .collect().map(r => r.getAs[Long]("stage_idx") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("abTestZScore: hash split partitions all users; z matches the closed form") {
     import graft.functions.TextFunctions
     // users 1..200; users with id <= 60 convert (id-keyed, split-agnostic)
