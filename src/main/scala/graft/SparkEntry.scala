@@ -4052,6 +4052,12 @@ object SparkEntry {
     }),
     // Salted-join correctness at query level: result must equal the
     // plain equi-join (which IS the oracle).
+    // RFM customer-value segmentation: exact quartile scores over
+    // (metric, entity) total orders via the distributed prefix-sum
+    // ranking — no single-task global window.
+    "q_rfm_segments" -> ((s, dir) =>
+      Analytics.rfmSegments(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "value", "purchase")),
     // Time-bounded funnel (windowFunnel): click→view→purchase chains
     // completed within 1 day of the first click, earliest-greedy.
     "q_funnel_window" -> ((s, dir) =>
@@ -4687,6 +4693,36 @@ object SparkEntry {
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
         SELECT s_nationkey FROM supplier)""",
+    "q_rfm_segments" -> {
+      // shared ntile-by-formula: big-groups-first split on an exact
+      // integer rank (mirrors Analytics.rfmSegments.ntileOf literally)
+      def sc(dim: String) = s"""
+        SELECT entity,
+               CASE WHEN rn <= (n % 4) * (n // 4 + 1)
+                    THEN (rn - 1) // (n // 4 + 1)
+                    ELSE (n % 4) + (rn - (n % 4) * (n // 4 + 1) - 1) // (n // 4)
+               END + 1 AS score
+        FROM (SELECT entity, row_number() OVER (ORDER BY $dim, entity) AS rn FROM per)
+        CROSS JOIN nn"""
+      s"""
+      WITH per AS (
+        SELECT user_id AS entity, max(epoch_us(ts)) AS last_ts_us,
+               count(*) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      nn AS (SELECT count(*) AS n FROM per),
+      rs AS (${sc("last_ts_us")}),
+      fs AS (${sc("frequency")}),
+      ms AS (${sc("monetary")})
+      SELECT per.entity, frequency, monetary,
+             CAST(rs.score AS BIGINT) AS r_score,
+             CAST(fs.score AS BIGINT) AS f_score,
+             CAST(ms.score AS BIGINT) AS m_score
+      FROM per
+      JOIN rs ON rs.entity = per.entity
+      JOIN fs ON fs.entity = per.entity
+      JOIN ms ON ms.entity = per.entity"""
+    },
     "q_funnel_window" -> """
       WITH base AS (
         SELECT user_id AS entity, event_type AS etype, epoch_us(ts) AS ts_us FROM events),

@@ -1120,6 +1120,57 @@ object Analytics {
         valueColumnName = "n_events")
       .select(col("user_id").as("entity"), col("event_type"), col("n_events"))
 
+  /** RFM segmentation — the classic customer-value feature triple
+    * (Recency of last purchase, purchase Frequency, Monetary spend),
+    * each quartile-scored 1..k (k=4: 4 = most recent / most frequent /
+    * biggest spender). Scoring is EXACT ntile over the total order
+    * (metric, entity): ranks come from the distributed prefix-sum
+    * numbering (FeatureStore.globalRowNumbers — never a single-task
+    * global window), and the ntile group is closed-form integer math
+    * on (rank, n, k) — the same big-groups-first split SQL ntile
+    * produces, mirrored literally in the oracle so both engines bin
+    * identically.
+    */
+  def rfmSegments(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+      purchaseType: String,
+      k: Int = 4
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val per = events
+      .where(col(typeCol) === purchaseType)
+      .groupBy(col(entityCol).as("entity"))
+      .agg(
+        max(unix_micros(col(tsCol))).as("last_ts_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("monetary"))
+      .localCheckpoint() // three rankings over one computed base
+    val n = per.count()
+    require(n >= k, s"need at least k=$k entities to quartile-score, got $n")
+    val big = n % k
+    val q = n / k
+    // ntile group of 1-based rank r: first (n mod k) groups take
+    // ceil(n/k) rows, the rest floor(n/k) — all-integer math
+    def ntileOf(rn: Column): Column =
+      when(rn <= big * (q + 1), expr(s"(row_number - 1) div ${q + 1}"))
+        .otherwise(lit(big) + expr(s"(row_number - ${big * (q + 1)} - 1) div $q")) + lit(1L)
+    def scored(dim: String, scoreName: String): DataFrame =
+      FeatureStore
+        .globalRowNumbers(per.select(col("entity"), col(dim)), Seq(dim, "entity"))
+        .select(col("entity"), ntileOf(col("row_number")).as(scoreName))
+    per
+      .join(scored("last_ts_us", "r_score"), "entity")
+      .join(scored("frequency", "f_score"), "entity")
+      .join(scored("monetary", "m_score"), "entity")
+      .select(
+        col("entity"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** Time-bounded sequential funnel (ClickHouse windowFunnel
     * semantics, earliest-greedy): per entity, t1 = first stage-1
     * event, t_n = first stage-n event strictly AFTER t_{n-1}; a depth

@@ -142,6 +142,18 @@ object FeatureStore {
     * so exporting N pages costs one shuffle + N pruned window scans,
     * not N full numberings.
     */
+  /** Global 1-based row numbers over `orderCols` (which must be a
+    * total order) — the scale-safe `row_number() OVER (ORDER BY …)`:
+    * range-partition + per-partition counts to the driver + broadcast
+    * prefix offsets, never a single-task window. The shared primitive
+    * behind paged exports and quantile scoring.
+    */
+  def globalRowNumbers(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val (parted, offsets) = numberedPartitions(df, orderCols)
+    val total = offsets.map(_._3).sum
+    rangeSlice(parted, offsets, 0L, total, orderCols)
+  }
+
   def pagedMaterialization(
       materialized: DataFrame,
       pageSize: Long,

@@ -474,6 +474,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((2L, "click")) == 0L)
   }
 
+  test("rfmSegments: exact ntile with big-groups-first remainder split") {
+    // 6 users, k=4 -> quartile sizes 2,2,1,1 -> scores 1,1,2,2,3,4 in
+    // metric order; all three metrics increase with user id here
+    val events = (1L to 6L).flatMap { u =>
+      (1L to u).map(i => (u, "purchase", u.toDouble * 10, ts(s"2024-01-0$u 00:00:00")))
+    }.toDF("user_id", "event_type", "value", "ts")
+    val out = Analytics
+      .rfmSegments(events, "user_id", "event_type", "ts", "value", "purchase")
+      .collect()
+      .map(r => r.getAs[Long]("entity") ->
+        ((r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))))
+      .toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 4L)
+    out.foreach { case (u, (r, f, m)) =>
+      assert(r == want(u) && f == want(u) && m == want(u), s"user $u scored ($r,$f,$m)")
+    }
+  }
+
   test("windowFunnel: earliest-greedy chain, strictly ordered, bounded by the window") {
     def ev(u: Long, t: String, ty: String) = (u, ty, ts(t))
     val events = Seq(
