@@ -439,6 +439,17 @@ object SparkEntry {
       Lakehouse.read(s, root, "feat")
         .select(col("entity"), col("value"), col("ts_us"))
     }),
+    // Redundancy screen: pairwise Pearson r between per-user count
+    // features, exact integer sums → fixed-point micro r.
+    "fs_feature_corr" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+      FeatureStore.featureCorrelations(per, Seq("clicks", "views", "purchases"))
+    }),
     // Sliding event-time feature aggregations: trailing 1h / 24h click
     // count+spend as of each purchase (point-in-time clean frames,
     // ONE shuffle for all horizons).
@@ -510,6 +521,39 @@ object SparkEntry {
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) WHERE rn = 1""",
+    "fs_feature_corr" -> {
+      def pair(a: String, b: String) = s"""
+        SELECT '$a' AS feat_a, '$b' AS feat_b,
+               CASE WHEN n * ss_$a - s_$a * s_$a > 0 AND n * ss_$b - s_$b * s_$b > 0 THEN
+                 CAST(floor(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+                   / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+                          * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))
+                   * 1000000.0) AS BIGINT)
+               END AS r_micro
+        FROM t"""
+      s"""
+      WITH per AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        FROM events GROUP BY user_id),
+      t AS (
+        SELECT count(*) AS n,
+               CAST(sum(clicks) AS BIGINT) AS s_clicks,
+               CAST(sum(clicks * clicks) AS BIGINT) AS ss_clicks,
+               CAST(sum(views) AS BIGINT) AS s_views,
+               CAST(sum(views * views) AS BIGINT) AS ss_views,
+               CAST(sum(purchases) AS BIGINT) AS s_purchases,
+               CAST(sum(purchases * purchases) AS BIGINT) AS ss_purchases,
+               CAST(sum(clicks * views) AS BIGINT) AS sp_clicks_views,
+               CAST(sum(clicks * purchases) AS BIGINT) AS sp_clicks_purchases,
+               CAST(sum(views * purchases) AS BIGINT) AS sp_views_purchases
+        FROM per)
+      ${pair("clicks", "views")}
+      UNION ALL ${pair("clicks", "purchases")}
+      UNION ALL ${pair("views", "purchases")}"""
+    },
     "fs_rolling_features" -> """
       WITH base AS (
         SELECT user_id AS entity, epoch_us(ts) AS ts_us, event_type AS etype, value

@@ -1083,6 +1083,43 @@ object FeatureStore {
       .drop("_alias", "_canon")
   }
 
+  /** Pairwise Pearson correlations across integer feature columns —
+    * the redundancy screen that pairs with [[mutualInformation]]'s
+    * relevance screen (drop one of two features that say the same
+    * thing). ONE map-side-combined aggregate computes every Σx, Σx²
+    * and Σxy (adding a feature adds accumulators, not passes); r is
+    * assembled from the exact integer sums with mirrored IEEE ops and
+    * emitted in fixed-point micro-units. Zero-variance features yield
+    * NULL r (not an ANSI divide-by-zero). Caller guarantees the sums
+    * fit a long (integer features, corpus < ~2^26 rows at count-like
+    * magnitudes — cast upstream for more).
+    */
+  def featureCorrelations(df: DataFrame, features: Seq[String]): DataFrame = {
+    require(features.size >= 2, "need at least two features to correlate")
+    val pairs = for {
+      i <- features.indices; j <- (i + 1) until features.size
+    } yield (features(i), features(j))
+    val aggs =
+      features.flatMap(f => Seq(
+        sum(col(f)).as(s"s_$f"),
+        sum(col(f) * col(f)).as(s"ss_$f"))) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") } :+
+        count(lit(1)).as("n")
+    val t = df.agg(aggs.head, aggs.tail: _*)
+    def rMicro(a: String, b: String): Column = {
+      val va = col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val vb = col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      when(va > 0 && vb > 0,
+        floor(num.cast("double") / sqrt(va.cast("double") * vb.cast("double"))
+          * lit(1000000.0)).cast("long"))
+    }
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("feat_a"), lit(b).as("feat_b"), rMicro(a, b).as("r_micro"))
+    }
+    t.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
+  }
+
   /** Mutual information between a (binned) feature and a label —
     * feature-selection screening over a materialized frame. Emits one
     * row per (bin, label) cell with its joint/marginal counts and the

@@ -623,6 +623,27 @@ object Lakehouse {
     commit(read(spark, root, table).repartition(numFiles), root, table, "overwrite")
   }
 
+  /** Compaction policy — the maintenance loop a streaming table needs
+    * (minutely appends accrete commits forever; every reader pays the
+    * per-commit open() tax). Compacts ONLY when the live snapshot
+    * spans more than `maxSnapshotCommits` commits; otherwise a no-op —
+    * safe to call after every append/micro-batch. Returns the compact
+    * commit's version when it ran.
+    */
+  def autoCompact(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      maxSnapshotCommits: Int,
+      targetFileBytes: Long
+  ): Option[Int] = {
+    require(maxSnapshotCommits >= 1, "maxSnapshotCommits must be >= 1")
+    val live = snapshotCommits(spark, root, table)
+    if (live.size > maxSnapshotCommits)
+      Some(compact(spark, root, table, targetFileBytes))
+    else None
+  }
+
   /** Delete data directories referenced by NO commit in the log — the
     * garbage of crashed or race-losing writers. Never touches a dir any
     * version references, so time travel is unaffected.

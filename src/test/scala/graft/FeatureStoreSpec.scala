@@ -621,6 +621,20 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(row0.getAs[Long]("checksum") == shard0.foldLeft(0L)(_ ^ _))
   }
 
+  test("featureCorrelations: exact +1/-1 on (anti)correlated columns, NULL on zero variance") {
+    val df = Seq(
+      (1L, 1L, 4L, 7L), (2L, 2L, 3L, 7L), (3L, 3L, 2L, 7L), (4L, 4L, 1L, 7L)
+    ).toDF("a", "b", "c", "d") // b == a, c == 5 - a, d constant
+    val out = FeatureStore.featureCorrelations(df, Seq("a", "b", "c", "d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[Any]("r_micro")).map(_.asInstanceOf[Long])).toMap
+    assert(out(("a", "b")) == Some(1000000L))
+    assert(out(("a", "c")) == Some(-1000000L))
+    assert(out(("a", "d")).isEmpty && out(("c", "d")).isEmpty) // zero variance -> NULL
+    assert(out.size == 6) // all pairs emitted
+  }
+
   test("mutualInformation: zero for independence, ln2 pico-nats for a perfect predictor") {
     // independent: every (bin,label) cell has the same count
     val indep = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))

@@ -274,6 +274,22 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.read(spark, root, t, Some(v1)).count() == 100)
   }
 
+  test("autoCompact: triggers only past the commit budget, then resets it") {
+    val t = "t_autocompact"
+    (1 to 4).foreach { i =>
+      Lakehouse.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), root, t,
+        if (i == 1) "overwrite" else "append")
+    }
+    // snapshot spans 4 commits > budget 3: compacts into one commit
+    val v = Lakehouse.autoCompact(spark, root, t, maxSnapshotCommits = 3,
+      targetFileBytes = 1 << 20)
+    assert(v.nonEmpty)
+    assert(Lakehouse.snapshotCommits(spark, root, t).size == 1)
+    assert(Lakehouse.read(spark, root, t).count() == 4) // content conserved
+    // immediately after compaction: within budget, no-op
+    assert(Lakehouse.autoCompact(spark, root, t, 3, 1 << 20).isEmpty)
+  }
+
   test("deleteWhere: predicate erasure rewrites only zone-map-overlapping files") {
     val t = "t_del"
     val base = spark.range(1, 101)
