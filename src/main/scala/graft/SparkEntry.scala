@@ -201,6 +201,17 @@ object SparkEntry {
     "fs_outlier_mad" -> ((s, dir) =>
       FeatureStore.outliersMad(
         t(s, dir, "events"), "event_type", "value", "event_id", cutoff = 3.5)),
+    // Time-series volume anomalies: robust (median/MAD) z over DAILY
+    // event counts per type — the pipeline-incident detector ("clicks
+    // dropped by half on Tuesday"), composing the MAD gate over a
+    // date-trunc rollup.
+    "q_daily_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .select(col("event_type"), unix_micros(col("day")).as("day_us"), col("n"))
+      FeatureStore.outliersMad(daily, "event_type", "n", "day_us", cutoff = 1.5)
+    }),
     // Pipeline-health monitor: per-feature last arrival, age vs a
     // reference instant, 6h-window volume, staleness verdict.
     "fs_freshness" -> ((s, dir) =>
@@ -839,6 +850,22 @@ object SparkEntry {
              (e.value - m.med) * 0.6745 / m.mad AS robust_z
       FROM events e JOIN mad m USING (event_type)
       WHERE m.mad > 0 AND abs((e.value - m.med) * 0.6745 / m.mad) > 3.5""",
+    "q_daily_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2),
+      med AS (
+        SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY event_type),
+      mad AS (
+        SELECT d.event_type, min(m.med) AS med,
+               quantile_cont(abs(d.n - m.med), 0.5) AS mad
+        FROM daily d JOIN med m USING (event_type)
+        GROUP BY d.event_type)
+      SELECT d.day_us, d.event_type, d.n, m.med, m.mad,
+             (d.n - m.med) * 0.6745 / m.mad AS robust_z
+      FROM daily d JOIN mad m USING (event_type)
+      WHERE m.mad > 0 AND abs((d.n - m.med) * 0.6745 / m.mad) > 1.5""",
     "fs_freshness" -> """
       SELECT event_type AS feature,
              max(epoch_us(ts)) AS last_ts_us,
@@ -4874,6 +4901,15 @@ object SparkEntry {
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()),
+    // Exact-bytes media dedup before any decode: corpus doubled with
+    // shifted ids so every payload has a cross-source duplicate.
+    "mm_binary_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Multimodal.binaryDedup(
+        Multimodal.mediaFromDocs(docs).unionByName(
+          Multimodal.mediaFromDocs(
+            docs.withColumn("doc_id", col("doc_id") + 100000L))))
+    }),
     // WebDataset-style shard packing plan: 4 KiB byte-budget shards
     // per source in (source, doc_id) order — all-integer cumsum.
     "mm_shard_pack" -> ((s, dir) =>
@@ -4982,6 +5018,14 @@ object SparkEntry {
              CAST(1 AS BIGINT) AS n_frames,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
       FROM documents""",
+    "mm_binary_dedup" -> """
+      WITH media AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents)
+      SELECT md5(text) AS digest, CAST(min(media_id) AS BIGINT) AS keep_id,
+             count(*) AS n_copies
+      FROM media GROUP BY md5(text)""",
     "mm_audio_windows" -> """
       WITH a AS (SELECT doc_id AS media_id, strlen(text) * 100 AS n_samples FROM documents)
       SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,

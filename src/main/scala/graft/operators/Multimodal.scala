@@ -82,6 +82,19 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "image/jpeg")
         .otherwise("image/webp").as("mime"))
 
+  /** Exact-bytes media dedup — the honest no-codec FIRST pass of any
+    * multimodal pipeline (the same crawl image appears under thousands
+    * of URLs byte-identical; dedupe before ever paying a decode).
+    * One digest groupBy: content md5, earliest copy kept, copy count
+    * reported. Map-side combined; the binary payload never shuffles —
+    * only (digest, id) pairs do.
+    */
+  def binaryDedup(media: DataFrame): DataFrame =
+    media
+      .select(md5(col("content")).as("digest"), col("media_id"))
+      .groupBy(col("digest"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Partition-parallel batched decode: one codec instance per
     * partition, rows processed in a streaming iterator (never
     * materializes a partition in memory).

@@ -107,4 +107,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(10L) == ((0L, 0L, 5000L)))   // source b resets
     assert(out(11L) == ((1L, 904L, 100L)))  // starts at 5000 in b's stream
   }
+
+  test("binaryDedup: byte-identical payloads collapse to the earliest copy") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq(
+      (1L, "aaa"), (5L, "aaa"), (3L, "aaa"), // three copies, keep id 1
+      (2L, "bbb"), // unique
+      (4L, "AAA") // case differs: different bytes, NOT a dup of "aaa"
+    ).toDF("media_id", "payload")
+      .select(col("media_id"), encode(col("payload"), "UTF-8").as("content"))
+    val out = Multimodal.binaryDedup(media)
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 4L -> 1L))
+  }
 }
