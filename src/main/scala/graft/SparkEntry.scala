@@ -4239,6 +4239,41 @@ object SparkEntry {
           decSumD(col("price")).as("total"),
           sum(col("k")).as("sum_keys"))
     }),
+    // Reproducible training — the "what did we know then" guarantee:
+    // materialize features from the PINNED v1 snapshot (unchanged
+    // after late events land in v2) vs from the latest snapshot, and
+    // count the entities whose feature value the late data moved.
+    // Pinning the table version IS the training-set reproducibility
+    // mechanism (no copy of the data needed).
+    "lake_reproducible_training" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_repro"
+      val tp = new org.apache.hadoop.fs.Path(s"$root/ev")
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh table per run
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("entity"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val v1 = Lakehouse.commit(
+        ev.where(col("event_id") % 4 =!= 3), root, "ev", "overwrite")
+      Lakehouse.commit(ev.where(col("event_id") % 4 === 3), root, "ev", "append")
+      def mat(df: DataFrame): DataFrame =
+        df.groupBy(col("entity"))
+          .agg(max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("value"))
+      val pinned = mat(Lakehouse.read(s, root, "ev", Some(v1)))
+      val latest = mat(Lakehouse.read(s, root, "ev"))
+      def profile(tag: String, df: DataFrame): DataFrame =
+        df.agg(
+          count(lit(1)).as("n"),
+          decSum6D(col("value")).as("total"))
+          .withColumn("snap", lit(tag))
+      val changed = pinned.as("p")
+        .join(latest.as("l"), Seq("entity"))
+        .where(col("p.value") =!= col("l.value"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", lit(null).cast("double"))
+        .withColumn("snap", lit("changed"))
+      profile("v1", pinned).unionByName(profile("latest", latest)).unionByName(changed)
+    }),
     // DELETE WHERE on the lakehouse (GDPR erasure path): clustered by
     // key, predicate bounded to keys <= 30000 with a matching prune
     // hint — files above the range are re-referenced untouched.
@@ -4883,6 +4918,28 @@ object SparkEntry {
              CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total,
              CAST(sum(k) AS BIGINT) AS sum_keys
       FROM merged GROUP BY status""",
+    "lake_reproducible_training" -> """
+      WITH base AS (
+        SELECT user_id AS entity, value, epoch_us(ts) AS ts_us, event_id FROM events),
+      pinned AS (
+        SELECT entity, value FROM (
+          SELECT entity, value, row_number() OVER (
+            PARTITION BY entity ORDER BY ts_us DESC, event_id DESC) AS rn
+          FROM base WHERE event_id % 4 <> 3) WHERE rn = 1),
+      latest AS (
+        SELECT entity, value FROM (
+          SELECT entity, value, row_number() OVER (
+            PARTITION BY entity ORDER BY ts_us DESC, event_id DESC) AS rn
+          FROM base) WHERE rn = 1)
+      SELECT count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             'v1' AS snap FROM pinned
+      UNION ALL
+      SELECT count(*), CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 'latest'
+      FROM latest
+      UNION ALL
+      SELECT count(*), CAST(NULL AS DOUBLE), 'changed'
+      FROM pinned p JOIN latest l USING (entity) WHERE p.value <> l.value""",
     "lake_delete_where" -> """
       WITH kept AS (
         SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
