@@ -1,0 +1,149 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, FeatureStore, TextAnalysis}
+import graft.sources.Lakehouse
+
+/** Seeded randomized invariants: each operator is checked against a
+  * NAIVE reference implementation (or a structural invariant) on many
+  * random inputs — the shapes hand-written examples miss (empty
+  * groups, ties, single-row partitions, deltas that touch everything
+  * or nothing). Seeds are fixed, so failures reproduce exactly.
+  */
+class InvariantsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("seqPack invariant: random corpora always pack into a gapless stream cover") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val nDocs = 1 + rnd.nextInt(40)
+      val docs = (1L to nDocs).map { i =>
+        // 1..12 single-char words; split(" ") counts exactly these
+        (i * 3 + trial, Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "))
+      }
+      val cap = 1 + rnd.nextInt(9)
+      val out = TextAnalysis
+        .seqPack(docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(5)),
+          "doc_id", "text", cap.toLong)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("stream_offset"), r.getAs[Long]("pack_first"),
+          r.getAs[Long]("pack_last")))
+        .sortBy(_._3)
+      // reference: cumulative offsets in doc_id order
+      val expected = docs.sortBy(_._1).map(d => d._2.split(" ").length.toLong)
+      var off = 0L
+      out.zip(docs.sortBy(_._1)).zip(expected).foreach {
+        case (((id, n, so, pf, pl), (refId, _)), refN) =>
+          assert(id == refId && n == refN && so == off, s"trial $trial doc $id")
+          assert(pf == so / cap && pl == (so + n - 1) / cap)
+          off += n
+      }
+    }
+  }
+
+  test("lakehouse merge invariant: random deltas equal the naive anti-join union") {
+    val root = java.nio.file.Files.createTempDirectory("graft_inv_merge").toString
+    val rnd = new Random(7)
+    for (trial <- 1 to 4) {
+      val t = s"t$trial"
+      val base = (1L to (20 + rnd.nextInt(60)))
+        .map(k => (k, rnd.nextInt(1000).toLong)).toMap
+      Lakehouse.commitClustered(
+        base.toSeq.toDF("k", "v"), root, t, "overwrite", "k", 1 + rnd.nextInt(6))
+      // delta: random updates / inserts / deletes over a random key range
+      val delta = (1 to 10 + rnd.nextInt(20)).map { _ =>
+        val k = 1L + rnd.nextInt(120) // some miss the table entirely
+        (k, rnd.nextInt(1000).toLong, rnd.nextInt(4) == 0) // 25% deletes
+      }.groupBy(_._1).map(_._2.head).toSeq // unique source keys
+      Lakehouse.merge(
+        spark, root, t, delta.toDF("k", "v", "del"), "k",
+        deleteWhen = Some(col("del")))
+      val got = Lakehouse.read(spark, root, t)
+        .select($"k", $"v").as[(Long, Long)].collect().toMap
+      // naive reference
+      val deltaMap = delta.map(d => d._1 -> d).toMap
+      val want = (base -- deltaMap.keys) ++
+        deltaMap.collect { case (k, (_, v, del)) if !del => k -> v }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("rfm ntile formula matches Spark's own ntile on random sizes") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(60)
+      // one purchase per user; metrics strictly increase with entity so
+      // every quartile column must equal ntile(4) over entity order
+      val events = (1L to n).map(u =>
+        (u, "purchase", u.toDouble,
+          new java.sql.Timestamp(1700000000000L + u * 60000))).toSeq
+        .toDF("user_id", "event_type", "value", "ts")
+      val got = Analytics
+        .rfmSegments(events, "user_id", "event_type", "ts", "value", "purchase")
+        .collect().map(r => r.getAs[Long]("entity") -> r.getAs[Long]("m_score")).toMap
+      val want = events
+        .select(col("user_id"),
+          ntile(4).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("user_id")))
+            .cast("long").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial n=$n")
+    }
+  }
+
+  test("cdcApply invariant: random changelogs equal sequential replay") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 4) {
+      val entities = 1L to (3 + rnd.nextInt(8))
+      val snap = entities.flatMap { e =>
+        if (rnd.nextBoolean()) Some((e, rnd.nextInt(100).toDouble, rnd.nextInt(50).toLong))
+        else None
+      }.toSeq
+      val changes = (1 to 15 + rnd.nextInt(20)).map { i =>
+        val op = rnd.nextInt(3) match {
+          case 0 => "I"; case 1 => "U"; case _ => "D"
+        }
+        (op, entities(rnd.nextInt(entities.size)),
+          rnd.nextInt(100).toDouble, (50 + rnd.nextInt(100)).toLong, i.toLong)
+      }
+      val got = FeatureStore
+        .cdcApply(
+          snap.toDF("entity", "value", "ts_us"),
+          changes.toDF("op", "entity", "value", "ts_us", "seq"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // reference: per entity, the (ts, seq)-max change wins over the
+      // snapshot; a winning D deletes
+      val want = entities.flatMap { e =>
+        val chg = changes.filter(_._2 == e).sortBy(c => (c._4, c._5)).lastOption
+        val snapRow = snap.find(_._1 == e)
+        chg match {
+          case Some((op, _, v, _, _)) => if (op == "D") None else Some(e -> v)
+          case None => snapRow.map(s => e -> s._2)
+        }
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("globalRowNumbers invariant: any layout, any order cols -> dense 1..n ranks") {
+    val rnd = new Random(31)
+    for (trial <- 1 to 4) {
+      val n = 1 + rnd.nextInt(200)
+      val rows = (1 to n).map(i => (rnd.nextInt(20).toLong, i.toLong))
+      val out = FeatureStore
+        .globalRowNumbers(
+          rows.toDF("g", "id").repartition(1 + rnd.nextInt(7)), Seq("g", "id"))
+        .collect()
+        .map(r => (r.getAs[Long]("row_number"), r.getAs[Long]("g"), r.getAs[Long]("id")))
+        .sortBy(_._1)
+      assert(out.map(_._1).toSeq == (1L to n), s"trial $trial dense ranks")
+      assert(out.map(t => (t._2, t._3)).toSeq == rows.sortBy(identity), s"trial $trial order")
+    }
+  }
+}
