@@ -131,6 +131,64 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingFeatures invariant: random event streams equal the quadratic reference") {
+    val rnd = new Random(57)
+    for (trial <- 1 to 4) {
+      val evs = (1 to 40 + rnd.nextInt(60)).map { i =>
+        val entity = 1L + rnd.nextInt(5)
+        val tsUs = 1700000000000000L + rnd.nextInt(200000) * 1000000L
+        val etype = if (rnd.nextInt(3) == 0) "purchase" else "click"
+        // values as exact small decimals so DECIMAL(18,6) sums are
+        // representable doubles
+        (entity, rnd.nextInt(1000) / 4.0, new java.sql.Timestamp(tsUs / 1000), i.toLong, etype)
+      }
+      val out = FeatureStore
+        .rollingFeatures(
+          evs.toDF("user_id", "value", "ts", "event_id", "event_type")
+            .repartition(1 + rnd.nextInt(5)),
+          "user_id", "ts", "event_type", "value", "purchase", "click",
+          Seq("1h" -> 3600000000L))
+        .collect()
+        .map(r => (r.getAs[Long]("entity"), r.getAs[Long]("ts_us")) ->
+          ((r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"))))
+        .toMap
+      // quadratic reference over the raw rows
+      evs.filter(_._5 == "purchase").foreach { case (e, _, ts, _, _) =>
+        val t = ts.getTime * 1000
+        val in = evs.filter(x => x._1 == e && x._5 == "click")
+          .map(x => (x._3.getTime * 1000, x._2))
+          .filter { case (ct, _) => ct > t - 3600000000L && ct <= t - 1 }
+        val want = (in.size.toLong, in.map(_._2).sum)
+        assert(out((e, t)) == want, s"trial $trial entity $e ts $t")
+      }
+    }
+  }
+
+  test("temperatureSample invariant: budget respected and layout-independent") {
+    import graft.operators.Sampling
+    val rnd = new Random(71)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 200L + rnd.nextInt(300))
+        .map(i => (i, s"src${rnd.nextInt(6)}")).toSeq
+      val budget = 50L + rnd.nextInt(100)
+      def run(parts: Int) = Sampling
+        .temperatureSample(
+          docs.toDF("doc_id", "source").repartition(parts),
+          "source", "doc_id", budget, seed = trial.toLong)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toSet
+      val a = run(1)
+      val b = run(7)
+      assert(a == b, s"trial $trial: selection depends on layout")
+      assert(a.size <= budget, s"trial $trial: budget exceeded")
+      // per-group: never more than the group has
+      val bySrc = docs.groupBy(_._2).view.mapValues(_.size).toMap
+      val selBySrc = a.map(_._1).groupBy(id => docs(id.toInt - 1)._2)
+      selBySrc.foreach { case (s, ids) =>
+        assert(ids.size <= bySrc(s), s"trial $trial source $s over-selected")
+      }
+    }
+  }
+
   test("globalRowNumbers invariant: any layout, any order cols -> dense 1..n ranks") {
     val rnd = new Random(31)
     for (trial <- 1 to 4) {
