@@ -693,6 +693,25 @@ object Lakehouse {
       appendBatch(batch, root, table, batchId): Unit
     }
 
+  /** Self-maintaining streaming sink: [[streamAppend]]'s idempotent
+    * per-batch commit plus [[autoCompact]] after each batch — the full
+    * operational loop, so a long-running stream never accretes
+    * unbounded commits or files. Replay detection is unaffected by
+    * compaction: batchIds live in the immutable log history, which
+    * compaction never rewrites.
+    */
+  def streamAppendMaintained(
+      stream: DataFrame,
+      root: String,
+      table: String,
+      maxSnapshotCommits: Int,
+      targetFileBytes: Long
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (appendBatch(batch, root, table, batchId).nonEmpty)
+        autoCompact(batch.sparkSession, root, table, maxSnapshotCommits, targetFileBytes): Unit
+    }
+
   /** Shared commit protocol: write data (and optional zone maps), then
     * atomically claim the next version in the log; on a lost race,
     * delete the orphan data dir and retry at the new tip.

@@ -243,6 +243,29 @@ class LakehouseSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamAppendMaintained: commits stay bounded while content accretes exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = "t_stream_maint"
+    val src = MemoryStream[Long](spark)
+    val q = Lakehouse
+      .streamAppendMaintained(
+        src.toDF().withColumnRenamed("value", "k"), root, t,
+        maxSnapshotCommits = 2, targetFileBytes = 1 << 20)
+      .option("checkpointLocation", s"$root/_ckpt_$t")
+      .start()
+    try {
+      (1 to 5).foreach { i =>
+        src.addData(i.toLong * 10, i.toLong * 10 + 1)
+        q.processAllAvailable()
+        // the maintenance loop keeps the live snapshot within budget+1
+        assert(Lakehouse.snapshotCommits(spark, root, t).size <= 3, s"batch $i")
+      }
+      val ks = Lakehouse.read(spark, root, t).select("k").as[Long].collect().sorted
+      assert(ks.toSeq == (1 to 5).flatMap(i => Seq(i * 10L, i * 10L + 1)).sorted)
+      assert(ks.length == 10) // exactly once, across compactions
+    } finally q.stop()
+  }
+
   test("merge: update/insert/delete semantics, pruned files carried forward untouched") {
     val t = "t_merge"
     val base = spark.range(1, 101)
