@@ -81,6 +81,25 @@ object SparkEntry {
         .map { case (start, _, page) => page.withColumn("page", lit(start / 40L)) }
         .reduce(_ unionByName _)),
     "fs_training_set_pit" -> ((s, dir) => pitTrainingSet(s, dir)),
+    // Cross-store enrichment: the PIT training set joined with the
+    // entity's embedding (feature store ⨝ embedding store — the
+    // two-system handoff a reference user does by hand). Coverage is
+    // explicit (has_embedding), vector summarized as a micro-unit L2
+    // norm via the native dot kernel.
+    "fs_training_set_embedded" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("entity"), col("embedding"))
+      pitTrainingSet(s, dir)
+        .join(emb, Seq("entity"), "left")
+        .select(
+          col("entity"), col("label_ts_us"), col("label"),
+          col("f_click"), col("f_view"),
+          col("embedding").isNotNull.as("has_embedding"),
+          floor(sqrt(call_function(
+            graft.plans.GraftFunctions.DotName, col("embedding"), col("embedding")))
+            * lit(1000000.0)).cast("long").as("norm_micro"))
+    }),
     // Paged training-set export — the served GetTrainingSet iterator
     // (provider/offline.go:551): same one-shuffle shared numbering as
     // fs_materialize_paged, ordered by the total (entity, label_ts)
@@ -679,6 +698,33 @@ object SparkEntry {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click, f_view
       FROM f WHERE kind = 1""",
+    "fs_training_set_embedded" -> """
+      WITH u AS (
+        SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
+               CAST(NULL AS DOUBLE) AS f_click, CAST(NULL AS DOUBLE) AS f_view
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, value, NULL FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 0, 0, NULL, NULL, value FROM events WHERE event_type = 'view'
+      ), f AS (
+        SELECT entity, ts, kind, label,
+               last_value(f_click IGNORE NULLS) OVER w AS f_click,
+               last_value(f_view IGNORE NULLS) OVER w AS f_view
+        FROM u WINDOW w AS (
+          PARTITION BY entity ORDER BY ts, kind, tb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), tset AS (
+        SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click, f_view
+        FROM f WHERE kind = 1
+      ), norms AS (
+        SELECT vec_id AS entity,
+               CAST(floor(sqrt(sum(x * x)) * 1000000.0) AS BIGINT) AS norm_micro
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+        GROUP BY vec_id)
+      SELECT t.entity, label_ts_us, label, f_click, f_view,
+             n.entity IS NOT NULL AS has_embedding, n.norm_micro
+      FROM tset t LEFT JOIN norms n ON n.entity = t.entity""",
     "fs_training_set_paged" -> """
       WITH u AS (
         SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
@@ -4129,6 +4175,20 @@ object SparkEntry {
     "q_rfm_segments" -> ((s, dir) =>
       Analytics.rfmSegments(
         t(s, dir, "events"), "user_id", "event_type", "ts", "value", "purchase")),
+    // Week-over-week volume movers per event type: all-integer lag
+    // deltas with a micro-unit pct change — the trend readout.
+    "q_week_over_week" -> ((s, dir) => {
+      val weekly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      weekly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .select(
+          col("event_type"), unix_micros(col("week")).as("week_us"),
+          col("n"), col("prev_n"),
+          expr("((n - prev_n) * 1000000) div prev_n").as("delta_pct_micro"))
+    }),
     // Time-bounded funnel (windowFunnel): click→view→purchase chains
     // completed within 1 day of the first click, earliest-greedy.
     "q_funnel_window" -> ((s, dir) =>
@@ -4829,6 +4889,16 @@ object SparkEntry {
       JOIN fs ON fs.entity = per.entity
       JOIN ms ON ms.entity = per.entity"""
     },
+    "q_week_over_week" -> """
+      WITH weekly AS (
+        SELECT event_type, epoch_us(date_trunc('week', ts)) AS week_us, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, week_us, n,
+             lag(n, 1) OVER (PARTITION BY event_type ORDER BY week_us) AS prev_n,
+             ((n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY week_us)) * 1000000)
+               // lag(n, 1) OVER (PARTITION BY event_type ORDER BY week_us)
+               AS delta_pct_micro
+      FROM weekly""",
     "q_funnel_window" -> """
       WITH base AS (
         SELECT user_id AS entity, event_type AS etype, epoch_us(ts) AS ts_us FROM events),
