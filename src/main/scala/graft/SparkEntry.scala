@@ -4175,6 +4175,12 @@ object SparkEntry {
     "q_rfm_segments" -> ((s, dir) =>
       Analytics.rfmSegments(
         t(s, dir, "events"), "user_id", "event_type", "ts", "value", "purchase")),
+    // Pareto frontier over parts: cheapest price for each size tier —
+    // skyline via distinct-x maxima + prefix-max, never the quadratic
+    // join (which IS the oracle's semantic definition).
+    "q_skyline" -> ((s, dir) =>
+      Analytics.skyline2d(
+        t(s, dir, "part"), "p_partkey", "p_retailprice", "p_size")),
     // Week-over-week volume movers per event type: all-integer lag
     // deltas with a micro-unit pct change — the trend readout.
     "q_week_over_week" -> ((s, dir) => {
@@ -4889,6 +4895,15 @@ object SparkEntry {
       JOIN fs ON fs.entity = per.entity
       JOIN ms ON ms.entity = per.entity"""
     },
+    "q_skyline" -> """
+      WITH t AS (
+        SELECT p_partkey AS id, CAST(p_retailprice AS DOUBLE) AS x,
+               CAST(p_size AS DOUBLE) AS y
+        FROM part)
+      SELECT id, x, y FROM t p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t q
+        WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))""",
     "q_week_over_week" -> """
       WITH weekly AS (
         SELECT event_type, epoch_us(date_trunc('week', ts)) AS week_us, count(*) AS n

@@ -1120,6 +1120,54 @@ object Analytics {
         valueColumnName = "n_events")
       .select(col("user_id").as("entity"), col("event_type"), col("n_events"))
 
+  /** 2D skyline (Pareto frontier): points not dominated by any other
+    * (x' ≤ x, y' ≥ y, one strict) — minimize x, maximize y (the
+    * "cheapest for its size" query). Duplicated points are mutually
+    * non-dominated and all kept.
+    *
+    * Scale shape: never the quadratic NOT-EXISTS join and never a
+    * global window. One groupBy to per-x maxima, then the prefix-sum
+    * pattern in max form — range-partition by x, per-partition running
+    * max, only the numPartitions partition-maxima visit the driver for
+    * exclusive prefix maxima — and a final join back to recover every
+    * point sitting ON the frontier. Cost: two shuffles on x.
+    */
+  def skyline2d(
+      df: DataFrame,
+      idCol: String,
+      minimizeCol: String,
+      maximizeCol: String
+  ): DataFrame = {
+    val pts = df.select(
+      col(idCol).as("id"),
+      col(minimizeCol).cast("double").as("x"),
+      col(maximizeCol).cast("double").as("y"))
+    val perX = pts.groupBy(col("x")).agg(max(col("y")).as("ymax"))
+      .repartitionByRange(col("x"))
+      .select(col("*"), spark_partition_id().as("_pid"))
+      .localCheckpoint() // pin the partition assignment the prefixes describe
+    val pidMax = perX.groupBy(col("_pid")).agg(max(col("ymax")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    var acc = Double.NegativeInfinity
+    val prefixes = pidMax.map { case (pid, m) => val p = acc; acc = math.max(acc, m); (pid, p) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefDf = broadcast(prefixes.toSeq.toDF("_pid", "_prefix"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierX = perX
+      .join(prefDf, Seq("_pid"))
+      .withColumn("_before",
+        greatest(coalesce(max(col("ymax")).over(w), lit(Double.NegativeInfinity)),
+          col("_prefix")))
+      .where(col("ymax") > col("_before"))
+      .select(col("x"), col("ymax"))
+    pts
+      .join(frontierX, Seq("x"))
+      .where(col("y") === col("ymax"))
+      .select(col("id"), col("x"), col("y"))
+  }
+
   /** RFM segmentation — the classic customer-value feature triple
     * (Recency of last purchase, purchase Frequency, Monetary spend),
     * each quartile-scored 1..k (k=4: 4 = most recent / most frequent /

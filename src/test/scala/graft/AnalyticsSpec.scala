@@ -474,6 +474,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((2L, "click")) == 0L)
   }
 
+  test("skyline2d: frontier exact vs quadratic dominance; duplicates and x-ties kept right") {
+    val pts = Seq(
+      (1L, 1.0, 5.0),  // frontier (cheapest)
+      (2L, 2.0, 7.0),  // frontier
+      (3L, 2.0, 7.0),  // duplicate of 2: mutually non-dominated, kept
+      (4L, 2.0, 6.0),  // same x as 2, lower y: dominated
+      (5L, 3.0, 7.0),  // same y as 2, higher x: dominated
+      (6L, 4.0, 9.0),  // frontier
+      (7L, 5.0, 1.0)   // dominated by everything cheaper & bigger
+    ).toDF("id", "price", "size").repartition(3)
+    val got = Analytics.skyline2d(pts, "id", "price", "size")
+      .collect().map(_.getAs[Long]("id")).toSet
+    // quadratic reference
+    val raw = Seq((1L, 1.0, 5.0), (2L, 2.0, 7.0), (3L, 2.0, 7.0), (4L, 2.0, 6.0),
+      (5L, 3.0, 7.0), (6L, 4.0, 9.0), (7L, 5.0, 1.0))
+    val want = raw.filterNot { case (_, x, y) =>
+      raw.exists { case (_, qx, qy) => qx <= x && qy >= y && (qx < x || qy > y) }
+    }.map(_._1).toSet
+    assert(got == want && got == Set(1L, 2L, 3L, 6L))
+  }
+
   test("rfmSegments: exact ntile with big-groups-first remainder split") {
     // 6 users, k=4 -> quartile sizes 2,2,1,1 -> scores 1,1,2,2,3,4 in
     // metric order; all three metrics increase with user id here
