@@ -309,6 +309,20 @@ object SparkEntry {
     "fs_outlier_values" -> ((s, dir) =>
       FeatureStore.featureOutliers(
         t(s, dir, "events"), "event_id", "event_type", "value", zThreshold = 3.0)),
+    // Standard + min-max scaling from one exact-decimal moment pass.
+    "fs_feature_scale" -> ((s, dir) =>
+      FeatureStore.scaleFeatures(t(s, dir, "events"), "event_id", "event_type", "value")),
+    // Equal-width + equal-frequency (decile) discretization.
+    "fs_feature_bins" -> ((s, dir) =>
+      FeatureStore.binFeatures(
+        t(s, dir, "events"), "event_id", "event_type", "value", nBins = 10)),
+    // Chronological 80/20 split — train on the past, test on the future.
+    "fs_split_time" -> ((s, dir) =>
+      FeatureStore
+        .timeSplit(
+          t(s, dir, "events").select(col("event_id"), col("ts")),
+          Seq("ts", "event_id"), trainFraction = 0.8)
+        .select(col("event_id"), col("split"))),
     // The hashing trick: vocabulary-free signed-hash featurization of
     // categorical columns into a fixed 64-dim sparse space (exact
     // integer weights — the whole featurization hash-matches).
@@ -1020,6 +1034,39 @@ object SparkEntry {
       SELECT event_id, feature, value, (value - mean) / std AS z
       FROM events JOIN m2 ON events.event_type = m2.feature
       WHERE std > 0 AND abs((value - mean) / std) > 3.0""",
+    "fs_feature_scale" -> """
+      WITH m1 AS (
+        SELECT event_type AS feature, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svd,
+               CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sv2d,
+               min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY event_type),
+      m2 AS (
+        SELECT feature, svd / n AS mean,
+               sqrt(sv2d / n - (svd / n) * (svd / n)) AS std, mn, mx
+        FROM m1)
+      SELECT event_id, feature, value,
+             CASE WHEN std > 0 THEN (value - mean) / std END AS z,
+             CASE WHEN mx > mn THEN (value - mn) / (mx - mn) END AS minmax
+      FROM events JOIN m2 ON events.event_type = m2.feature""",
+    "fs_feature_bins" -> """
+      WITH m AS (
+        SELECT event_type AS feature, min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY event_type)
+      SELECT event_id, feature, value,
+             CASE WHEN value IS NULL THEN NULL
+                  WHEN mx > mn THEN least(CAST(floor((value - mn) / (mx - mn) * 10) AS BIGINT), 9)
+                  ELSE 0 END AS width_bin,
+             CAST(ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS BIGINT) AS freq_bin
+      FROM events JOIN m ON events.event_type = m.feature""",
+    "fs_split_time" -> """
+      WITH n AS (SELECT count(*) AS total FROM events),
+      r AS (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events)
+      SELECT event_id,
+             CASE WHEN rn <= CAST(floor(0.8 * total) AS BIGINT) THEN 'train' ELSE 'test' END AS split
+      FROM r CROSS JOIN n""",
     "fs_feature_drift" -> """
       WITH base AS (
         SELECT event_type AS feature, value::DOUBLE AS v,
@@ -3064,6 +3111,10 @@ object SparkEntry {
     // negative log-likelihood under the corpus unigram distribution.
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+    // CCNet head/middle/tail quality terciles over the LM score —
+    // exact NTILE via the distributed numbering primitive.
+    "text_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")),
     // Train/eval decontamination: docs sharing a 4-gram with the
     // held-out benchmark slice (doc_id % 50 == 0).
     "text_decontaminate" -> ((s, dir) => {
@@ -3618,6 +3669,21 @@ object SparkEntry {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
       FROM nll GROUP BY doc_id""",
+    "text_ppl_buckets" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tt AS (SELECT count(*) AS tt FROM toks),
+      nll AS (
+        SELECT doc_id,
+               CAST(round(-ln(CAST(c AS DOUBLE) / tt), 12) AS DECIMAL(28,12)) AS nll
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tt),
+      scored AS (
+        SELECT doc_id, CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+        FROM nll GROUP BY doc_id)
+      SELECT doc_id, avg_nll,
+             CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM scored""",
     // Same unrolled 3-round schedule as text_bpe_merges, but carrying
     // doc_id through the replace chain and emitting per-doc counts.
     "text_bpe_encode" -> {
@@ -4362,6 +4428,41 @@ object SparkEntry {
           count(lit(1)).as("n"),
           decSumD(col("price")).as("total"),
           sum(col("k")).as("sum_keys"))
+    }),
+    // Additive schema evolution: v1 without the comment column, an
+    // evolved append WITH it; the merged snapshot nulls the old files'
+    // missing column while the pre-evolution snapshot keeps v1's shape.
+    "lake_schema_evolution" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_evo"
+      val tp = new org.apache.hadoop.fs.Path(s"$root/supplier_lake")
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh table per run
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("k"), col("s_nationkey").cast("long").as("nation"))
+      val v1 = Lakehouse.commit(base, root, "supplier_lake", "overwrite")
+      Lakehouse.commit(
+        t(s, dir, "supplier").select(
+          (col("s_suppkey").cast("long") + 100000L).as("k"),
+          col("s_nationkey").cast("long").as("nation"),
+          col("s_acctbal").cast("double").as("balance")),
+        root, "supplier_lake", "append", evolveSchema = true)
+      val latest = Lakehouse.read(s, root, "supplier_lake")
+        .groupBy(col("nation"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(col("balance")).as("n_balance"),
+          decSumD(col("balance")).as("sum_balance"))
+        .withColumn("snap", lit("evolved"))
+      Lakehouse.read(s, root, "supplier_lake", Some(v1))
+        .groupBy(col("nation"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(lit(null)).as("n_balance"),
+          lit(null).cast("double").as("sum_balance"))
+        .withColumn("snap", lit("v1"))
+        .unionByName(latest)
     })
   )
 
@@ -5033,7 +5134,25 @@ object SparkEntry {
       SELECT status, count(*) AS n,
              CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total,
              CAST(sum(k) AS BIGINT) AS sum_keys
-      FROM kept GROUP BY status"""
+      FROM kept GROUP BY status""",
+    "lake_schema_evolution" -> """
+      WITH evolved AS (
+        SELECT s_suppkey AS k, s_nationkey AS nation, CAST(NULL AS DOUBLE) AS balance
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 100000, s_nationkey, CAST(s_acctbal AS DOUBLE) FROM supplier)
+      SELECT CAST(s_nationkey AS BIGINT) AS nation, count(*) AS n,
+             CAST(sum(s_suppkey) AS BIGINT) AS sum_k,
+             CAST(0 AS BIGINT) AS n_balance, CAST(NULL AS DOUBLE) AS sum_balance,
+             'v1' AS snap
+      FROM supplier GROUP BY s_nationkey
+      UNION ALL
+      SELECT CAST(nation AS BIGINT) AS nation, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             count(balance) AS n_balance,
+             CAST(sum(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS sum_balance,
+             'evolved' AS snap
+      FROM evolved GROUP BY nation"""
   )
 
   // ---------------------------------------------------------------- //
@@ -5043,6 +5162,14 @@ object SparkEntry {
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()),
+    // LAION-style CLIP-gate pair curation: image vec at doc_id, caption
+    // vec at doc_id+1; similarity + caption-length + language gates,
+    // per-gate verdicts for curation QA.
+    "mm_pair_curation" -> ((s, dir) =>
+      Multimodal.clipPairCuration(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        textVecOffset = 1L, cosThreshold = 0.0,
+        minChars = 80L, maxChars = 500L, langs = Seq("en", "de"))),
     // Exact-bytes media dedup before any decode: corpus doubled with
     // shifted ids so every payload has a cross-source duplicate.
     "mm_binary_dedup" -> ((s, dir) => {
@@ -5160,6 +5287,24 @@ object SparkEntry {
              CAST(1 AS BIGINT) AS n_frames,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
       FROM documents""",
+    "mm_pair_curation" -> """
+      WITH cos AS (
+        SELECT a AS doc_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim FROM (
+          SELECT a, b, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb FROM (
+            SELECT d.doc_id AS a, d.doc_id + 1 AS b,
+                   unnest(i.embedding)::DOUBLE AS x, unnest(t.embedding)::DOUBLE AS y
+            FROM documents d
+            JOIN embeddings i ON i.vec_id = d.doc_id
+            JOIN embeddings t ON t.vec_id = d.doc_id + 1)
+          GROUP BY a, b))
+      SELECT d.doc_id, cos_sim,
+             CAST(coalesce(CAST(cos_sim >= 0.0 AS INT), 0) AS INT) AS keep_sim,
+             CAST(d.n_chars BETWEEN 80 AND 500 AS INT) AS keep_len,
+             CAST(d.lang IN ('en', 'de') AS INT) AS keep_lang,
+             CAST(coalesce(CAST(cos_sim >= 0.0 AS INT), 0) = 1
+                  AND d.n_chars BETWEEN 80 AND 500
+                  AND d.lang IN ('en', 'de') AS INT) AS keep
+      FROM documents d LEFT JOIN cos ON cos.doc_id = d.doc_id""",
     "mm_binary_dedup" -> """
       WITH media AS (
         SELECT doc_id AS media_id, text FROM documents

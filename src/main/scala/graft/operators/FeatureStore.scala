@@ -684,6 +684,121 @@ object FeatureStore {
         ((col(valueCol) - col("mean")) / col("std")).as("z"))
   }
 
+  /** Feature scaling — the standard (z-score) and min-max normalizations
+    * every training pipeline applies before gradient descent, as a
+    * distributed transform: ONE exact-decimal moment aggregation per
+    * feature group (order-independent, so the moments are engine-exact),
+    * broadcast back over a single scan. z and minmax are then fixed
+    * sequences of IEEE double ops on those exact ingredients —
+    * bit-reproducible across engines. Groups with zero spread scale to
+    * NULL (no information, not 0): a degenerate feature must be visible
+    * to the caller, not silently centered.
+    *
+    * Scale: moments are |features| rows — broadcast; the transform is a
+    * narrow map over the event scan. No shuffle of the data itself.
+    */
+  def scaleFeatures(
+      events: DataFrame,
+      idCol: String,
+      featureCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,4)")
+    val moments = events
+      .groupBy(col(featureCol).as("feature"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("svd"),
+        sum(dec * dec).cast("double").as("sv2d"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+      .select(
+        col("feature"),
+        (col("svd") / col("n")).as("mean"),
+        sqrt(col("sv2d") / col("n") - (col("svd") / col("n")) * (col("svd") / col("n")))
+          .as("std"),
+        col("mn"), col("mx"))
+    events
+      .join(broadcast(moments), col(featureCol) === col("feature"))
+      .select(
+        col(idCol),
+        col("feature"),
+        col(valueCol).as("value"),
+        when(col("std") > 0, (col(valueCol) - col("mean")) / col("std")).as("z"),
+        when(col("mx") > col("mn"), (col(valueCol) - col("mn")) / (col("mx") - col("mn")))
+          .as("minmax"))
+  }
+
+  /** Feature discretization: equal-width and equal-frequency binning per
+    * feature group — the two standard featurizations of a continuous
+    * column (histogram features, WoE/target-encoding prep, monotone
+    * binning for trees).
+    *
+    * width_bin: integer floor over the broadcast (min, max) range —
+    * exact integer output, narrow map. freq_bin: NTILE over the
+    * per-feature value order with the row id as deterministic tiebreak —
+    * one shuffle partitioned BY FEATURE (not a global window), which at
+    * 100 TB is the per-group sort any exact quantile assignment costs;
+    * the approximate path for extreme groups is percentile_approx
+    * thresholds broadcast like the width path (same shape as
+    * [[featureStats]]'s note).
+    */
+  def binFeatures(
+      events: DataFrame,
+      idCol: String,
+      featureCol: String,
+      valueCol: String,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val ranges = events
+      .groupBy(col(featureCol).as("feature"))
+      .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    val w = Window
+      .partitionBy(col(featureCol))
+      .orderBy(col(valueCol).asc_nulls_first, col(idCol))
+    events
+      .join(broadcast(ranges), col(featureCol) === col("feature"))
+      .select(
+        col(idCol),
+        col("feature"),
+        col(valueCol).as("value"),
+        when(col(valueCol).isNull, lit(null))
+          .when(
+            col("mx") > col("mn"),
+            least(
+              floor((col(valueCol) - col("mn")) / (col("mx") - col("mn")) * nBins),
+              lit(nBins - 1L)))
+          .otherwise(lit(0L)).as("width_bin"),
+        ntile(nBins).over(w).cast("long").as("freq_bin"))
+  }
+
+  /** Leakage-safe chronological split: train on the past, evaluate on
+    * the future — the split a time-series / feature-store pipeline must
+    * use when the hash splits ([[trainTestSplit]]) would leak future
+    * rows into training. The boundary is the exact floor(f·n)-th row of
+    * the (ts, tiebreak) total order, computed with the scale-safe
+    * numbering primitive ([[globalRowNumbers]]'s range-partition +
+    * prefix-sum offsets — never a single-task global window).
+    */
+  def timeSplit(
+      df: DataFrame,
+      orderCols: Seq[String], // must be a TOTAL order, time first
+      trainFraction: Double
+  ): DataFrame = {
+    require(
+      trainFraction > 0.0 && trainFraction < 1.0,
+      s"trainFraction must be in (0, 1), got $trainFraction")
+    val (parted, offsets) = numberedPartitions(df, orderCols)
+    val total = offsets.map(_._3).sum
+    val cut = math.floor(trainFraction * total).toLong
+    rangeSlice(parted, offsets, 0L, total, orderCols)
+      .withColumn(
+        "split",
+        when(col("row_number") <= cut, lit("train")).otherwise(lit("test")))
+      .drop("row_number")
+  }
+
   /** The hashing trick (Weinberger et al., ICML'09): map arbitrary
     * categorical features into a fixed D-dimensional sparse vector
     * with a signed hash — no vocabulary build, no dictionary shuffle,

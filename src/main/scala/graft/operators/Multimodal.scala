@@ -221,4 +221,46 @@ object Multimodal {
       .flatMap(m => (0L until m.n_frames by stride.toLong).map(i => (m.media_id, i)))
       .toDF("media_id", "frame_idx")
   }
+
+  /** LAION-style image–text pair curation: the CLIP-similarity gate
+    * plus caption-quality gates that decide which (image, caption)
+    * pairs enter a multimodal training set (Schuhmann et al., LAION-400M:
+    * keep pairs with CLIP cosine ≥ 0.3; plus length / language
+    * filters). The image embedding lives at `docId` in the embedding
+    * space and the caption embedding at `docId + textVecOffset` — the
+    * two-tower layout a CLIP encoder job produces. Every doc surfaces
+    * with per-gate verdicts (a dropped pair must be attributable to a
+    * specific gate for curation QA); a missing embedding fails the
+    * similarity gate rather than vanishing.
+    *
+    * Scale: two hash joins on the embedding key + one broadcast-free
+    * narrow gate projection; cosine runs in the native codegen kernel
+    * and is 6dp-rounded so the threshold decision is engine-exact.
+    */
+  def clipPairCuration(
+      docs: DataFrame, // doc_id, lang, n_chars
+      embeddings: DataFrame, // vec_id, embedding
+      textVecOffset: Long,
+      cosThreshold: Double,
+      minChars: Long,
+      maxChars: Long,
+      langs: Seq[String]
+  ): DataFrame = {
+    val pairs = docs.select(
+      col("doc_id").as("a"), (col("doc_id") + textVecOffset).as("b"))
+    val cos = Similarity
+      .pairwiseCosine(embeddings, "vec_id", "embedding", pairs)
+      .select(col("a").as("doc_id"), col("cos_sim"))
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(cos, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("cos_sim"),
+        coalesce((col("cos_sim") >= cosThreshold).cast("int"), lit(0)).as("keep_sim"),
+        col("n_chars").between(minChars, maxChars).cast("int").as("keep_len"),
+        col("lang").isInCollection(langs).cast("int").as("keep_lang"),
+        (coalesce((col("cos_sim") >= cosThreshold).cast("int"), lit(0)) === 1 &&
+          col("n_chars").between(minChars, maxChars) &&
+          col("lang").isInCollection(langs)).cast("int").as("keep"))
+  }
 }

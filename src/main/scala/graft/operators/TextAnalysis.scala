@@ -199,6 +199,49 @@ object TextAnalysis {
         (col("snll").cast("double") / col("n_tokens")).as("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): rank the corpus by LM score and cut it into head / middle
+    * / tail terciles — the standard quality-tiered mixture that
+    * pretraining pipelines sample from at different rates. Ranking is
+    * the exact NTILE over (avg_nll, doc_id), computed WITHOUT a
+    * single-task global window: [[FeatureStore.globalRowNumbers]]
+    * range-partitions and prefix-sums per-partition counts, then the
+    * NTILE bucket is closed-form integer math on (row_number, n) —
+    * identical to SQL NTILE's "first n mod k buckets get one extra
+    * row" definition, so the oracle is a plain ntile().
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 3
+  ): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val scored = lmScore(docs, idCol, textCol).select(col("doc_id"), col("avg_nll"))
+    val numbered = FeatureStore.globalRowNumbers(scored, Seq("avg_nll", "doc_id"))
+    val total = broadcast(numbered.agg(count(lit(1)).as("n")))
+    val names = Seq("head", "middle", "tail")
+    val k = lit(nBuckets.toLong)
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val q = idiv(col("n"), k)
+    val r = col("n") % k
+    val rn = col("row_number")
+    val bucket = when(
+      rn <= r * (q + 1L), idiv(rn - 1L, q + 1L) + 1L
+    ).otherwise(r + idiv(rn - r * (q + 1L) - 1L, q) + 1L)
+    val label =
+      if (nBuckets == 3)
+        when(col("bucket") === 1L, names(0))
+          .when(col("bucket") === 2L, names(1))
+          .otherwise(names(2))
+      else col("bucket").cast("string")
+    numbered
+      .crossJoin(total)
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("avg_nll"), label.as("bucket"))
+  }
+
   /** Per-document unigram Shannon entropy — the "is this text actually
     * varied language or a template/keyword-stuffing artifact" quality
     * gate (low entropy = few distinct tokens dominating; used alongside

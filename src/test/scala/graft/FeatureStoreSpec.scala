@@ -648,4 +648,44 @@ class FeatureStoreSpec extends AnyFunSuite {
       .agg(sum("mi_pico")).head.getLong(0)
     assert(math.abs(mi1 - math.round(math.log(2) * 1e12)) <= 2) // floor error ≤ 1 per cell
   }
+
+  test("scaleFeatures: z-score and min-max from exact moments; degenerate group -> NULL") {
+    val df = Seq(
+      (1L, "a", 0.0), (2L, "a", 10.0), (3L, "a", 20.0),
+      (4L, "b", 7.0), (5L, "b", 7.0) // zero spread
+    ).toDF("event_id", "event_type", "value")
+    val out = FeatureStore.scaleFeatures(df, "event_id", "event_type", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[Any]("z")), Option(r.getAs[Any]("minmax"))))
+      .toMap
+    // group a: mean 10, population std sqrt(200/3)
+    val std = math.sqrt(200.0 / 3.0)
+    def approx(a: Option[Any], b: Double) =
+      math.abs(a.get.asInstanceOf[Double] - b) < 1e-12
+    assert(approx(out(1L)._1, -10.0 / std) && approx(out(1L)._2, 0.0))
+    assert(approx(out(2L)._1, 0.0) && approx(out(2L)._2, 0.5))
+    assert(approx(out(3L)._1, 10.0 / std) && approx(out(3L)._2, 1.0))
+    assert(out(4L) == ((None, None)) && out(5L) == ((None, None)))
+  }
+
+  test("binFeatures: max lands in the top width bin; freq bins are exact ntiles") {
+    val df = (1L to 10L).map(i => (i, "a", i.toDouble)).toDF("event_id", "event_type", "value")
+    val out = FeatureStore.binFeatures(df, "event_id", "event_type", "value", nBins = 5)
+      .collect()
+      .map(r => r.getDouble(2) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1.0) == ((0L, 1L)))
+    assert(out(10.0) == ((4L, 5L))) // max clamps to nBins-1, not nBins
+    assert(out(5.0) == ((2L, 3L)))  // (5-1)/9*5 = 2.22 -> 2; rank 5 of 10 -> ntile 3
+  }
+
+  test("timeSplit: exact chronological boundary at floor(f*n)") {
+    val df = (1L to 10L)
+      .map(i => (i, ts(f"2024-01-${i}%02d 00:00:00")))
+      .toDF("event_id", "ts")
+    val out = FeatureStore.timeSplit(df, Seq("ts", "event_id"), trainFraction = 0.75)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("split")).toMap
+    // floor(0.75*10) = 7: days 1..7 train, 8..10 test
+    assert((1L to 7L).forall(out(_) == "train") && (8L to 10L).forall(out(_) == "test"))
+  }
 }

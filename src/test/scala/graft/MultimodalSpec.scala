@@ -123,4 +123,31 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
     assert(out == Map(1L -> 3L, 2L -> 1L, 4L -> 1L))
   }
+
+  test("clipPairCuration: per-gate verdicts; a missing embedding fails the sim gate only") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", 100L), // aligned pair, all gates pass
+      (1L, "fr", 100L), // anti-aligned pair + wrong lang
+      (2L, "en", 5000L), // caption too long
+      (3L, "en", 100L)  // text vec (id 4) missing -> keep_sim = 0
+    ).toDF("doc_id", "lang", "n_chars")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),   // cos(0,1) > 0
+      (2L, Array(-1.0f, 0.0f)),                            // cos(1,2) < 0
+      (3L, Array(0.0f, 1.0f))                              // cos(2,3) = 0 -> >= 0 passes
+    ).toDF("vec_id", "embedding")
+    val out = Multimodal
+      .clipPairCuration(docs, vecs, 1L, 0.0, 10L, 1000L, Seq("en"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("keep_sim"), r.getAs[Int]("keep_len"),
+          r.getAs[Int]("keep_lang"), r.getAs[Int]("keep"))))
+      .toMap
+    assert(out(0L) == ((1, 1, 1, 1)))
+    assert(out(1L) == ((0, 1, 0, 0)))
+    assert(out(2L) == ((1, 0, 1, 0)))
+    assert(out(3L) == ((0, 1, 1, 0))) // missing embedding: attributable, not dropped
+  }
 }

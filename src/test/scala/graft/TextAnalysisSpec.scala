@@ -306,4 +306,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(w(1L) > w(4L) && w(4L) > w(3L)) // monotone in target-token share
     assert(w(3L) < 0) // "ore" never appears in the target: ratio < 1
   }
+
+  test("perplexityBuckets: exact NTILE semantics — first n mod k buckets get the extra row") {
+    // 5 docs, 3 buckets: NTILE gives sizes 2,2,1. Token frequencies are
+    // arranged so avg_nll strictly orders doc 1 < 2 < 3 < 4 < 5.
+    val docs = Seq(
+      (1L, "a a a a a"), // most common token -> lowest nll
+      (2L, "a a a a b"),
+      (3L, "a a a b b"),
+      (4L, "a a b b c"),
+      (5L, "b c d e f") // rare tokens -> highest nll
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle", 5L -> "tail"))
+  }
 }
