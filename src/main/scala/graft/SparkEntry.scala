@@ -5228,6 +5228,20 @@ object SparkEntry {
     "stream_attribution" -> ((s, dir) =>
       StreamingFeatures.attributionBatch(
         t(s, dir, "events"), touchType = "click", convType = "purchase", windowMinutes = 60)),
+    // Watermark sizing replay: arrival simulated as the md5 permutation
+    // of the ingest id (the corpus is stored in event-time order, so
+    // raw id order would show zero disorder); 7-day allowed delay.
+    "stream_late_events" -> ((s, dir) =>
+      StreamingFeatures.lateEventsBatch(
+        t(s, dir, "events").withColumn("arrival", md5(col("event_id").cast("string"))),
+        "event_id", "ts", "arrival", delayMinutes = 7L * 24 * 60)),
+    // Linear multi-touch attribution over a 7-day trailing window —
+    // per-channel credit with an explicit conservation remainder.
+    "q_attribution_multi" -> ((s, dir) =>
+      Analytics.multiTouchCredits(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "value",
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        windowMinutes = 7L * 24 * 60)),
     // Streaming MultiSet (client-streaming write RPC), batch analog:
     // three successive set-request batches folded into the space via
     // the same last-writer-wins upsert the sink applies per
@@ -5376,6 +5390,47 @@ object SparkEntry {
        AND t.ts >= c.ts - INTERVAL 60 MINUTE
        AND t.ts <= c.ts
       WHERE t.event_type = 'click' AND c.event_type = 'purchase'""",
+    "stream_late_events" -> """
+      WITH t AS (
+        SELECT event_id, epoch_us(ts) AS ts_us, md5(CAST(event_id AS VARCHAR)) AS ak
+        FROM events),
+      w AS (
+        SELECT event_id, ts_us,
+               max(ts_us) OVER (ORDER BY ak
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+        FROM t)
+      SELECT event_id, ts_us, hi - 604800000000 AS wm_us,
+             CAST(coalesce(ts_us < hi - 604800000000, false) AS INT) AS is_late
+      FROM w""",
+    "q_attribution_multi" -> """
+      WITH e AS (
+        SELECT user_id AS entity, event_type AS etype, epoch_us(ts) AS ts_us, value
+        FROM events),
+      c AS (
+        SELECT entity, etype, ts_us,
+               CAST(floor(value * 1000000) AS BIGINT) AS value_micro,
+               CAST(coalesce(sum(CASE WHEN etype = 'click' THEN 1 ELSE 0 END) OVER w, 0)
+                    AS BIGINT) AS n_click,
+               CAST(coalesce(sum(CASE WHEN etype = 'view' THEN 1 ELSE 0 END) OVER w, 0)
+                    AS BIGINT) AS n_view
+        FROM e WINDOW w AS (
+          PARTITION BY entity ORDER BY ts_us
+          RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+      SELECT entity, ts_us, value_micro, n_click, n_view,
+             CASE WHEN n_click + n_view > 0
+                  THEN CAST(floor(value_micro * n_click / (n_click + n_view)) AS BIGINT)
+                  ELSE 0 END AS credit_click_micro,
+             CASE WHEN n_click + n_view > 0
+                  THEN CAST(floor(value_micro * n_view / (n_click + n_view)) AS BIGINT)
+                  ELSE 0 END AS credit_view_micro,
+             value_micro
+               - (CASE WHEN n_click + n_view > 0
+                       THEN CAST(floor(value_micro * n_click / (n_click + n_view)) AS BIGINT)
+                       ELSE 0 END)
+               - (CASE WHEN n_click + n_view > 0
+                       THEN CAST(floor(value_micro * n_view / (n_click + n_view)) AS BIGINT)
+                       ELSE 0 END) AS remainder_micro
+      FROM c WHERE etype = 'purchase'""",
     // Last-writer-wins over the batch sequence: highest-priority writer
     // of each key survives — the unrolled equivalent of the three
     // chained upserts.

@@ -1315,4 +1315,63 @@ object Analytics {
       when(se > 0, floor((pA - pB) / se * lit(1000000.0)).cast("long"))
         .as("z_micro"))
   }
+
+  /** Multi-touch (linear) attribution — the companion of the last-touch
+    * join (StreamingFeatures.attributionBatch): each conversion splits
+    * its value evenly-by-channel over the touches in its trailing
+    * window, so marketing sees per-channel credit instead of
+    * winner-takes-all. Every channel's touch count comes from a
+    * conditional sum over ONE RANGE frame ((conv_ts − W, conv_ts)),
+    * all channels sharing a single partition-by-entity sort — adding a
+    * channel adds an expression to the same Window operator, not a
+    * join or a second shuffle. Credits are integer micro-units
+    * (floor(value_micro · n_ch / n_total)) with the rounding remainder
+    * surfaced explicitly — conservation is auditable:
+    * credit_click + credit_view + remainder = value_micro exactly.
+    */
+  def multiTouchCredits(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+      convType: String,
+      touchTypes: Seq[String], // credited channels, e.g. click / view
+      windowMinutes: Long
+  ): DataFrame = {
+    val wUs = windowMinutes * 60L * 1000000L
+    val base = events.select(
+      col(entityCol).as("entity"),
+      col(typeCol).as("etype"),
+      unix_micros(col(tsCol)).as("ts_us"),
+      col(valueCol).as("value"))
+    val frame = Window
+      .partitionBy(col("entity"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-wUs, -1)
+    val counted = touchTypes.foldLeft(base) { (df, t) =>
+      df.withColumn(
+        s"n_$t",
+        coalesce(
+          sum(when(col("etype") === t, 1L).otherwise(0L)).over(frame), lit(0L)))
+    }
+    val nTotal = touchTypes.map(t => col(s"n_$t")).reduce(_ + _)
+    val valueMicro = floor(col("value") * 1000000.0).cast("long")
+    val credits = touchTypes.map { t =>
+      when(nTotal > 0, floor(valueMicro * col(s"n_$t") / nTotal).cast("long"))
+        .otherwise(0L).as(s"credit_${t}_micro")
+    }
+    val creditSum = touchTypes.map(t =>
+      when(nTotal > 0, floor(valueMicro * col(s"n_$t") / nTotal).cast("long"))
+        .otherwise(0L)).reduce(_ + _)
+    counted
+      .where(col("etype") === convType)
+      .select(
+        Seq(
+          col("entity"), col("ts_us"),
+          valueMicro.as("value_micro")) ++
+          touchTypes.map(t => col(s"n_$t")) ++
+          credits :+
+          (valueMicro - creditSum).as("remainder_micro"): _*)
+  }
 }

@@ -240,6 +240,61 @@ object StreamingFeatures {
         unix_micros(col("touch_ts")).as("touch_ts_us"))
   }
 
+  /** Watermark late-event accounting — the batch replay of Structured
+    * Streaming's `withWatermark` drop rule: replay the log in arrival
+    * order, track the watermark (max event time seen so far, minus the
+    * allowed delay), and flag every event whose event time is already
+    * behind it — exactly the rows a streaming windowed aggregate would
+    * silently drop. The sizing question ("what delay keeps our loss
+    * under X%?") is THE question before turning a watermark on in
+    * production, and it can only be answered by this batch replay.
+    *
+    * The running max over arrival order is the distributed prefix-max
+    * (range-partition on the arrival key, per-partition maxima to the
+    * driver, broadcast running prefixes + per-partition window) — the
+    * skyline frontier pattern, never a single-task global window.
+    */
+  def lateEventsBatch(
+      events: DataFrame,
+      idCol: String,
+      tsCol: String,
+      arrivalCol: String, // a TOTAL arrival order (e.g. ingest sequence)
+      delayMinutes: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val delayUs = delayMinutes * 60L * 1000000L
+    val pts = events.select(
+      col(idCol).as("event_id"),
+      unix_micros(col(tsCol)).as("ts_us"),
+      col(arrivalCol).as("_ak"))
+    val parted = pts
+      .repartitionByRange(col("_ak"))
+      .select(col("*"), spark_partition_id().as("_pid"))
+      .localCheckpoint() // pin the partition assignment the prefixes describe
+    val pidMax = parted.groupBy(col("_pid")).agg(max(col("ts_us")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MinValue
+    val prefixes = pidMax.map { case (pid, m) => val p = acc; acc = math.max(acc, m); (pid, p) }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prefDf = broadcast(prefixes.toSeq.toDF("_pid", "_prefix"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col("_ak"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .join(prefDf, Seq("_pid"))
+      .withColumn(
+        "_hi",
+        greatest(coalesce(max(col("ts_us")).over(w), lit(Long.MinValue)), col("_prefix")))
+      // sentinel -> NULL before any arithmetic: Long.MinValue - delay
+      // would wrap and poison the comparison for the first arrival
+      .withColumn("wm_us", when(col("_hi") =!= Long.MinValue, col("_hi") - delayUs))
+      .select(
+        col("event_id"),
+        col("ts_us"),
+        col("wm_us"),
+        coalesce((col("ts_us") < col("wm_us")).cast("int"), lit(0)).as("is_late"))
+  }
+
   /** Watermarked tumbling-window counts per event type (streaming). */
   def windowedCountsStream(events: DataFrame, watermark: String, windowLen: String): DataFrame =
     events

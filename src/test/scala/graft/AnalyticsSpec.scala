@@ -568,4 +568,33 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().head
     assert(rd.isNullAt(rd.fieldIndex("z_micro")))
   }
+
+  test("multiTouchCredits: linear split conserves value_micro; strict pre-conversion frame") {
+    val ev = Seq(
+      // user 1: 2 clicks + 1 view before the purchase -> 2/3 vs 1/3 split
+      (1L, "click", "2024-01-01 00:00:00", 0.0),
+      (1L, "click", "2024-01-01 00:10:00", 0.0),
+      (1L, "view", "2024-01-01 00:20:00", 0.0),
+      (1L, "purchase", "2024-01-01 01:00:00", 10.0),
+      // user 2: the only click is AT the purchase instant -> excluded
+      // (frame is strictly before), so no touches at all
+      (2L, "click", "2024-01-02 00:00:00", 0.0),
+      (2L, "purchase", "2024-01-02 00:00:00", 5.0)
+    ).toDF("user_id", "event_type", "s", "value")
+      .select(col("user_id"), col("event_type"), col("s").cast("timestamp").as("ts"), col("value"))
+    val out = Analytics
+      .multiTouchCredits(
+        ev, "user_id", "event_type", "ts", "value", "purchase",
+        Seq("click", "view"), windowMinutes = 120L)
+      .collect()
+      .map(r => r.getAs[Long]("entity") ->
+        ((r.getAs[Long]("n_click"), r.getAs[Long]("n_view"),
+          r.getAs[Long]("credit_click_micro"), r.getAs[Long]("credit_view_micro"),
+          r.getAs[Long]("remainder_micro"))))
+      .toMap
+    // 10.0 -> 10_000_000 micro; 2/3 = 6_666_666, 1/3 = 3_333_333, rem 1
+    assert(out(1L) == ((2L, 1L, 6666666L, 3333333L, 1L)))
+    // zero touches: all credit unattributed
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 5000000L)))
+  }
 }

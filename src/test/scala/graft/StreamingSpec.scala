@@ -529,4 +529,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
     } finally query.stop()
   }
+
+  test("lateEventsBatch replays the watermark drop rule over arrival order") {
+    import org.apache.spark.sql.functions._
+    // arrival column dictates replay order; event time zig-zags.
+    // watermark delay = 1 minute.
+    val rows = Seq(
+      // (event_id, ts, arrival)
+      (1L, "2024-01-01 00:00:00", 1L), // first arrival: no watermark yet
+      (2L, "2024-01-01 00:10:00", 2L), // advances max to 00:10
+      (3L, "2024-01-01 00:09:30", 3L), // 30s behind max: within delay, kept
+      (4L, "2024-01-01 00:05:00", 4L), // 5min behind max: dropped
+      (5L, "2024-01-01 00:09:00", 5L)  // exactly 60s behind: not < wm, kept
+    ).toDF("event_id", "s", "arrival")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"), col("arrival"))
+    val out = StreamingFeatures
+      .lateEventsBatch(rows, "event_id", "ts", "arrival", delayMinutes = 1L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[Any]("wm_us")), r.getAs[Int]("is_late"))))
+      .toMap
+    assert(out(1L)._1.isEmpty && out(1L)._2 == 0) // no watermark before first arrival
+    assert(out(2L)._2 == 0 && out(3L)._2 == 0)
+    assert(out(4L)._2 == 1)
+    assert(out(5L)._2 == 0) // boundary: ts == wm is NOT late
+  }
 }
