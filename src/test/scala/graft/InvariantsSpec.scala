@@ -204,4 +204,117 @@ class InvariantsSpec extends AnyFunSuite {
       assert(out.map(t => (t._2, t._3)).toSeq == rows.sortBy(identity), s"trial $trial order")
     }
   }
+
+  test("timeSplit invariant: matches the naive sort-and-cut on random logs") {
+    val rnd = new Random(271)
+    for (trial <- 1 to 5) {
+      val n = 2 + rnd.nextInt(60)
+      // ts values with deliberate collisions (mod 7) so the id tiebreak matters
+      val rows = (1L to n).map(i => (i, (rnd.nextInt(7) * 3600L).toString))
+      val df = rows.toDF("event_id", "secs")
+        .select(col("event_id"),
+          (col("secs").cast("long").cast("timestamp")).as("ts"))
+        .repartition(1 + rnd.nextInt(5))
+      val frac = 0.1 + rnd.nextDouble() * 0.8
+      val out = FeatureStore.timeSplit(df, Seq("ts", "event_id"), frac)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("split")).toMap
+      val cut = math.floor(frac * n).toLong
+      val naive = rows.sortBy { case (id, s) => (s.toLong, id) }
+        .zipWithIndex
+        .map { case ((id, _), idx) => id -> (if (idx < cut) "train" else "test") }
+        .toMap
+      assert(out == naive, s"trial $trial n=$n frac=$frac")
+    }
+  }
+
+  test("binFeatures invariant: freq bins match naive NTILE; width bins within range") {
+    val rnd = new Random(272)
+    for (trial <- 1 to 5) {
+      val n = 1 + rnd.nextInt(50)
+      val k = 1 + rnd.nextInt(6)
+      // heavy ties: values drawn from a tiny support
+      val rows = (1L to n).map(i => (i, "g", rnd.nextInt(5).toDouble))
+      val out = FeatureStore
+        .binFeatures(rows.toDF("event_id", "event_type", "value")
+          .repartition(1 + rnd.nextInt(4)), "event_id", "event_type", "value", k)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") -> ((r.getAs[Long]("width_bin"), r.getAs[Long]("freq_bin"))))
+        .toMap
+      // naive NTILE: first (n mod k) buckets get ceil(n/k) rows
+      val sorted = rows.sortBy { case (id, _, v) => (v, id) }
+      val q = n / k; val r0 = n % k
+      val naive = sorted.zipWithIndex.map { case ((id, _, _), idx) =>
+        val b = if (idx < r0 * (q + 1)) idx / (q + 1) + 1 else r0 + (idx - r0 * (q + 1)) / q + 1
+        id -> b.toLong
+      }.toMap
+      out.foreach { case (id, (wb, fb)) =>
+        assert(fb == naive(id), s"trial $trial id=$id k=$k")
+        assert(wb >= 0 && wb < k, s"trial $trial width bin range")
+      }
+    }
+  }
+
+  test("multiTouchCredits invariant: conservation and naive window counts on random logs") {
+    val rnd = new Random(273)
+    for (trial <- 1 to 4) {
+      val n = 5 + rnd.nextInt(50)
+      val types = Seq("click", "view", "purchase")
+      val rows = (1L to n).map { i =>
+        (1L + rnd.nextInt(3), types(rnd.nextInt(3)), rnd.nextInt(1000).toLong, // seconds
+          math.round(rnd.nextDouble() * 10000) / 100.0)
+      }.zipWithIndex.map { case ((u, t, s, v), i) => (u, t, s, v, i.toLong) }
+      val df = rows.toDF("user_id", "event_type", "secs", "value", "id")
+        .select(col("user_id"), col("event_type"),
+          col("secs").cast("timestamp").as("ts"), col("value"))
+        .repartition(1 + rnd.nextInt(4))
+      val winMin = 1L + rnd.nextInt(10)
+      val out = Analytics.multiTouchCredits(
+        df, "user_id", "event_type", "ts", "value", "purchase",
+        Seq("click", "view"), winMin).collect()
+      out.foreach { r =>
+        val vm = r.getAs[Long]("value_micro")
+        val sum = r.getAs[Long]("credit_click_micro") +
+          r.getAs[Long]("credit_view_micro") + r.getAs[Long]("remainder_micro")
+        assert(sum == vm, s"trial $trial conservation")
+      }
+      // naive per-conversion counts (strict (ts-W, ts) frame, value-based)
+      val wUs = winMin * 60L * 1000000L
+      val naive = rows.filter(_._2 == "purchase").map { case (u, _, s, _, id) =>
+        val tsUs = s * 1000000L
+        def cnt(t: String) = rows.count { case (u2, t2, s2, _, _) =>
+          u2 == u && t2 == t && s2 * 1000000L >= tsUs - wUs && s2 * 1000000L <= tsUs - 1
+        }.toLong
+        (u, tsUs, cnt("click"), cnt("view"))
+      }.groupBy(x => (x._1, x._2)).map { case (k, v) => k -> (v.head._3, v.head._4) }
+      out.foreach { r =>
+        val key = (r.getAs[Long]("entity"), r.getAs[Long]("ts_us"))
+        assert((r.getAs[Long]("n_click"), r.getAs[Long]("n_view")) == naive(key),
+          s"trial $trial counts at $key")
+      }
+    }
+  }
+
+  test("lateEventsBatch invariant: matches the naive running-max replay on random arrivals") {
+    val rnd = new Random(274)
+    for (trial <- 1 to 5) {
+      val n = 2 + rnd.nextInt(60)
+      val rows = (1L to n).map(i => (i, rnd.nextInt(100000).toLong, rnd.nextLong()))
+      val df = rows.toDF("event_id", "secs", "arrival")
+        .select(col("event_id"), col("secs").cast("timestamp").as("ts"), col("arrival"))
+        .repartition(1 + rnd.nextInt(5))
+      val delay = 1L + rnd.nextInt(60)
+      val out = graft.streaming.StreamingFeatures
+        .lateEventsBatch(df, "event_id", "ts", "arrival", delay)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("is_late")).toMap
+      var hi = Long.MinValue
+      val naive = rows.sortBy(_._3).map { case (id, s, _) =>
+        val tsUs = s * 1000000L
+        val late = if (hi == Long.MinValue) 0 else if (tsUs < hi - delay * 60000000L) 1 else 0
+        hi = math.max(hi, tsUs)
+        id -> late
+      }.toMap
+      assert(out == naive, s"trial $trial n=$n delay=$delay")
+    }
+  }
 }
