@@ -1347,6 +1347,20 @@ object SparkEntry {
         rotated, rotated.where(col("vec_id") < 10),
         "vec_id", "vec", m = PqM, dims = 64, ksub = PqKsub, iterations = 2, k = 5)
     }),
+    // PCA whitening (Jégou–Chum ECCV'12): corpus-learned top-8
+    // principal directions scaled 1/sqrt(λ+ε), applied centered via
+    // the native matapply kernel; oracle embeds the per-SF (W, W·μ)
+    // literals (pcaWhitenOracle) — generated by Verify, which learns
+    // the transform once.
+    "emb_pca_whiten" -> ((s, dir) => {
+      val (mu, w) = pcaWhiten(s, dir)
+      val b = w.map(row => row.indices.foldLeft(0.0)((acc, i) => acc + row(i) * mu(i)))
+      val y = Quantization.rotate(t(s, dir, "embeddings"), "vec_id", "embedding", w)
+      y.select(
+        col("vec_id") +:
+          (0 until PcaK).map(j =>
+            round(element_at(col("vec"), j + 1) - b(j), 6).as(s"c$j")): _*)
+    }),
     // Dimension-reduced PQ (the OPQ-shaped compression stack with the
     // training-free JL rotation): project 64 -> 16 dims with the
     // md5-signed random projection, then PQ (m=8, dsub=2) + ADC in
@@ -1761,6 +1775,39 @@ object SparkEntry {
       _ => Quantization.opqRotation(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         m = PqM, dims = 64, ksub = PqKsub, pqIterations = 2, opqIterations = 2))
+
+  private val PcaK = 8
+
+  /** Learned PCA-whitening transform per sf dir, memoized for the same
+    * reason as [[opqRotCache]]: the emb_pca_whiten query and its
+    * generated oracle must share the SAME (μ, W) within one JVM run.
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Double], Seq[Seq[Double]])]
+  private def pcaWhiten(s: SparkSession, dir: String): (Seq[Double], Seq[Seq[Double]]) =
+    pcaCache.computeIfAbsent(
+      dir,
+      _ => Quantization.pcaWhitening(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, k = PcaK))
+
+  /** Generated emb_pca_whiten oracle: each whitened component an
+    * UNROLLED ascending-i left-associated fold of embedding[i]·W[j][i]
+    * (the matapply kernel's add order) minus the literal (W·μ)_j,
+    * 6dp-rounded — bit-identical doubles in both engines.
+    */
+  private def pcaWhitenOracle(dir: String): String = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (mu, w) = pcaWhiten(spark, dir)
+    val comps = (0 until PcaK).map { j =>
+      val row = w(j)
+      val b = row.indices.foldLeft(0.0)((acc, i) => acc + row(i) * mu(i))
+      val dot = (1 to 64)
+        .map(i => s"embedding[$i]::DOUBLE * (${row(i - 1)})::DOUBLE")
+        .mkString("(", " + ", ")")
+      s"round($dot - ($b)::DOUBLE, 6) AS c$j"
+    }
+    s"SELECT vec_id, ${comps.mkString(", ")} FROM embeddings"
+  }
 
   /** Generated emb_opq_knn oracle: the learned rotation as literal
     * weights (each output dim an UNROLLED left-associated fold, the
@@ -5475,5 +5522,6 @@ object SparkEntry {
       miscOracles ++
       // Data-dependent oracles (per-SF literals) — present only when the
       // dump context (Verify) has declared its sf dir.
-      oracleDataDir.map(dir => "emb_opq_knn" -> opqKnnOracle(dir)).toMap
+      oracleDataDir.map(dir => "emb_opq_knn" -> opqKnnOracle(dir)).toMap ++
+      oracleDataDir.map(dir => "emb_pca_whiten" -> pcaWhitenOracle(dir)).toMap
 }

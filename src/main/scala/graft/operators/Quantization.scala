@@ -821,4 +821,63 @@ object Quantization {
         round(max(col("err")), 6).as("max_abs_err"),
         round(sum(col("err")) / count(lit(1)), 6).as("mean_abs_err"))
   }
+
+  /** Learn a PCA-whitening transform from the corpus: top-k principal
+    * directions of the covariance, each scaled by 1/√(λ+ε) — the
+    * classic embedding post-processing (Jégou–Chum ECCV'12 "Negative
+    * evidences and co-occurrences"; standard before PQ and for
+    * retrieval score calibration). Returns (μ, W) with W k×dims;
+    * whitened = W·(x − μ).
+    *
+    * Distributed part: ONE pass for per-dim decimal-exact sums and one
+    * for the d×d second-moment matrix (posexplode² + map-side-combined
+    * sum — the OPQ covariance shape; d² rows to the driver, d=64 ⇒
+    * 4096). Driver part: C = S/n − μμᵀ (IEEE on exact ingredients) +
+    * LAPACK eigSym — O(d³) on a d×d matrix, independent of corpus
+    * size. Bit-stable: decimal sums are partition-order independent
+    * and the same matrix always hands the same eigenvectors to the
+    * same LAPACK.
+    */
+  def pcaWhitening(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      eps: Double = 1e-6
+  ): (Seq[Double], Seq[Seq[Double]]) = {
+    require(k > 0 && k <= dims, s"k must be in [1, $dims], got $k")
+    val xs = space.select(transform(col(vecCol), x => x.cast("double")).as("x"))
+    val firstMoments = xs
+      .select(posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(round(col("xi"), 12).cast("decimal(38,12)")).cast("double").as("s"))
+      .collect()
+    val n = firstMoments.head.getAs[Long]("c").toDouble
+    val mu = new Array[Double](dims)
+    firstMoments.foreach(r => mu(r.getAs[Int]("i")) = r.getAs[Double]("s") / n)
+    val cells = xs
+      .select(posexplode(col("x")).as(Seq("i", "xi")), col("x"))
+      .select(
+        col("i"),
+        posexplode(transform(col("x"), y => col("xi") * y)).as(Seq("j", "v")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("v"), 12).cast("decimal(38,12)")).cast("double").as("s2"))
+      .collect()
+    val c = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
+    cells.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      c(i, j) = r.getAs[Double]("s2") / n - mu(i) * mu(j)
+    }
+    val es = breeze.linalg.eigSym(c)
+    // eigSym returns eigenvalues ascending; take the top k, largest first
+    val order = (0 until dims).sortBy(i => -es.eigenvalues(i)).take(k)
+    val w = order.map { idx =>
+      val scale = 1.0 / math.sqrt(es.eigenvalues(idx) + eps)
+      Seq.tabulate(dims)(i => es.eigenvectors(i, idx) * scale)
+    }
+    (mu.toSeq, w)
+  }
 }

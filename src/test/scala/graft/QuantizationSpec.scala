@@ -499,4 +499,38 @@ class QuantizationSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(rerank == hamming) // same candidate SET, possibly different order
   }
+
+  test("pcaWhitening: whitened components are centered, unit-variance, uncorrelated") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    // deterministic anisotropic 4-d cloud: dims scaled very differently
+    // and shifted, with a deterministic pseudo-random source
+    val rnd = new scala.util.Random(7)
+    val data = (1L to 400L).map { i =>
+      val g = Array.fill(4)(rnd.nextGaussian())
+      (i, Array(
+        (10.0 * g(0) + 5.0).toFloat,
+        (0.5 * g(1) - 2.0).toFloat,
+        (3.0 * (0.8 * g(0) + 0.6 * g(2))).toFloat, // correlated with dim 0
+        (1.0 * g(3)).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val (mu, w) = Quantization.pcaWhitening(df, "vec_id", "embedding", dims = 4, k = 4)
+    // whiten locally with the learned transform
+    val whitened = data.map { case (_, x) =>
+      w.map(row => row.indices.map(i => row(i) * (x(i) - mu(i))).sum).toArray
+    }
+    val n = whitened.length.toDouble
+    for (j <- 0 until 4) {
+      val meanJ = whitened.map(_(j)).sum / n
+      val varJ = whitened.map(v => (v(j) - meanJ) * (v(j) - meanJ)).sum / n
+      assert(math.abs(meanJ) < 1e-6, s"component $j centered")
+      assert(math.abs(varJ - 1.0) < 0.01, s"component $j unit variance, got $varJ")
+    }
+    // cross-correlation of distinct components vanishes
+    for (a <- 0 until 4; b <- (a + 1) until 4) {
+      val cov = whitened.map(v => v(a) * v(b)).sum / n
+      assert(math.abs(cov) < 0.01, s"components $a,$b uncorrelated, got $cov")
+    }
+  }
 }
