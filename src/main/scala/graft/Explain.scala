@@ -81,7 +81,18 @@ object Explain {
       // RFM triple ranking, correlation single-aggregate, daily MAD,
       // media digest dedup, version-pinned reproducibility.
       "q_funnel_window", "q_rfm_segments", "fs_feature_corr",
-      "q_daily_anomaly", "mm_binary_dedup", "lake_reproducible_training")
+      "q_daily_anomaly", "mm_binary_dedup", "lake_reproducible_training",
+      // R4 session-3/4 additions: skyline prefix-max frontier, WoW
+      // movers, embedding-enriched PIT join.
+      "q_skyline", "q_week_over_week", "fs_training_set_embedded",
+      // R4 session-4 additions: broadcast-moments scaling, per-group
+      // NTILE binning, prefix-sum chronological split, distributed
+      // NTILE terciles, CLIP pair gates, schema-evolved lakehouse read,
+      // prefix-max watermark replay, single-frame multi-touch credits,
+      // whitening via the matapply kernel.
+      "fs_feature_scale", "fs_feature_bins", "fs_split_time",
+      "text_ppl_buckets", "mm_pair_curation", "lake_schema_evolution",
+      "stream_late_events", "q_attribution_multi", "emb_pca_whiten")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

@@ -1349,12 +1349,16 @@ object Analytics {
       .partitionBy(col("entity"))
       .orderBy(col("ts_us"))
       .rangeBetween(-wUs, -1)
-    val counted = touchTypes.foldLeft(base) { (df, t) =>
-      df.withColumn(
-        s"n_$t",
-        coalesce(
-          sum(when(col("etype") === t, 1L).otherwise(0L)).over(frame), lit(0L)))
-    }
+    // One projection for ALL channel counts: sequential withColumns
+    // would leave a Project between the window expressions and block
+    // CollapseWindow — this way every channel evaluates inside ONE
+    // Window operator over one sort.
+    val counted = base.select(
+      col("*") +:
+        touchTypes.map(t =>
+          coalesce(
+            sum(when(col("etype") === t, 1L).otherwise(0L)).over(frame),
+            lit(0L)).as(s"n_$t")): _*)
     val nTotal = touchTypes.map(t => col(s"n_$t")).reduce(_ + _)
     val valueMicro = floor(col("value") * 1000000.0).cast("long")
     val credits = touchTypes.map { t =>

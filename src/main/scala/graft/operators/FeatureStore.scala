@@ -148,10 +148,18 @@ object FeatureStore {
     * prefix offsets, never a single-task window. The shared primitive
     * behind paged exports and quantile scoring.
     */
-  def globalRowNumbers(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+  def globalRowNumbers(df: DataFrame, orderCols: Seq[String]): DataFrame =
+    globalRowNumbersWithTotal(df, orderCols)._1
+
+  /** [[globalRowNumbers]] plus the total row count — already known from
+    * the prefix-sum offsets, so rank-based consumers (ntile buckets,
+    * fractional splits) need NO second counting pass over the data.
+    */
+  def globalRowNumbersWithTotal(
+      df: DataFrame, orderCols: Seq[String]): (DataFrame, Long) = {
     val (parted, offsets) = numberedPartitions(df, orderCols)
     val total = offsets.map(_._3).sum
-    rangeSlice(parted, offsets, 0L, total, orderCols)
+    (rangeSlice(parted, offsets, 0L, total, orderCols), total)
   }
 
   def pagedMaterialization(

@@ -219,17 +219,21 @@ object TextAnalysis {
   ): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val scored = lmScore(docs, idCol, textCol).select(col("doc_id"), col("avg_nll"))
-    val numbered = FeatureStore.globalRowNumbers(scored, Seq("avg_nll", "doc_id"))
-    val total = broadcast(numbered.agg(count(lit(1)).as("n")))
+    // total comes free from the numbering's prefix-sum offsets — no
+    // second counting pass (and no second window) over the corpus.
+    val (numbered, n) = FeatureStore.globalRowNumbersWithTotal(
+      scored, Seq("avg_nll", "doc_id"))
     val names = Seq("head", "middle", "tail")
-    val k = lit(nBuckets.toLong)
-    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
-    val q = idiv(col("n"), k)
-    val r = col("n") % k
+    val k = nBuckets.toLong
+    val q = n / k
+    val r = n % k
+    def idiv(a: Column, b: Long): Column = floor(a / b).cast("long")
     val rn = col("row_number")
-    val bucket = when(
-      rn <= r * (q + 1L), idiv(rn - 1L, q + 1L) + 1L
-    ).otherwise(r + idiv(rn - r * (q + 1L) - 1L, q) + 1L)
+    val bucket =
+      if (q == 0L) rn // fewer rows than buckets: bucket = rank
+      else when(
+        rn <= r * (q + 1L), idiv(rn - 1L, q + 1L) + 1L
+      ).otherwise(idiv(rn - r * (q + 1L) - 1L, q) + (r + 1L))
     val label =
       if (nBuckets == 3)
         when(col("bucket") === 1L, names(0))
@@ -237,7 +241,6 @@ object TextAnalysis {
           .otherwise(names(2))
       else col("bucket").cast("string")
     numbered
-      .crossJoin(total)
       .withColumn("bucket", bucket)
       .select(col("doc_id"), col("avg_nll"), label.as("bucket"))
   }
