@@ -316,6 +316,10 @@ object SparkEntry {
     "fs_feature_bins" -> ((s, dir) =>
       FeatureStore.binFeatures(
         t(s, dir, "events"), "event_id", "event_type", "value", nBins = 10)),
+    // Robust prep: clip each feature at its exact p05/p95 fences.
+    "fs_winsorize" -> ((s, dir) =>
+      FeatureStore.winsorize(
+        t(s, dir, "events"), "event_id", "event_type", "value", lo = 0.05, hi = 0.95)),
     // Chronological 80/20 split — train on the past, test on the future.
     "fs_split_time" -> ((s, dir) =>
       FeatureStore
@@ -1061,6 +1065,17 @@ object SparkEntry {
              CAST(ntile(10) OVER (
                PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS BIGINT) AS freq_bin
       FROM events JOIN m ON events.event_type = m.feature""",
+    "fs_winsorize" -> """
+      WITH q AS (
+        SELECT event_type AS feature,
+               quantile_cont(value, 0.05) AS p_lo,
+               quantile_cont(value, 0.95) AS p_hi
+        FROM events GROUP BY event_type)
+      SELECT event_id, feature, value,
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE least(greatest(value, p_lo), p_hi) END AS clipped,
+             CAST(coalesce(value < p_lo OR value > p_hi, false) AS INT) AS was_clipped
+      FROM events JOIN q ON events.event_type = q.feature""",
     "fs_split_time" -> """
       WITH n AS (SELECT count(*) AS total FROM events),
       r AS (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events)

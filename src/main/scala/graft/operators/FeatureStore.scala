@@ -781,6 +781,45 @@ object FeatureStore {
         ntile(nBins).over(w).cast("long").as("freq_bin"))
   }
 
+  /** Winsorization — clip each feature to its [lo, hi] exact
+    * interpolated percentiles (the robust alternative to dropping
+    * outliers: heavy tails are pulled to the fence, sample size
+    * preserved). Complements [[scaleFeatures]]: winsorize first, scale
+    * second is the standard robust-prep chain. Percentiles are the
+    * portable exact-interpolation pair (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q_percentiles-proven path); the clip is
+    * least/greatest on broadcast fences — a narrow map over one scan.
+    * NULL values stay NULL (guarded: engines disagree on
+    * least/greatest NULL semantics, so the clip never sees a NULL).
+    */
+  def winsorize(
+      events: DataFrame,
+      idCol: String,
+      featureCol: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val fences = events
+      .groupBy(col(featureCol).as("feature"))
+      .agg(
+        percentile(col(valueCol), lit(lo)).as("p_lo"),
+        percentile(col(valueCol), lit(hi)).as("p_hi"))
+    events
+      .join(broadcast(fences), col(featureCol) === col("feature"))
+      .select(
+        col(idCol),
+        col("feature"),
+        col(valueCol).as("value"),
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+          .as("clipped"),
+        coalesce(
+          (col(valueCol) < col("p_lo") || col(valueCol) > col("p_hi")).cast("int"),
+          lit(0)).as("was_clipped"))
+  }
+
   /** Leakage-safe chronological split: train on the past, evaluate on
     * the future — the split a time-series / feature-store pipeline must
     * use when the hash splits ([[trainTestSplit]]) would leak future

@@ -679,6 +679,20 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out(5.0) == ((2L, 3L)))  // (5-1)/9*5 = 2.22 -> 2; rank 5 of 10 -> ntile 3
   }
 
+  test("winsorize clips to the exact percentile fences; NULLs stay NULL") {
+    val df = ((1L to 9L).map(i => (i, "a", Some(i.toDouble))) :+ ((10L, "a", Option.empty[Double])))
+      .toDF("event_id", "event_type", "value")
+    // values 1..9 (+1 null): p25 = 3.0, p75 = 7.0 (exact interpolation)
+    val out = FeatureStore.winsorize(df, "event_id", "event_type", "value", 0.25, 0.75)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getAs[Any]("clipped")), r.getAs[Int]("was_clipped"))))
+      .toMap
+    assert(out(1L) == ((Some(3.0), 1)))
+    assert(out(5L) == ((Some(5.0), 0)))
+    assert(out(9L) == ((Some(7.0), 1)))
+    assert(out(10L) == ((None, 0)))
+  }
+
   test("timeSplit: exact chronological boundary at floor(f*n)") {
     val df = (1L to 10L)
       .map(i => (i, ts(f"2024-01-${i}%02d 00:00:00")))
