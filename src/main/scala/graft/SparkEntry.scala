@@ -4189,6 +4189,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
     "q_session_window" -> ((s, dir) => Analytics.sessionWindows(t(s, dir, "events"), 30)),
     // Market-basket lift over order-blocked part pairs.
+    // Segment-pair audience overlap from KMV sketches: union AND
+    // intersection cardinalities without a count-distinct join.
+    "q_audience_overlap" -> ((s, dir) =>
+      Cardinality.audienceOverlapKmv(
+        t(s, dir, "events"), "event_type", "user_id", k = 128)),
     "q_copurchase_lift" -> ((s, dir) =>
       Analytics.copurchaseLift(t(s, dir, "lineitem"), minCo = 2)),
     // Z-order layout: Morton-interleaved (custkey, day) codes cut into
@@ -4491,6 +4496,27 @@ object SparkEntry {
           decSumD(col("price")).as("total"),
           sum(col("k")).as("sum_keys"))
     }),
+    // Change data feed (Delta table_changes parity): appends resolve
+    // from their own commit dirs (no diff computation); the delete
+    // rewrite falls back to the snapshot exceptAll diff.
+    "lake_table_changes" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_cdf"
+      val tp = new org.apache.hadoop.fs.Path(s"$root/nation_cdf")
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh table per run
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"), col("n_regionkey").cast("long").as("r"))
+      val v1 = Lakehouse.commit(base, root, "nation_cdf", "overwrite")
+      val v2 = Lakehouse.commit(
+        base.where(col("r") === 0).select((col("k") + 100L).as("k"), col("r")),
+        root, "nation_cdf", "append")
+      val v3 = Lakehouse.deleteWhere(s, root, "nation_cdf", col("r") === 1).version
+      Lakehouse.tableChanges(s, root, "nation_cdf", v1, v2)
+        .withColumn("phase", lit("append"))
+        .unionByName(
+          Lakehouse.tableChanges(s, root, "nation_cdf", v2, v3)
+            .withColumn("phase", lit("delete")))
+    }),
     // Additive schema evolution: v1 without the comment column, an
     // evolved append WITH it; the merged snapshot nulls the old files'
     // missing column while the pre-evolution snapshot keeps v1's shape.
@@ -4744,6 +4770,40 @@ object SparkEntry {
                   WHEN v1.label = v2.label THEN 'same'
                   ELSE 'changed' END AS status
       FROM v1 FULL JOIN v2 ON v1.vec_id = v2.vec_id""",
+    "q_audience_overlap" -> """
+      WITH h AS (
+        SELECT DISTINCT event_type AS seg,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events),
+      d AS (SELECT seg, count(*) AS exact_d FROM h GROUP BY seg),
+      r AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn FROM h),
+      sk AS (SELECT seg, list(h ORDER BY h) AS sk FROM r WHERE rn <= 128 GROUP BY seg),
+      s AS (SELECT sk.seg, sk.sk, d.exact_d FROM sk JOIN d USING (seg)),
+      p AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b, a.sk AS ska, b.sk AS skb,
+               a.exact_d AS exact_a, b.exact_d AS exact_b
+        FROM s a JOIN s b ON a.seg < b.seg),
+      m AS (
+        SELECT *, list_sort(list_distinct(list_concat(ska, skb)))[1:128] AS merged
+        FROM p),
+      e AS (
+        SELECT *,
+          CASE WHEN len(merged) < 128 THEN CAST(len(merged) AS DOUBLE)
+               ELSE (CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                    / CAST(merged[128] AS DOUBLE) END AS est_union_d,
+          CAST(len(list_intersect(list_intersect(merged, ska), skb)) AS DOUBLE)
+            / CAST(len(merged) AS DOUBLE) AS jacc
+        FROM m)
+      SELECT seg_a, seg_b, exact_a, exact_b,
+        CAST(floor(CASE WHEN len(ska) < 128 THEN CAST(len(ska) AS DOUBLE)
+             ELSE (CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                  / CAST(ska[128] AS DOUBLE) END) AS BIGINT) AS est_a,
+        CAST(floor(CASE WHEN len(skb) < 128 THEN CAST(len(skb) AS DOUBLE)
+             ELSE (CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                  / CAST(skb[128] AS DOUBLE) END) AS BIGINT) AS est_b,
+        CAST(floor(est_union_d) AS BIGINT) AS est_union,
+        CAST(floor(jacc * est_union_d) AS BIGINT) AS est_intersection
+      FROM e""",
     "q_copurchase_lift" -> """
       WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
@@ -5197,6 +5257,14 @@ object SparkEntry {
              CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total,
              CAST(sum(k) AS BIGINT) AS sum_keys
       FROM kept GROUP BY status""",
+    "lake_table_changes" -> """
+      SELECT CAST(n_nationkey + 100 AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS r,
+             'insert' AS change_type, 'append' AS phase
+      FROM nation WHERE n_regionkey = 0
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS r,
+             'delete' AS change_type, 'delete' AS phase
+      FROM nation WHERE n_regionkey = 1""",
     "lake_schema_evolution" -> """
       WITH evolved AS (
         SELECT s_suppkey AS k, s_nationkey AS nation, CAST(NULL AS DOUBLE) AS balance

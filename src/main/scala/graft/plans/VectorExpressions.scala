@@ -374,6 +374,7 @@ object GraftFunctions {
   val MinHashBandsName = "graft_minhash_bands"
   val RpName = "graft_rp"
   val MatApplyName = "graft_matapply"
+  val KmvName = "graft_kmv"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -399,6 +400,17 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), DoubleType),
           org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), LongType),
           k)
+      },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      KmvName,
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(s"graft_kmv k must be an int literal, got $other")
+        }
+        KmvSketch(org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), LongType), k)
       },
       "built-in")
   }

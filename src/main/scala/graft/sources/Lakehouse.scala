@@ -120,6 +120,61 @@ object Lakehouse {
     if (lastOverwrite < 0) commits else commits.drop(lastOverwrite)
   }
 
+  /** Row-level changes between two versions — the Delta "change data
+    * feed" / `table_changes(from, to)` read. Returns the to-version's
+    * rows that the from-version lacked as `change_type = 'insert'` and
+    * the removed rows as `'delete'` (multiset semantics: a row present
+    * twice then once yields one delete).
+    *
+    * Scale path: when every commit in (from, to] is a plain APPEND,
+    * the answer is just the parquet in those commits' own data dirs —
+    * read ~delta bytes, no diff computation at all (the common case:
+    * a feature table growing by daily appends). Anything else
+    * (overwrite / merge / delete rewrites) falls back to a full
+    * `exceptAll` diff of the two snapshots — two scans + one shuffle,
+    * the honest cost of diffing rewritten files without row ids.
+    */
+  def tableChanges(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      fromVersion: Int,
+      toVersion: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion, s"need from <= to, got $fromVersion > $toVersion")
+    val vs = versions(spark, root, table)
+    require(
+      Seq(fromVersion, toVersion).forall(vs.contains),
+      s"versions ($fromVersion, $toVersion) must exist in $table (have: $vs)")
+    val between = vs
+      .filter(v => v > fromVersion && v <= toVersion)
+      .map(v => readCommit(spark, root, table, v))
+    if (between.isEmpty)
+      return read(spark, root, table, Some(toVersion)).limit(0)
+        .withColumn("change_type", lit("insert"))
+    if (between.forall(_.action == "append")) {
+      val dirs = between.flatMap(_.dataDirs)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .withColumn("change_type", lit("insert"))
+    } else {
+      import org.apache.spark.sql.functions.col
+      val from = read(spark, root, table, Some(fromVersion))
+      val to = read(spark, root, table, Some(toVersion))
+      // Align the from-snapshot to the to-schema: a schema-evolved
+      // column absent at fromVersion reads as NULL there (the same
+      // thing a mergeSchema read of the old files yields).
+      val fromAligned = from.select(to.schema.fields.toSeq.map { f =>
+        (if (from.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+      to.exceptAll(fromAligned)
+        .withColumn("change_type", lit("insert"))
+        .unionByName(
+          fromAligned.exceptAll(to).withColumn("change_type", lit("delete")))
+    }
+  }
+
   /** Write a log checkpoint at the current tip: one file holding the
     * commits that survive replay AT that version (everything since the
     * last overwrite), so later readers resolve snapshots from it plus

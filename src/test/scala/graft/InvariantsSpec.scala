@@ -317,4 +317,33 @@ class InvariantsSpec extends AnyFunSuite {
       assert(out == naive, s"trial $trial n=$n delay=$delay")
     }
   }
+
+  test("KmvSketch invariant: k smallest DISTINCT hashes under any partitioning; exact when small") {
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new Random(275)
+    for (trial <- 1 to 5) {
+      val n = 1 + rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(12)
+      // heavy duplication: items from a small support
+      val rows = (1L to n).map(_ => ("g", rnd.nextInt(30).toLong))
+      val out = rows.toDF("g", "item")
+        .repartition(1 + rnd.nextInt(6))
+        .groupBy(col("g"))
+        .agg(org.apache.spark.sql.functions.call_function(
+          "graft_kmv",
+          graft.functions.TextFunctions.md5Long60(col("item").cast("string")),
+          lit(k)).as("sk"))
+        .collect().head.getSeq[Long](1)
+      val naiveAll = rows.map(_._2).distinct
+        .map(v => md5Long60Local(v.toString)).sorted
+      assert(out == naiveAll.take(k), s"trial $trial n=$n k=$k")
+      if (naiveAll.size < k) assert(out.size == naiveAll.size) // exact below k
+    }
+  }
+
+  private def md5Long60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(15), 16)
+  }
 }

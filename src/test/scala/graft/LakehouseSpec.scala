@@ -347,4 +347,21 @@ class LakehouseSpec extends AnyFunSuite {
       Lakehouse.merge(spark, root, t, Seq(4L).toDF("k"), "k")
     }.getMessage.contains("missing"))
   }
+
+  test("tableChanges: append fast path, delete diff, multiset semantics, empty range") {
+    val t = "cdf_t"
+    // v1: rows 1,2 and a DUPLICATE of 1
+    val v1 = Lakehouse.commit(Seq(1L, 1L, 2L).toDF("k"), root, t, "overwrite")
+    // v2: append 3,4
+    val v2 = Lakehouse.commit(Seq(3L, 4L).toDF("k"), root, t, "append")
+    // v3: delete k = 1 (removes BOTH copies)
+    val v3 = Lakehouse.deleteWhere(spark, root, t, col("k") === 1L).version
+    def changes(a: Int, b: Int) =
+      Lakehouse.tableChanges(spark, root, t, a, b)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).sorted.toSeq
+    assert(changes(v1, v2) == Seq((3L, "insert"), (4L, "insert")))
+    assert(changes(v2, v3) == Seq((1L, "delete"), (1L, "delete"))) // multiset: both copies
+    assert(changes(v1, v1).isEmpty) // empty version range -> no changes
+    assert(changes(v1, v3) == Seq((1L, "delete"), (1L, "delete"), (3L, "insert"), (4L, "insert")))
+  }
 }
