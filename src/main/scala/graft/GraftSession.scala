@@ -31,6 +31,12 @@ object GraftSession {
       // 100TB note: parquet scans split at this size; 128MB default is
       // right for the cluster, harmless locally.
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // Runtime filters: when a join's build side is selective, inject
+      // a bloom filter on the probe side BEFORE its shuffle/scan — the
+      // DPP-class lever that turns "shuffle the 100TB fact table, then
+      // join" into "scan-filter it down first". Spark ships the
+      // machinery (InjectRuntimeFilter); it just defaults off.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // The generated-class cache defaults to 100 entries; a session
       // running the full graft query surface compiles several hundred
       // codegen units, and evictions re-Janino-compile hot stages at

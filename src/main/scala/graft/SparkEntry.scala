@@ -4177,6 +4177,11 @@ object SparkEntry {
     // user stream (the Sankey/Markov matrix).
     "q_event_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")),
+    // Top 20 3-step user journeys (the Sankey/path-analysis view).
+    "q_event_paths" -> ((s, dir) =>
+      Analytics.eventPaths(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        steps = 3, topN = 20)),
     // Cohort retention matrix: distinct active users per
     // (first-active-week cohort, week offset) — product analytics'
     // canonical retention view.
@@ -4693,6 +4698,15 @@ object SparkEntry {
         FROM (SELECT DISTINCT event_type AS grp FROM events) CROSS JOIN span)
       SELECT grp, CAST(day AS BIGINT) AS day, CAST(coalesce(n, 0) AS BIGINT) AS n
       FROM frame LEFT JOIN c USING (grp, day)""",
+    "q_event_paths" -> """
+      WITH s AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+      FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
     "q_event_transitions" -> """
       SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM (
         SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)

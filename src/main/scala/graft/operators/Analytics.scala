@@ -1316,6 +1316,40 @@ object Analytics {
         .as("z_micro"))
   }
 
+  /** Top event paths — the journey/Sankey view one level deeper than
+    * [[eventTransitions]]'s 2-step matrix: count every `steps`-long
+    * consecutive event-type sequence per entity and keep the top-N
+    * corpus-wide. One entity-partitioned window (lead() per extra
+    * step — all leads share the single sort), one map-side-combined
+    * count, top-N via TakeOrderedAndProject (k rows per partition
+    * cross the final exchange, never the full path table). The cut is
+    * deterministic: ties at rank N break on the path string.
+    */
+  def eventPaths(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      steps: Int = 3,
+      topN: Int = 20
+  ): DataFrame = {
+    require(steps >= 2, s"steps must be >= 2, got $steps")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val w = Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val stepCols = (1 until steps).map(i => lead(col(typeCol), i).over(w).as(s"_t$i"))
+    val withSteps = events.select(col(typeCol).as("_t0") +: stepCols: _*)
+    withSteps
+      .where((1 until steps).map(i => col(s"_t$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(">", (0 until steps).map(i => col(s"_t$i")): _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Multi-touch (linear) attribution — the companion of the last-touch
     * join (StreamingFeatures.attributionBatch): each conversion splits
     * its value evenly-by-channel over the touches in its trailing

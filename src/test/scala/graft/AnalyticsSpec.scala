@@ -569,6 +569,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rd.isNullAt(rd.fieldIndex("z_micro")))
   }
 
+  test("eventPaths counts consecutive k-step sequences per entity; deterministic top-N cut") {
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "b", 4L), // paths a>b>c, b>c>b
+      (2L, "a", 1L), (2L, "b", 2L), (2L, "c", 3L),                // path a>b>c
+      (3L, "x", 1L), (3L, "y", 2L)                                // too short for 3 steps
+    ).toDF("user_id", "event_type", "secs")
+      .select(col("user_id"), col("event_type"),
+        col("secs").cast("timestamp").as("ts"), col("secs").as("event_id"))
+    val out = Analytics
+      .eventPaths(ev, "user_id", "event_type", "ts", "event_id", steps = 3, topN = 2)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("n"))
+    assert(out.toSeq == Seq("a>b>c" -> 2L, "b>c>b" -> 1L))
+  }
+
   test("multiTouchCredits: linear split conserves value_micro; strict pre-conversion frame") {
     val ev = Seq(
       // user 1: 2 clicks + 1 view before the purchase -> 2/3 vs 1/3 split
