@@ -92,7 +92,11 @@ object Explain {
       // whitening via the matapply kernel.
       "fs_feature_scale", "fs_feature_bins", "fs_split_time",
       "text_ppl_buckets", "mm_pair_curation", "lake_schema_evolution",
-      "stream_late_events", "q_attribution_multi", "emb_pca_whiten")
+      "stream_late_events", "q_attribution_multi", "emb_pca_whiten",
+      // R4 session-4 later additions: KMV partial-agg shape, CDF
+      // append fast path, journey paths, winsorize broadcast fences.
+      "q_audience_overlap", "lake_table_changes", "q_event_paths",
+      "fs_winsorize")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

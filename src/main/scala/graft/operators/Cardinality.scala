@@ -139,6 +139,9 @@ object Cardinality {
           graft.plans.GraftFunctions.KmvName,
           TextFunctions.md5Long60(col(userCol).cast("string")), lit(k)).as("sk"),
         count_distinct(col(userCol)).as("exact_d"))
+      // pin: the pair stage self-joins this |segments|-row frame; an
+      // unpinned plan would re-scan the event log once per join leg
+      .localCheckpoint()
     def est(c: Column): Column =
       when(size(c) < k, size(c).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(M) / element_at(c, k).cast("double"))

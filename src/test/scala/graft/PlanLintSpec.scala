@@ -37,6 +37,24 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"scale-unsafe plans:\n${offenders.mkString("\n")}")
   }
 
+  test("KMV sketch aggregates map-side (partial before the exchange)") {
+    // the whole point of the bounded sketch is that each partition
+    // reduces to <= k longs BEFORE the shuffle; a final-only aggregate
+    // would shuffle every event row. The shipped query pins the
+    // sketch frame (localCheckpoint) so its agg plan is not visible
+    // from the outer DF — lint the sketch-build plan directly.
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val ev = graft.sources.Tables.load(spark, GraftTestSession.Sf0001, "events")
+    val df = ev.groupBy(col("event_type")).agg(
+      call_function("graft_kmv",
+        graft.functions.TextFunctions.md5Long60(col("user_id").cast("string")),
+        lit(128)).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv"),
+      s"KMV aggregate is not partial (map-side) in:\n${plan.take(2000)}")
+  }
+
   test("events scans push filters and prune columns (restored family plan audit)") {
     // fs_training_set_pit filters events by event_type: the predicate
     // must reach the parquet scan, not evaluate post-scan
