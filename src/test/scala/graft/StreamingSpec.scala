@@ -530,6 +530,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("lateEventsBatch parity: predicted drops match Structured Streaming's actual drops") {
+    import org.apache.spark.sql.functions._
+    // per-event micro-batches so the engine's watermark advances
+    // exactly like the replay's running max; 1-minute windows,
+    // 2-minute allowed delay, margins clear of the <=/< boundary
+    val arrivals = Seq(
+      (1L, "2024-01-01 10:00:30"), // on time
+      (2L, "2024-01-01 10:10:30"), // advances watermark to 10:08:30
+      (3L, "2024-01-01 10:05:00"), // window end 10:06 <= wm -> DROPPED
+      (4L, "2024-01-01 10:08:45"), // late but window end 10:09 > wm -> kept
+      (5L, "2024-01-01 10:09:59")  // window end 10:10 > wm -> kept
+    )
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val query = StreamingFeatures
+      .windowedCountsStream(
+        input.toDF().toDF("ts", "event_type", "value"),
+        watermark = "2 minutes", windowLen = "1 minute")
+      .writeStream.format("memory").queryName("wm_parity")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      arrivals.foreach { case (_, s) =>
+        input.addData((ts(s), "e", 1.0)); query.processAllAvailable()
+      }
+      val streamed = spark.table("wm_parity").collect()
+        .groupBy(_.getAs[Timestamp]("win_start"))
+        .view.mapValues(_.map(_.getAs[Long]("n")).max).toMap
+      // the engine dropped exactly event 3's window contribution
+      assert(!streamed.contains(ts("2024-01-01 10:05:00")))
+      assert(streamed(ts("2024-01-01 10:00:00")) == 1L)
+      assert(streamed(ts("2024-01-01 10:08:00")) == 1L)
+      assert(streamed(ts("2024-01-01 10:09:00")) == 1L)
+      assert(streamed(ts("2024-01-01 10:10:00")) == 1L)
+      // and the batch replay predicts the same single drop from wm_us:
+      // droppable iff the event's 1-min window end <= its watermark
+      val replay = StreamingFeatures
+        .lateEventsBatch(
+          arrivals.toDF("event_id", "s")
+            .select(col("event_id"), col("s").cast("timestamp").as("ts"),
+              col("event_id").as("arrival")),
+          "event_id", "ts", "arrival", delayMinutes = 2L)
+        .collect()
+        .map { r =>
+          val tsUs = r.getAs[Long]("ts_us")
+          val winEndUs = (tsUs / 60000000L + 1L) * 60000000L
+          val wm = Option(r.getAs[Any]("wm_us")).map(_.asInstanceOf[Long])
+          r.getAs[Long]("event_id") -> wm.exists(winEndUs <= _)
+        }.toMap
+      assert(replay == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
+    } finally query.stop()
+  }
+
   test("lateEventsBatch replays the watermark drop rule over arrival order") {
     import org.apache.spark.sql.functions._
     // arrival column dictates replay order; event time zig-zags.
