@@ -1529,6 +1529,21 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("label"))
       Graph.labelPropagation(edges, seeds, iterations = 2)
         .select(col("id").as("node_id"), col("label"))
+    }),
+    // Link prediction on the 3-NN similarity graph: non-adjacent pairs
+    // at distance 2 scored by common-neighbor count + fixed-point
+    // Jaccard — "which near-dup edges did the kNN budget miss".
+    "graph_link_predict" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      Graph.linkPrediction(edges, minCommon = 2)
+    }),
+    // Dense-core extraction: 3 synchronized peeling rounds at k=3 over
+    // the undirected 3-NN graph; survivors + residual degree.
+    "graph_kcore" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      Graph.kcorePeel(edges, k = 3, rounds = 3)
     })
   )
 
@@ -1580,6 +1595,63 @@ object SparkEntry {
                        / (deg.degree * (deg.degree - 1))
                   ELSE 0.0 END AS lcc
       FROM deg LEFT JOIN pern ON pern.id = deg.id"""
+
+  /** Distance-2 link prediction over the undirected 3-NN graph:
+    * wedge-join candidates, common-neighbor counts, integer-micro
+    * Jaccard, existing edges anti-joined away.
+    */
+  private lazy val linkPredictOracleSql: String = s"""
+      WITH $knnGraphCtes,
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      adj AS (
+        SELECT a AS id, b AS nb FROM und
+        UNION ALL SELECT b, a FROM und),
+      deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY id),
+      cn AS (
+        SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS common
+        FROM adj x JOIN adj y ON y.id = x.id AND x.nb < y.nb
+        GROUP BY x.nb, y.nb),
+      cand AS (
+        SELECT cn.a, cn.b, cn.common
+        FROM cn LEFT JOIN und ON und.a = cn.a AND und.b = cn.b
+        WHERE und.a IS NULL AND cn.common >= 2)
+      SELECT c.a, c.b, c.common,
+             CAST(c.common * 1000000 // (da.degree + db.degree - c.common) AS BIGINT)
+               AS jaccard_micro
+      FROM cand c
+      JOIN deg da ON da.id = c.a
+      JOIN deg db ON db.id = c.b"""
+
+  /** 3 unrolled peeling rounds at k=3 over the same undirected graph:
+    * each round recomputes degrees inside the survivor-induced
+    * subgraph and drops nodes under k.
+    */
+  private lazy val kcoreOracleSql: String = s"""
+      WITH $knnGraphCtes,
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      d1 AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+      s1 AS (SELECT id FROM d1 WHERE deg >= 3),
+      e2 AS (
+        SELECT und.a, und.b FROM und
+        JOIN s1 x ON x.id = und.a JOIN s1 y ON y.id = und.b),
+      d2 AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id),
+      s2 AS (SELECT id FROM d2 WHERE deg >= 3),
+      e3 AS (
+        SELECT e2.a, e2.b FROM e2
+        JOIN s2 x ON x.id = e2.a JOIN s2 y ON y.id = e2.b),
+      d3 AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id)
+      SELECT id AS node_id, deg AS core_degree FROM d3 WHERE deg >= 3"""
 
   /** All-points 10-NN label consistency: integer match counts, one
     * IEEE division at output.
@@ -2442,6 +2514,8 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
     "graph_triangles" -> triangleOracleSql,
+    "graph_link_predict" -> linkPredictOracleSql,
+    "graph_kcore" -> kcoreOracleSql,
     "emb_label_consistency" -> labelConsistencyOracleSql,
     "emb_centroid_drift" -> """
       WITH b AS (

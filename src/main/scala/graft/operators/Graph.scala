@@ -171,4 +171,77 @@ object Graph {
             (col("degree") * (col("degree") - 1)).cast("double"))
           .otherwise(lit(0.0)).as("lcc"))
   }
+
+  /** Link prediction by common-neighbor evidence: score every
+    * NON-adjacent pair at distance 2 in the undirected graph by its
+    * common-neighbor count and fixed-point Jaccard overlap of the two
+    * neighborhoods (`|N(a)∩N(b)| / |N(a)∪N(b)|` in integer micro-units
+    * — exact, engine-portable). The "which near-dup edges did LSH
+    * miss" / "which docs should be reviewed as probable pairs" query
+    * over a similarity graph.
+    *
+    * Scale shape: candidates come from the wedge join (adjacency ⋈
+    * adjacency on the shared center), so the work is Σ_w deg(w)² —
+    * bounded by the max degree of the graph (k for a kNN graph), never
+    * all-pairs. One shuffle on the center key, one map-side-combined
+    * count on the (a,b) pair, an anti-join against the edge list, two
+    * broadcast-size degree joins.
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("id"), col("a").as("nb")))
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val candidates = adj.as("x")
+      .join(adj.as("y"), col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("a"), col("y.nb").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+    candidates
+      .join(deg.select(col("id").as("a"), col("degree").as("deg_a")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .select(
+        col("a"), col("b"), col("common"),
+        expr("common * 1000000 div (deg_a + deg_b - common)").as("jaccard_micro"))
+  }
+
+  /** Bounded k-core peeling: `rounds` synchronized rounds of "drop
+    * every node whose degree within the surviving subgraph is < k".
+    * Returns the survivors with their residual in-subgraph degree —
+    * the dense-core extraction that strips low-support fringe off a
+    * similarity graph before expensive downstream work (full k-core is
+    * this run to fixpoint; a fixed round budget keeps the plan static
+    * and is how the batch job would actually be scheduled).
+    *
+    * Scale shape per round: two semi-joins of the edge list against
+    * the shrinking survivor set (shuffle on a / on b) + one
+    * map-side-combined degree count — no all-pairs step. The edge
+    * list should be pinned by the caller; the survivor set shrinks
+    * monotonically so later rounds are cheaper.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    def degrees(sub: DataFrame): DataFrame = sub
+      .select(col("a").as("id"))
+      .unionAll(sub.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+    var sub = und
+    var surviving = degrees(sub).where(col("core_degree") >= k)
+    for (_ <- 2 to rounds) {
+      val alive = surviving.select(col("id"))
+      sub = sub
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      surviving = degrees(sub).where(col("core_degree") >= k)
+    }
+    surviving.select(col("id").as("node_id"), col("core_degree"))
+  }
 }

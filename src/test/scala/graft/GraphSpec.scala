@@ -86,6 +86,64 @@ class GraphSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("linkPrediction: distance-2 pairs only, exact common counts and jaccard") {
+    // Path 1-2-3 plus 1-4, 3-4: pair (1,3) shares neighbors {2,4},
+    // is NOT an edge -> common=2, deg(1)=2, deg(3)=2, union=2 ->
+    // jaccard = 2/2 = 1.0 -> 1000000 micro. Pair (2,4) shares {1,3}
+    // -> also common=2, jaccard 2/(2+2-2)=1. Adjacent pairs excluded.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.linkPrediction(edges, minCommon = 2).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("common"), r.getAs[Long]("jaccard_micro")))).toMap
+    assert(out == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+  }
+
+  test("linkPrediction never emits an existing edge and honors minCommon") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+    val pred = Graph.linkPrediction(edges, minCommon = 2)
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    assert(pred.join(und, Seq("a", "b"), "left_semi").count() == 0)
+    assert(pred.where(col("common") < 2).count() == 0)
+    assert(pred.count() > 0)
+  }
+
+  test("kcorePeel: pendant chain peels away, clique survives with exact degrees") {
+    // Triangle+chord clique {1,2,3,4} (all 6 edges) with a tail 4-5-6:
+    // round 1 drops 5,6 (degree<3); the 4-clique has degree 3 each and
+    // survives all rounds with residual degree 3.
+    val clique = for {
+      i <- 1L to 4L; j <- (i + 1) to 4L
+    } yield (i, j)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val out = Graph.kcorePeel(edges, k = 3, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("core_degree")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcorePeel round budget: a structure needing two peels resolves by round 2") {
+    // 4-clique + node 5 attached to 1,2,3 (degree 3): after dropping
+    // nothing in round 1 (all degrees >= 3)... attach 5 weakly via a
+    // pendant 6 so round 1 drops 6, lowering nothing else; then node 5
+    // retains degree 3 and stays. Verify rounds=1 vs rounds=2 differ
+    // when a cascade exists: chain 7-8 both peel in one round, and a
+    // node kept alive only by them (5-7,5-8 edges) falls in round 2.
+    val clique = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val extra = Seq((1L, 5L), (2L, 5L), (5L, 7L), (5L, 8L), (7L, 8L))
+    val edges = (clique ++ extra).toDF("src", "dst")
+    val r1 = Graph.kcorePeel(edges, k = 3, rounds = 1).collect()
+      .map(r => r.getAs[Long]("node_id")).toSet
+    val r2 = Graph.kcorePeel(edges, k = 3, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node_id")).toSet
+    // round 1: degrees — 5 has 4 edges (1,2,7,8) -> survives; 7,8 have
+    // degree 2 -> dropped. Round 2: without 7,8 node 5 has degree 2 ->
+    // dropped; clique unaffected.
+    assert(r1.contains(5L) && !r1.contains(7L) && !r1.contains(8L))
+    assert(r2 == Set(1L, 2L, 3L, 4L))
+  }
+
   test("knnGraph emits exactly k out-edges per node, excluding self") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3)
