@@ -4266,6 +4266,16 @@ object SparkEntry {
     "fs_scd2_intervals" -> ((s, dir) =>
       Analytics.scd2Intervals(t(s, dir, "events"), "user_id", "value", "ts", "event_id")),
     "q_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"), 30)),
+    // Sweep-line peak concurrency: max simultaneous 30-min sessions
+    // per UTC day; sessions split at midnight so the sweep partitions
+    // by day (no global ordering).
+    "q_concurrency_peak" -> ((s, dir) =>
+      Analytics.concurrencyPeak(t(s, dir, "events"), 30)),
+    // Trailing 8-event EWMA (α=1/2) of spend per user — exact integer
+    // micro-units, power-of-two weights, one window.
+    "q_ewma" -> ((s, dir) =>
+      Analytics.ewmaTrailing(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value", nLags = 8)),
     "q_session_window" -> ((s, dir) => Analytics.sessionWindows(t(s, dir, "events"), 30)),
     // Market-basket lift over order-blocked part pairs.
     // Segment-pair audience overlap from KMV sketches: union AND
@@ -4826,6 +4836,56 @@ object SparkEntry {
       SELECT user_id, session_id, count(*) AS n_events,
              min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
       FROM g GROUP BY user_id, session_id""",
+    // Sweep line: sessions split at UTC midnights, +1/-1 deltas, per-day
+    // running sum with starts ordered before ends at a shared instant.
+    "q_concurrency_peak" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess0 AS (
+        SELECT user_id, ts_us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+      sess AS (
+        SELECT user_id, session_id, min(ts_us) AS s, max(ts_us) AS e
+        FROM sess0 GROUP BY user_id, session_id),
+      split AS (
+        SELECT d.day, greatest(s, d.day * 86400000000) AS s2,
+               least(e, (d.day + 1) * 86400000000 - 1) AS e2
+        FROM sess, LATERAL (
+          SELECT unnest(generate_series(s // 86400000000, e // 86400000000)) AS day) d),
+      deltas AS (
+        SELECT day, s2 AS ts_us, 1 AS delta FROM split
+        UNION ALL SELECT day, e2, -1 FROM split),
+      run AS (
+        SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY ts_us, delta DESC
+          ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas)
+      SELECT CAST(day * 86400000000 AS BIGINT) AS day_us, CAST(max(conc) AS BIGINT) AS peak
+      FROM run GROUP BY day""",
+    // Truncated EWMA: identical lag/weight unroll, one integer division.
+    "q_ewma" -> {
+      val lagsN = (0 until 8).map { k =>
+        val w = 1L << (7 - k)
+        s"coalesce(lag(vm, $k) OVER w * $w, 0)"
+      }.mkString(" + ")
+      val lagsD = (0 until 8).map { k =>
+        val w = 1L << (7 - k)
+        s"CASE WHEN lag(vm, $k) OVER w IS NOT NULL THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH base AS (
+        SELECT user_id AS entity, event_id AS tiebreak, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        FROM events)
+      SELECT entity, ts_us, tiebreak,
+             CAST(($lagsN) // ($lagsD) AS BIGINT) AS ewma_micro
+      FROM base
+      WINDOW w AS (PARTITION BY entity ORDER BY ts_us, tiebreak)"""
+    },
     "q_session_window" -> """
       WITH f AS (
         SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

@@ -1412,4 +1412,76 @@ object Analytics {
           credits :+
           (valueMicro - creditSum).as("remainder_micro"): _*)
   }
+
+  /** Peak concurrent sessions per UTC day — the sweep-line classic
+    * ("max simultaneous viewers/connections"). Sessions come from
+    * [[sessionize]]; each is split at day boundaries so the sweep
+    * partitions BY DAY (the 100 TB shape: no global ordering anywhere,
+    * one shuffle on the day key; a naive global sweep-line is a
+    * single-partition window). Closed-interval semantics: at an exact
+    * shared instant, starts order before ends, so touching sessions
+    * count as concurrent. The per-day max is invariant to tie order
+    * within equal (ts, delta) groups: prefix sums are monotone inside
+    * a tie group, so the max is always attained at a group boundary.
+    */
+  def concurrencyPeak(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val dayUs = 86400000000L
+    val sess = sessionize(events, gapMinutes)
+      .select(col("session_start_us").as("s"), col("session_end_us").as("e"))
+    val split = sess
+      .withColumn("day", explode(sequence(expr(s"s div $dayUs"), expr(s"e div $dayUs"))))
+      .select(
+        col("day"),
+        greatest(col("s"), col("day") * dayUs).as("s2"),
+        least(col("e"), (col("day") + 1) * dayUs - 1).as("e2"))
+    val deltas = split.select(col("day"), col("s2").as("ts_us"), lit(1).as("delta"))
+      .unionAll(split.select(col("day"), col("e2").as("ts_us"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("ts_us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak"))
+      .select((col("day") * dayUs).as("day_us"), col("peak"))
+  }
+
+  /** Trailing EWMA (α = 1/2) truncated at `nLags` events, per entity —
+    * the smoothed-activity feature. Exact integer arithmetic: values
+    * in micro-units, power-of-two weights (2^(n-1-k)), numerator and
+    * denominator summed over the lags actually present, one truncating
+    * integer division at output — engine-portable and reproducible
+    * under any partitioning (a recursive double EWMA is neither
+    * window-expressible nor order-robust). ONE window over one
+    * entity-partitioned sort; all lags share the frame.
+    */
+  def ewmaTrailing(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      valueCol: String,
+      nLags: Int = 8
+  ): DataFrame = {
+    require(nLags >= 1 && nLags <= 32, s"nLags out of range: $nLags")
+    val base = events.select(
+      col(entityCol).as("entity"),
+      unix_micros(col(tsCol)).as("ts_us"),
+      col(tiebreakCol).as("tiebreak"),
+      floor(col(valueCol) * 1000000.0).cast("long").as("vm"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("ts_us"), col("tiebreak"))
+    val num = (0 until nLags).map { k =>
+      val weight = 1L << (nLags - 1 - k)
+      coalesce(lag(col("vm"), k).over(w) * weight, lit(0L))
+    }.reduce(_ + _)
+    val den = (0 until nLags).map { k =>
+      val weight = 1L << (nLags - 1 - k)
+      when(lag(col("vm"), k).over(w).isNotNull, lit(weight)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // `div` (integer division), not `/` (Spark would widen to double)
+    base
+      .select(col("entity"), col("ts_us"), col("tiebreak"),
+        num.as("num"), den.as("den"))
+      .select(col("entity"), col("ts_us"), col("tiebreak"),
+        expr("num div den").as("ewma_micro"))
+  }
 }

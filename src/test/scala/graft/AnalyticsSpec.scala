@@ -611,4 +611,38 @@ class AnalyticsSpec extends AnyFunSuite {
     // zero touches: all credit unattributed
     assert(out(2L) == ((0L, 0L, 0L, 0L, 5000000L)))
   }
+
+  test("concurrencyPeak: overlap counts, midnight split, touching sessions concurrent") {
+    // User 1: 00:00-00:10. User 2: 00:05-00:15 (overlaps 1) -> peak 2.
+    // User 3: 23:50 day1 .. 00:20 day2 (one session, crosses midnight).
+    // User 4: starts day2 00:20:00 exactly when 3's split-half is still
+    // open -> closed-interval semantics count both at that instant.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")), (2L, 1L, ts("2024-01-01 00:10:00")),
+      (3L, 2L, ts("2024-01-01 00:05:00")), (4L, 2L, ts("2024-01-01 00:15:00")),
+      (5L, 3L, ts("2024-01-01 23:50:00")), (6L, 3L, ts("2024-01-02 00:20:00")),
+      (7L, 4L, ts("2024-01-02 00:20:00"))
+    ).toDF("event_id", "user_id", "ts").withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0))
+    val out = Analytics.concurrencyPeak(ev, 30).collect()
+      .map(r => r.getAs[Long]("day_us") -> r.getAs[Long]("peak")).toMap
+    val d1 = ts("2024-01-01 00:00:00").getTime * 1000L
+    val d2 = d1 + 86400000000L
+    assert(out == Map(d1 -> 2L, d2 -> 2L))
+  }
+
+  test("ewmaTrailing: exact power-of-two weights over present lags") {
+    // One user, values 1,2,4 at t0<t1<t2, nLags=2 (weights 2,1):
+    // row0: num=1M*2, den=2 -> 1_000_000
+    // row1: num=2M*2+1M*1, den=3 -> 5M/3 = 1_666_666
+    // row2: num=4M*2+2M*1, den=3 -> 10M/3 = 3_333_333
+    val ev = Seq(
+      (1L, 9L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, 9L, ts("2024-01-01 00:01:00"), 2.0),
+      (3L, 9L, ts("2024-01-01 00:02:00"), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.ewmaTrailing(ev, "user_id", "ts", "event_id", "value", nLags = 2)
+      .collect().map(r => r.getAs[Long]("tiebreak") -> r.getAs[Long]("ewma_micro")).toMap
+    assert(out == Map(1L -> 1000000L, 2L -> 1666666L, 3L -> 3333333L))
+  }
 }
