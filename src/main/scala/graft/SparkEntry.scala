@@ -444,6 +444,19 @@ object SparkEntry {
         "user_id", "value", "ts", "event_id")
         .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us"))
     }),
+    // Decile lift: users ranked by click spend (exact micro sums),
+    // cut into 10 exact ntile groups, positive-rate / mean-score /
+    // lift-vs-base-rate per decile — the score-monitoring table.
+    "fs_decile_lift" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id").as("entity"))
+        .agg(
+          sum(when(col("event_type") === "click",
+            floor(col("value") * 1000000.0).cast("long")).otherwise(0L))
+            .as("score_micro"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      FeatureStore.liftTable(per, k = 10)
+    }),
     // Feature-selection screening: MI between per-user click count
     // (capped bin) and the purchased label, per-cell pico-nat terms.
     "fs_feature_importance_mi" -> ((s, dir) => {
@@ -551,6 +564,41 @@ object SparkEntry {
                  value, ts, event_id
           FROM events))
       WHERE rn = 1""",
+    "fs_decile_lift" -> """
+      WITH per AS (
+        SELECT user_id AS entity,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(floor(value * 1000000.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS score_micro,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS label
+        FROM events GROUP BY user_id),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(label) AS BIGINT) AS pos_total
+        FROM per),
+      rn AS (
+        SELECT entity, score_micro, label,
+               row_number() OVER (ORDER BY score_micro, entity) AS r
+        FROM per),
+      dec AS (
+        SELECT score_micro, label,
+               11 - (CASE WHEN r <= (n_total % 10) * (n_total // 10 + 1)
+                          THEN (r - 1) // (n_total // 10 + 1)
+                          ELSE (n_total % 10)
+                               + (r - (n_total % 10) * (n_total // 10 + 1) - 1)
+                                 // (n_total // 10)
+                     END + 1) AS decile
+        FROM rn CROSS JOIN tot)
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_entities,
+             CAST(sum(label) AS BIGINT) AS n_pos,
+             CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro,
+             CAST(sum(score_micro) // count(*) AS BIGINT) AS mean_score_micro,
+             CASE WHEN any_value(pos_total) > 0
+                  THEN CAST(sum(label) * any_value(n_total) * 1000000
+                            // (count(*) * any_value(pos_total)) AS BIGINT)
+             END AS lift_micro
+      FROM dec CROSS JOIN tot
+      GROUP BY decile""",
     "fs_feature_importance_mi" -> """
       WITH per AS (
         SELECT user_id,
@@ -1303,6 +1351,10 @@ object SparkEntry {
     }),
     "emb_norm_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), "label", "embedding")),
+    // OOD screening: exact integer distance-to-mean with the top 1%
+    // most distant flagged by exact rank — the pre-ingest sanity gate.
+    "emb_ood_scores" -> ((s, dir) =>
+      Similarity.oodScores(t(s, dir, "embeddings"), "vec_id", "embedding", pctOod = 1)),
     // embeddinghub Download: full-space export (key, dims, payload
     // checksum columns keep the compare cheap but scan everything).
     "emb_download" -> ((s, dir) =>
@@ -2671,6 +2723,22 @@ object SparkEntry {
              CAST(centroid_id = own_label AS INT) AS is_own FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
         FROM scored) WHERE rn = 1""",
+    "emb_ood_scores" -> """
+      WITH comp AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(unnest(embedding)::DOUBLE * 1000000.0) AS BIGINT) + 1000000 AS vm
+        FROM embeddings),
+      m AS (
+        SELECT pos, CAST(sum(vm) // count(*) AS BIGINT) AS mm
+        FROM comp GROUP BY pos),
+      d AS (
+        SELECT vec_id, CAST(sum((vm - mm) * (vm - mm)) AS BIGINT) AS d2
+        FROM comp JOIN m USING (pos) GROUP BY vec_id),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      rn AS (
+        SELECT vec_id, d2, row_number() OVER (ORDER BY d2, vec_id) AS r FROM d)
+      SELECT vec_id, d2, r > n - n * 1 // 100 AS is_ood
+      FROM rn CROSS JOIN tot""",
     "emb_norm_stats" -> """
       WITH n AS (
         SELECT label, sqrt(sum(x * x)) AS nrm FROM (

@@ -1320,4 +1320,53 @@ object FeatureStore {
             * col("n") * lit(1000000000000.0) / col("nt"))
           .cast("long").as("mi_pico"))
   }
+
+  /** Decile lift / calibration table — the model-monitoring view of a
+    * scored population: rank entities by score, cut into k exact
+    * quantile groups (decile 1 = highest scores), and report per group
+    * the positive rate, mean score, and lift vs the base rate. All
+    * integer arithmetic (scores arrive in micro-units; rates and lift
+    * leave as truncating micro-ratios), so the table is reproducible
+    * across engines and partitionings.
+    *
+    * Input contract: one row per entity with `entity`, `score_micro`
+    * (BIGINT), `label` (0/1). Ranking uses the distributed prefix-sum
+    * numbering ([[globalRowNumbers]]) — no single-partition window —
+    * with `entity` as the total-order tiebreak; group sizes follow the
+    * standard ntile split (first n mod k groups one larger). The only
+    * driver-side value is the 1-row population count.
+    */
+  def liftTable(scored: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val base = scored.select(col("entity"), col("score_micro"), col("label"))
+      .localCheckpoint() // numbering + totals over one computed base
+    val n = base.count()
+    require(n >= k, s"need at least k=$k entities, got $n")
+    val big = n % k
+    val q = n / k
+    val ntile =
+      when(col("row_number") <= big * (q + 1),
+        expr(s"(row_number - 1) div ${q + 1}"))
+        .otherwise(lit(big) + expr(s"(row_number - ${big * (q + 1)} - 1) div $q")) +
+        lit(1L)
+    val totals = base.agg(
+      count(lit(1)).as("n_total"), sum(col("label")).as("pos_total"))
+    globalRowNumbers(base, Seq("score_micro", "entity"))
+      .withColumn("decile", lit(k + 1L) - ntile)
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("label")).as("n_pos"),
+        sum(col("score_micro")).as("sum_score"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("decile"),
+        col("n_entities"),
+        col("n_pos"),
+        expr("n_pos * 1000000 div n_entities").as("pos_rate_micro"),
+        expr("sum_score div n_entities").as("mean_score_micro"),
+        when(col("pos_total") > 0,
+          expr("n_pos * n_total * 1000000 div (n_entities * pos_total)"))
+          .as("lift_micro"))
+  }
 }

@@ -599,4 +599,46 @@ object Similarity {
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"),
         round(avg(col("nrm")), 6).as("avg_norm"))
+
+  /** Out-of-distribution screening: squared L2 distance of every
+    * vector to the corpus mean, with the top `pctOod`% most distant
+    * flagged — the cheap "does this embedding even belong to the
+    * space" gate run before ingesting a new batch.
+    *
+    * Exactness: components quantize to offset micro-units
+    * (floor(x·1e6) + 1e6 keeps every sum positive, so truncating and
+    * flooring integer division agree across engines), the per-dim mean
+    * is one integer division, and d2 is an exact integer in micro² —
+    * reproducible under any partitioning. The cutoff is an exact rank
+    * over (d2, key) from the distributed prefix-sum numbering, not an
+    * approximate percentile. Scale shape: one posexplode + per-dim
+    * aggregate (64 rows), broadcast means back, one numbering pass.
+    */
+  def oodScores(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      pctOod: Int = 1
+  ): DataFrame = {
+    require(pctOod >= 1 && pctOod <= 50, s"pctOod out of range: $pctOod")
+    val comp = space.select(
+      col(keyCol).as("vec_id"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn(
+        "vm", floor(col("v").cast("double") * 1000000.0).cast("long") + 1000000L)
+    val perDim = comp
+      .groupBy(col("pos"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("s div n").as("mm"))
+    val d2 = comp
+      .join(broadcast(perDim), "pos")
+      .withColumn("dd", (col("vm") - col("mm")) * (col("vm") - col("mm")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("dd")).as("d2"))
+    val (numbered, total) =
+      FeatureStore.globalRowNumbersWithTotal(d2, Seq("d2", "vec_id"))
+    val cutoff = total - total * pctOod / 100
+    numbered.select(
+      col("vec_id"), col("d2"), (col("row_number") > cutoff).as("is_ood"))
+  }
 }

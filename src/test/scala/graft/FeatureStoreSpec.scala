@@ -702,4 +702,36 @@ class FeatureStoreSpec extends AnyFunSuite {
     // floor(0.75*10) = 7: days 1..7 train, 8..10 test
     assert((1L to 7L).forall(out(_) == "train") && (8L to 10L).forall(out(_) == "test"))
   }
+
+  test("liftTable: exact ntile cut, decile 1 = top scores, integer rates and lift") {
+    // 10 entities, scores 10..100 micro ×1e6; positives concentrated in
+    // the top two scores -> k=5 groups of 2, decile 1 = scores {90,100}.
+    val per = (1L to 10L)
+      .map(i => (i, i * 10000000L, if (i >= 9) 1L else 0L))
+      .toDF("entity", "score_micro", "label")
+    val out = FeatureStore.liftTable(per, k = 5).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_entities"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("pos_rate_micro"), r.getAs[Long]("mean_score_micro"),
+          r.getAs[Long]("lift_micro"))))
+      .toMap
+    // base rate 2/10: decile 1 has both positives -> lift = 1.0/0.2 = 5x
+    assert(out(1L) == ((2L, 2L, 1000000L, 95000000L, 5000000L)))
+    assert(out(2L) == ((2L, 0L, 0L, 75000000L, 0L)))
+    assert(out(5L) == ((2L, 0L, 0L, 15000000L, 0L)))
+  }
+
+  test("liftTable: uneven split gives first (n mod k) groups one extra row") {
+    val per = (1L to 7L).map(i => (i, i * 1000000L, 0L)).toDF("entity", "score_micro", "label")
+    val sizes = FeatureStore.liftTable(per, k = 3).collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Long]("n_entities")).toMap
+    // n=7, k=3: the ascending ntile gives its first (lowest-score)
+    // group the extra row; after the decile flip the extra sits in the
+    // LAST decile: sizes top-down are 2,2,3
+    assert(sizes == Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+    // zero positives -> lift undefined (null), not a divide-by-zero
+    val lifts = FeatureStore.liftTable(per, k = 3).collect()
+      .map(r => Option(r.getAs[Any]("lift_micro"))).toSet
+    assert(lifts == Set(None))
+  }
 }

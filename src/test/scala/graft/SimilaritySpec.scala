@@ -332,4 +332,31 @@ class SimilaritySpec extends AnyFunSuite {
     // cluster B is pure
     assert(out(20L) == ((2L, 1.0)) && out(21L) == ((2L, 1.0)) && out(22L) == ((2L, 1.0)))
   }
+
+  test("oodScores: exact integer distances, top-pct rank cutoff, offset-safe negatives") {
+    // 10 near-identical vectors at the origin-ish point plus 2 far
+    // outliers; pctOod=10 flags exactly floor(12*10/100)=1 worst — the
+    // farthest (or tie broken by larger vec_id flagged last).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (1L to 10L).map(i => Row(i, Array(0.01f * i, -0.01f * i))) ++
+      Seq(Row(90L, Array(0.5f, 0.5f)), Row(91L, Array(-0.55f, 0.55f)))
+    val space = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = graft.operators.Similarity.oodScores(space, "vec_id", "embedding", pctOod = 10)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("d2"), r.getAs[Boolean]("is_ood")))).toMap
+    assert(out.size == 12)
+    // exactly one flagged: cutoff = 12 - 12*10/100 = 12 - 1 = 11
+    assert(out.count(_._2._2) == 1)
+    // the flagged one is the max-(d2, vec_id) row
+    val flagged = out.filter(_._2._2).keySet.head
+    val maxD2 = out.values.map(_._1).max
+    assert(out(flagged)._1 == maxD2)
+    // all distances strictly positive (mean is between the clusters)
+    assert(out.values.forall(_._1 > 0L))
+  }
 }
