@@ -4708,6 +4708,28 @@ object SparkEntry {
           lit(null).cast("double").as("sum_balance"))
         .withColumn("snap", lit("v1"))
         .unionByName(latest)
+    }),
+    // Zero-copy shallow clone: the clone commit references the source
+    // snapshot's files byte-for-byte, then diverges independently (an
+    // append lands only in the clone). Output: both sides tagged.
+    "lake_clone" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_clone"
+      val tp = new org.apache.hadoop.fs.Path(root)
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh tables per run
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("region"))
+      Lakehouse.commit(base, root, "nation_lake", "overwrite")
+      Lakehouse.shallowClone(s, root, "nation_lake", "nation_dev")
+      Lakehouse.commit(
+        base.select((col("k") + 100L).as("k"), col("name"), col("region")),
+        root, "nation_dev", "append")
+      Lakehouse.read(s, root, "nation_lake")
+        .withColumn("side", lit("src"))
+        .unionByName(Lakehouse.read(s, root, "nation_dev")
+          .withColumn("side", lit("clone")))
     })
   )
 
@@ -5498,7 +5520,17 @@ object SparkEntry {
              count(balance) AS n_balance,
              CAST(sum(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS sum_balance,
              'evolved' AS snap
-      FROM evolved GROUP BY nation"""
+      FROM evolved GROUP BY nation""",
+    "lake_clone" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             CAST(n_regionkey AS BIGINT) AS region, 'src' AS side
+      FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT), 'clone'
+      FROM nation
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT) + 100, n_name, CAST(n_regionkey AS BIGINT), 'clone'
+      FROM nation"""
   )
 
   // ---------------------------------------------------------------- //

@@ -806,6 +806,42 @@ object Lakehouse {
     -1 // unreachable
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`,
+    * Iceberg snapshot-ref): materialize `targetTable` as one overwrite
+    * commit whose data references are the SOURCE snapshot's files — no
+    * bytes move, however large the table. The clone then evolves
+    * independently: appends/merges/deletes on either side never touch
+    * the other's log. Zone maps ride along (FileStat paths stay
+    * valid), so pruned reads work on the clone immediately.
+    *
+    * The standard shallow-clone caveat applies: the clone borrows the
+    * source's files, so `vacuum` on the SOURCE (which only consults
+    * the source's own log) can strand a clone whose snapshot the
+    * source has since overwritten — retain source versions as long as
+    * clones of them live, exactly as Delta documents.
+    */
+  def shallowClone(
+      spark: SparkSession,
+      root: String,
+      sourceTable: String,
+      targetTable: String,
+      versionAsOf: Option[Int] = None
+  ): Int = {
+    val src = snapshotCommits(spark, root, sourceTable, versionAsOf)
+    val dirs = src.flatMap(_.dataDirs)
+    require(dirs.nonEmpty, s"clone source $sourceTable has no committed data")
+    val stats = src.flatMap(_.clusters)
+    commitInternal(
+      root, targetTable, "overwrite", None,
+      dataDir => {
+        // the version's own data dir stays empty (created so readers
+        // can list it); every byte lives in the source's files
+        fs(spark, new Path(dataDir)).mkdirs(new Path(dataDir))
+        stats
+      },
+      extraDirs = dirs)
+  }
+
   /** Register a lakehouse snapshot as a SQL-visible temp view —
     * Tables.registerPrimary for this format.
     */

@@ -364,4 +364,49 @@ class LakehouseSpec extends AnyFunSuite {
     assert(changes(v1, v1).isEmpty) // empty version range -> no changes
     assert(changes(v1, v3) == Seq((1L, "delete"), (1L, "delete"), (3L, "insert"), (4L, "insert")))
   }
+
+  test("shallowClone: zero bytes copied, snapshots equal, then both sides diverge freely") {
+    val src = "t_clone_src"
+    Lakehouse.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, src, "overwrite")
+    Lakehouse.commit(Seq((3L, "c")).toDF("k", "v"), root, src, "append")
+    Lakehouse.shallowClone(spark, root, src, "t_clone_dev")
+
+    def keys(t: String, v: Option[Int] = None): Set[Long] =
+      Lakehouse.read(spark, root, t, v).select("k").as[Long].collect().toSet
+    assert(keys("t_clone_dev") == Set(1L, 2L, 3L))
+
+    // zero-copy: no parquet data files under the clone's own data root
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$root/t_clone_dev/data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cloneFiles = {
+      val it = fs.listFiles(dataRoot, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    assert(cloneFiles == 0, "shallow clone must not write data files")
+
+    // divergence: append to the clone, delete from the source
+    Lakehouse.commit(Seq((100L, "x")).toDF("k", "v"), root, "t_clone_dev", "append")
+    Lakehouse.deleteWhere(spark, root, src, col("k") === 1L)
+    assert(keys("t_clone_dev") == Set(1L, 2L, 3L, 100L), "source delete must not leak in")
+    assert(keys(src) == Set(2L, 3L), "clone append must not leak back")
+  }
+
+  test("shallowClone pins a time-travel version and carries zone maps for pruned reads") {
+    val src = "t_clone_zm"
+    Lakehouse.commitClustered(
+      (1L to 40L).map(i => (i, i * 10L)).toDF("k", "x"), root, src, "overwrite", "k", 4)
+    val v1 = Lakehouse.versions(spark, root, src).last
+    Lakehouse.commit(Seq((99L, 0L)).toDF("k", "x"), root, src, "append")
+    // clone of the CLUSTERED v1, not the tip
+    Lakehouse.shallowClone(spark, root, src, "t_clone_zm_dev", Some(v1))
+    val dev = Lakehouse.read(spark, root, "t_clone_zm_dev")
+    assert(dev.count() == 40)
+    // zone maps traveled with the clone: a pruned point read matches
+    // the plain filtered read
+    val pruned = Lakehouse.readPruned(spark, root, "t_clone_zm_dev", "k", 5.0, 7.0)
+      .select("k").as[Long].collect().toSet
+    assert(pruned == Set(5L, 6L, 7L))
+  }
 }
