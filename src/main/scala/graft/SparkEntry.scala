@@ -2789,6 +2789,10 @@ object SparkEntry {
     // 8-token spans survive only at their first corpus occurrence.
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
+    // Sliding-window duplicated-substring ranges (ExactSubstr flavor):
+    // any-alignment 10-token matches merged into maximal spans.
+    "dedup_ngram_spans" -> ((s, dir) =>
+      Dedup.ngramSpanDedup(t(s, dir, "documents"), "doc_id", "text", k = 10)),
     // Exact verification scaffold (O(|block|^2) by construction; the
     // production paths are dedup_embedding_lsh / dedup_semantic). The
     // maxBlockRows guard enforces that role: oversize blocks fail fast.
@@ -3107,6 +3111,31 @@ object SparkEntry {
              coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')
                AS text_dedup
       FROM marked GROUP BY doc_id""",
+    "dedup_ngram_spans" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      grams AS (
+        SELECT doc_id, i.pos AS pos,
+               md5(array_to_string(tk[i.pos + 1 : i.pos + 10], ' ')) AS fp
+        FROM toks, LATERAL (
+          SELECT unnest(generate_series(0, len(tk) - 10)) AS pos) i
+        WHERE len(tk) >= 10),
+      dupfp AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2),
+      duppos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupfp USING (fp)),
+      isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 9
+                    THEN 0 ELSE 1 END AS new_island
+        FROM duppos),
+      runs AS (
+        SELECT doc_id, pos,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 9 AS BIGINT) AS span_end,
+             count(*) AS n_grams
+      FROM runs GROUP BY doc_id, island""",
     "dedup_jaccard_words" -> """
       WITH w AS (
         SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
@@ -4344,6 +4373,12 @@ object SparkEntry {
     "q_ewma" -> ((s, dir) =>
       Analytics.ewmaTrailing(
         t(s, dir, "events"), "user_id", "ts", "event_id", "value", nLags = 8)),
+    // COUNT(DISTINCT) OVER a trailing RANGE frame: distinct event
+    // types per user in the last 24h at every event.
+    "q_rolling_distinct" -> ((s, dir) =>
+      Analytics.rollingDistinct(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        trailingUs = 86400000000L)),
     "q_session_window" -> ((s, dir) => Analytics.sessionWindows(t(s, dir, "events"), 30)),
     // Market-basket lift over order-blocked part pairs.
     // Segment-pair audience overlap from KMV sketches: union AND
@@ -4976,6 +5011,16 @@ object SparkEntry {
       FROM base
       WINDOW w AS (PARTITION BY entity ORDER BY ts_us, tiebreak)"""
     },
+    // list() over the RANGE frame + list_distinct mirrors Spark's
+    // collect_list + array_distinct; counts are frame-content facts,
+    // so collection order never shows in the output.
+    "q_rolling_distinct" -> """
+      SELECT user_id AS entity, epoch_us(ts) AS ts_us, event_id AS tiebreak,
+             CAST(len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))) AS BIGINT)
+               AS n_distinct
+      FROM events""",
     "q_session_window" -> """
       WITH f AS (
         SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

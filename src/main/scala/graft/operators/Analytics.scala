@@ -1484,4 +1484,36 @@ object Analytics {
       .select(col("entity"), col("ts_us"), col("tiebreak"),
         expr("num div den").as("ewma_micro"))
   }
+
+  /** Distinct values seen in a trailing event-time window, per entity —
+    * "how many distinct event types / devices / pages in the last 24h"
+    * (breadth-of-activity feature; COUNT(DISTINCT) OVER a RANGE frame,
+    * which engines don't support directly). Collect the frame's values
+    * and count distinct in-expression: state per row is the frame's
+    * value list, bounded by the window span × arrival rate — the right
+    * cost model for low-cardinality dimensions (types, devices); for
+    * unbounded domains swap the set for a sketch (text_hll_tokens).
+    * One entity-partitioned sort shared by the single window.
+    */
+  def rollingDistinct(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      dimCol: String,
+      trailingUs: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("ts_us"))
+      .rangeBetween(-trailingUs, 0)
+    events
+      .select(
+        col(entityCol).as("entity"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(tiebreakCol).as("tiebreak"),
+        col(dimCol).as("dim"))
+      .select(
+        col("entity"), col("ts_us"), col("tiebreak"),
+        size(array_distinct(collect_list(col("dim")).over(w)))
+          .cast("long").as("n_distinct"))
+  }
 }

@@ -565,6 +565,64 @@ object Dedup {
             s => s.getField("span"))).as("text_dedup"))
   }
 
+  /** Sliding-window duplicated-substring detection (the ExactSubstr
+    * flavor of Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better", at token granularity): every k-token
+    * window is fingerprinted; windows whose fingerprint occurs ≥ 2
+    * times ANYWHERE in the corpus (another doc or a self-repeat) mark
+    * duplicated positions, and overlapping/adjacent positions merge
+    * into maximal [span_start, span_end] token ranges per doc — the
+    * regions an exact-substring dedup pass would cut. Differs from
+    * [[spanDedup]] (disjoint fixed blocks): sliding windows catch
+    * duplication at ANY alignment, not just block boundaries.
+    *
+    * Scale shape: grams per doc = tokens − k + 1 (linear); the global
+    * duplicate test is one fingerprint groupBy (map-side combined) +
+    * a semi-join back; span merging is a doc-partitioned window —
+    * never a corpus-wide sort. The suffix-array formulation finds
+    * byte-exact maximal repeats; the k-gram formulation is the
+    * standard distributed surrogate (resolution k tokens).
+    */
+  def ngramSpanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 10
+  ): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val gramArr = graft.functions.TextFunctions.bindArray(
+      split(col(textCol), " ")) { tk =>
+      when(
+        size(tk) >= k,
+        transform(
+          sequence(lit(0), size(tk) - k),
+          i => md5(concat_ws(" ", slice(tk, i + 1, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val grams = docs
+      .select(col(idCol).as("doc_id"), posexplode(gramArr).as(Seq("pos", "fp")))
+    val dupFps = grams
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select(col("fp"))
+    val dupPos = grams.join(dupFps, Seq("fp"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn(
+        "new_island",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k - 1, 0).otherwise(1))
+      .withColumn(
+        "island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Dedup cluster resolution: connected components over a near-dup
     * pair graph via the alternating large-star / small-star algorithm
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

@@ -645,4 +645,22 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("tiebreak") -> r.getAs[Long]("ewma_micro")).toMap
     assert(out == Map(1L -> 1000000L, 2L -> 1666666L, 3L -> 3333333L))
   }
+
+  test("rollingDistinct: trailing frame counts distinct values incl current row") {
+    // user 9: a@t0, b@t0+1h, a@t0+2h, c@t0+26h (first two fall out of
+    // the 24h frame at the last event -> distinct {a,c} = 2)
+    val ev = Seq(
+      (1L, 9L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, 9L, ts("2024-01-01 01:00:00"), "b"),
+      (3L, 9L, ts("2024-01-01 02:00:00"), "a"),
+      (4L, 9L, ts("2024-01-02 02:00:00"), "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Analytics
+      .rollingDistinct(ev, "user_id", "ts", "event_id", "event_type", 86400000000L)
+      .collect().map(r => r.getAs[Long]("tiebreak") -> r.getAs[Long]("n_distinct")).toMap
+    // frame is inclusive on both ends: event 4 at +26h still sees
+    // event 3 (+2h)? no: 26h - 2h = 24h exactly -> INCLUDED (range
+    // bound is inclusive) -> distinct {a, c} = 2
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
 }

@@ -412,4 +412,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
       "unrelated text never survives the verify")
   }
+
+  test("ngramSpanDedup: any-alignment matches merge into maximal spans; short docs skip") {
+    // doc 1 and doc 2 share a 12-token run at DIFFERENT offsets (doc 2
+    // prepends two tokens) — block dedup at alignment 0 would miss it;
+    // sliding k=10 grams catch positions {0,1,2} in doc 1 and {2,3,4}
+    // in doc 2, each merging to one maximal span of 12 tokens.
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " x1 x2"),
+      (2L, "p1 p2 " + shared),
+      (3L, "q1 q2 q3 q4 q5"), // shorter than k: no grams at all
+      (4L, (1 to 15).map(i => s"u$i").mkString(" ")) // unique: no dup spans
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.ngramSpanDedup(docs, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("n_grams"))))
+      .toMap
+    assert(out == Map(1L -> ((0L, 11L, 3L)), 2L -> ((2L, 13L, 3L))))
+  }
+
+  test("ngramSpanDedup: a within-doc self-repeat counts as duplication; gap splits spans") {
+    // one doc where tokens 0..9 repeat at 20..29 with unique filler
+    // between: the two occurrences are two separate maximal spans
+    val rep = (1 to 10).map(i => s"r$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"f$i").mkString(" ")
+    val docs = Seq((7L, s"$rep $filler $rep")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.ngramSpanDedup(docs, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => ((r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("n_grams"))))
+      .toSet
+    assert(out == Set((0L, 9L, 1L), (20L, 29L, 1L)))
+  }
 }
