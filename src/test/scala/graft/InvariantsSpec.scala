@@ -346,4 +346,172 @@ class InvariantsSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(d.take(15), 16)
   }
+
+  test("concurrencyPeak invariant: equals the naive per-start-instant overlap count") {
+    val rnd = new Random(91)
+    for (trial <- 1 to 4) {
+      val nUsers = 2 + rnd.nextInt(6)
+      val base = 1704067200000000L // 2024-01-01 UTC in micros
+      val ev = (1 to 40 + rnd.nextInt(60)).map { i =>
+        val uid = 1L + rnd.nextInt(nUsers)
+        // spread over ~3 days so sessions split at midnights sometimes
+        val tsUs = base + math.abs(rnd.nextLong()) % (3L * 86400000000L)
+        (i.toLong, uid, new java.sql.Timestamp(tsUs / 1000))
+      }
+      val df = ev.toDF("event_id", "user_id", "ts")
+        .repartition(1 + rnd.nextInt(5))
+      val out = Analytics.concurrencyPeak(df, 30).collect()
+        .map(r => r.getAs[Long]("day_us") -> r.getAs[Long]("peak")).toMap
+      // naive: rebuild sessions sequentially, split by day, then for
+      // each day the peak is the max over SESSION-START instants of
+      // how many intervals cover that instant (closed intervals)
+      val gap = 30L * 60 * 1000000
+      val sessions = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val ts = rows.map(r => r._3.getTime * 1000).sorted
+        val bounds = scala.collection.mutable.ListBuffer[(Long, Long)]()
+        var s = ts.head; var e = ts.head
+        ts.tail.foreach { t =>
+          if (t - e > gap) { bounds += ((s, e)); s = t }
+          e = t
+        }
+        bounds += ((s, e))
+        bounds.toSeq
+      }
+      val dayUs = 86400000000L
+      val split = sessions.flatMap { case (s, e) =>
+        (s / dayUs to e / dayUs).map { d =>
+          (d * dayUs, math.max(s, d * dayUs), math.min(e, (d + 1) * dayUs - 1))
+        }
+      }
+      val naive = split.groupBy(_._1).map { case (day, ivs) =>
+        day -> ivs.map { case (_, st, _) =>
+          ivs.count { case (_, s2, e2) => s2 <= st && st <= e2 }
+        }.max.toLong
+      }
+      assert(out == naive, s"trial $trial")
+    }
+  }
+
+  test("ewmaTrailing invariant: equals the naive per-row weighted loop on random streams") {
+    val rnd = new Random(133)
+    for (trial <- 1 to 4) {
+      val ev = (1 to 30 + rnd.nextInt(50)).map { i =>
+        (i.toLong, 1L + rnd.nextInt(4),
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(100000) * 1000L),
+          rnd.nextInt(50000) / 100.0)
+      }
+      val nLags = 1 + rnd.nextInt(8)
+      val out = Analytics.ewmaTrailing(
+        ev.toDF("event_id", "user_id", "ts", "value")
+          .repartition(1 + rnd.nextInt(5)),
+        "user_id", "ts", "event_id", "value", nLags)
+        .collect().map(r => r.getAs[Long]("tiebreak") -> r.getAs[Long]("ewma_micro")).toMap
+      val naive = ev.groupBy(_._2).values.flatMap { rows =>
+        val ordered = rows.sortBy(r => (r._3.getTime, r._1))
+        ordered.zipWithIndex.map { case (r, idx) =>
+          val lags = (0 until nLags).flatMap { k =>
+            if (idx - k >= 0)
+              Some((1L << (nLags - 1 - k)) *
+                math.floor(ordered(idx - k)._4 * 1e6).toLong -> (1L << (nLags - 1 - k)))
+            else None
+          }
+          r._1 -> lags.map(_._1).sum / lags.map(_._2).sum
+        }
+      }.toMap
+      assert(out == naive, s"trial $trial nLags=$nLags")
+    }
+  }
+
+  test("ngramSpanDedup invariant: flagged spans = naive substring-occurrence scan") {
+    val rnd = new Random(57)
+    for (trial <- 1 to 4) {
+      val k = 3 + rnd.nextInt(3)
+      // small vocab forces cross-doc and self repeats
+      val docs = (1L to (4 + rnd.nextInt(5))).map { id =>
+        (id, Seq.fill(k + rnd.nextInt(25))("t" + rnd.nextInt(6)).mkString(" "))
+      }
+      val out = graft.operators.Dedup
+        .ngramSpanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("n_grams")))
+        .toSet
+      // naive: count every k-gram occurrence corpus-wide, mark
+      // positions with count >= 2, merge overlapping (gap <= k-1)
+      val grams = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ")
+        (0 to tk.length - k).map(i => (id, i, tk.slice(i, i + k).mkString(" ")))
+      }
+      val counts = grams.groupBy(_._3).map { case (g, occ) => g -> occ.size }
+      val naive = grams.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).flatMap { case (id, occ) =>
+          val ps = occ.map(_._2).sorted
+          val runs = scala.collection.mutable.ListBuffer[List[Int]]()
+          ps.foreach { p =>
+            if (runs.nonEmpty && p - runs.last.last <= k - 1)
+              runs(runs.length - 1) = runs.last :+ p
+            else runs += List(p)
+          }
+          runs.map(r =>
+            (id, r.head.toLong, (r.last + k - 1).toLong, r.size.toLong))
+        }.toSet
+      assert(out == naive, s"trial $trial k=$k")
+    }
+  }
+
+  test("kcorePeel invariant: matches the naive synchronized peel on random graphs") {
+    val rnd = new Random(203)
+    for (trial <- 1 to 4) {
+      val nNodes = 6 + rnd.nextInt(12)
+      val edges = (1 to 15 + rnd.nextInt(40)).map { _ =>
+        (1L + rnd.nextInt(nNodes), 1L + rnd.nextInt(nNodes))
+      }.distinct
+      val k = 2 + rnd.nextInt(3)
+      val rounds = 1 + rnd.nextInt(3)
+      val out = graft.operators.Graph
+        .kcorePeel(edges.toDF("src", "dst"), k, rounds)
+        .collect()
+        .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("core_degree")).toMap
+      // naive synchronized peel
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      def degrees(es: Seq[(Long, Long)]): Map[Long, Long] =
+        es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (id, xs) => id -> xs.size.toLong }
+      var sub = und
+      var deg = degrees(sub).filter(_._2 >= k)
+      for (_ <- 2 to rounds) {
+        val alive = deg.keySet
+        sub = sub.filter(e => alive(e._1) && alive(e._2))
+        deg = degrees(sub).filter(_._2 >= k)
+      }
+      assert(out == deg, s"trial $trial k=$k rounds=$rounds")
+    }
+  }
+
+  test("linkPrediction invariant: matches naive neighborhood intersection on random graphs") {
+    val rnd = new Random(311)
+    for (trial <- 1 to 4) {
+      val nNodes = 5 + rnd.nextInt(10)
+      val edges = (1 to 10 + rnd.nextInt(30)).map { _ =>
+        (1L + rnd.nextInt(nNodes), 1L + rnd.nextInt(nNodes))
+      }
+      val out = graft.operators.Graph
+        .linkPrediction(edges.toDF("src", "dst"), minCommon = 1)
+        .collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          ((r.getAs[Long]("common"), r.getAs[Long]("jaccard_micro")))).toMap
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct.toSet
+      val nbrs = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+      val ids = nbrs.keys.toSeq.sorted
+      val naive = (for {
+        a <- ids; b <- ids if a < b && !und((a, b))
+        cn = (nbrs(a) & nbrs(b)).size if cn >= 1
+      } yield (a, b) ->
+        ((cn.toLong, cn.toLong * 1000000L / (nbrs(a).size + nbrs(b).size - cn)))).toMap
+      assert(out == naive, s"trial $trial")
+    }
+  }
 }
