@@ -4373,6 +4373,10 @@ object SparkEntry {
     "q_ewma" -> ((s, dir) =>
       Analytics.ewmaTrailing(
         t(s, dir, "events"), "user_id", "ts", "event_id", "value", nLags = 8)),
+    // Join-key skew diagnostic: top-20 heaviest lineitem part keys
+    // with share + skew-vs-uniform factors in integer micro-units.
+    "q_skew_profile" -> ((s, dir) =>
+      Skew.skewProfile(t(s, dir, "lineitem"), "l_partkey", topK = 20)),
     // COUNT(DISTINCT) OVER a trailing RANGE frame: distinct event
     // types per user in the last 24h at every event.
     "q_rolling_distinct" -> ((s, dir) =>
@@ -4744,6 +4748,30 @@ object SparkEntry {
         .withColumn("snap", lit("v1"))
         .unionByName(latest)
     }),
+    // Partition-spec evolution (Iceberg's flagship): early commits
+    // clustered on custkey, later commits on totalprice — a pruned
+    // multi-predicate read applies each commit's OWN zone maps and
+    // stays exactly equal to the plain filtered read.
+    "lake_partition_evolution" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_pevo"
+      val tp = new org.apache.hadoop.fs.Path(root)
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh table per run
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("c"),
+        col("o_totalprice").cast("double").as("p"))
+      Lakehouse.commitClustered(
+        o.where(col("k") % 2 === 0), root, "orders_pevo", "overwrite", "c", 4)
+      Lakehouse.commitClustered(
+        o.where(col("k") % 2 === 1), root, "orders_pevo", "append", "p", 4)
+      Lakehouse
+        .readPrunedMulti(
+          s, root, "orders_pevo",
+          Seq(("c", 100.0, 500.0), ("p", 0.0, 150000.0)))
+        .groupBy((col("c") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
     // Zero-copy shallow clone: the clone commit references the source
     // snapshot's files byte-for-byte, then diverges independently (an
     // append lands only in the clone). Output: both sides tagged.
@@ -5011,6 +5039,18 @@ object SparkEntry {
       FROM base
       WINDOW w AS (PARTITION BY entity ORDER BY ts_us, tiebreak)"""
     },
+    "q_skew_profile" -> """
+      WITH c AS (
+        SELECT CAST(l_partkey AS BIGINT) AS key, count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys FROM c)
+      SELECT key, cnt,
+             CAST(cnt * 1000000 // total AS BIGINT) AS share_micro,
+             CAST(cnt * n_keys * 1000000 // total AS BIGINT) AS skew_micro
+      FROM c CROSS JOIN t
+      ORDER BY cnt DESC, key LIMIT 20""",
     // list() over the RANGE frame + list_distinct mirrors Spark's
     // collect_list + array_distinct; counts are frame-content facts,
     // so collection order never shows in the output.
@@ -5566,6 +5606,13 @@ object SparkEntry {
              CAST(sum(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS sum_balance,
              'evolved' AS snap
       FROM evolved GROUP BY nation""",
+    "lake_partition_evolution" -> """
+      SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 500
+        AND o_totalprice BETWEEN 0 AND 150000
+      GROUP BY 1""",
     "lake_clone" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
              CAST(n_regionkey AS BIGINT) AS region, 'src' AS side

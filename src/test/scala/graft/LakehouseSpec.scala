@@ -409,4 +409,29 @@ class LakehouseSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSet
     assert(pruned == Set(5L, 6L, 7L))
   }
+
+  test("partition evolution: each commit prunes by its OWN spec, commits without stats stay whole") {
+    val t = "t_pevo"
+    // commit 1 clustered by a (keys 1..40), commit 2 clustered by b
+    Lakehouse.commitClustered(
+      (1L to 40L).map(i => (i, 1000L + i)).toDF("a", "b"), root, t, "overwrite", "a", 4)
+    Lakehouse.commitClustered(
+      (41L to 80L).map(i => (i, 1000L + i)).toDF("a", "b"), root, t, "append", "b", 4)
+    val fullFiles = Lakehouse.read(spark, root, t).inputFiles.length
+    // predicate on `a` only: commit 1 prunes to ~1 of 4 files; commit 2
+    // (no `a` stats) is kept WHOLE for correctness
+    val prunedDf = Lakehouse.readPrunedMulti(spark, root, t, Seq(("a", 5.0, 8.0)))
+    assert(prunedDf.inputFiles.length < fullFiles, "commit-1 files must be skipped")
+    assert(prunedDf.inputFiles.length >= 4, "commit-2 (no stats for a) must stay whole")
+    assert(prunedDf.select("a").as[Long].collect().toSet == (5L to 8L).toSet)
+    // predicate on BOTH columns: each commit prunes on the stat it has,
+    // and the result still equals the naive filtered read
+    val both = Lakehouse.readPrunedMulti(
+      spark, root, t, Seq(("a", 30.0, 50.0), ("b", 1030.0, 1050.0)))
+    val naive = Lakehouse.read(spark, root, t)
+      .where(col("a").between(30, 50) && col("b").between(1030, 1050))
+    assert(both.select("a").as[Long].collect().toSet ==
+      naive.select("a").as[Long].collect().toSet)
+    assert(both.inputFiles.length < fullFiles)
+  }
 }

@@ -34,4 +34,17 @@ class SkewKmeansSpec extends AnyFunSuite {
     assert(assign(1L) == assign(4L) && assign(4L) == assign(5L))
     assert(assign(0L) != assign(1L))
   }
+
+  test("skewProfile: hot key surfaces with exact share and skew-vs-uniform factor") {
+    import org.apache.spark.sql.functions._
+    // key 7 appears 6 times, keys 1..4 once each: total 10, nKeys 5
+    val df = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val out = graft.operators.Skew.skewProfile(df, "k", topK = 2).collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("share_micro"), r.getAs[Long]("skew_micro"))))
+    // top-1 is the hot key: share 6/10, skew 6*5/10 = 3.0x uniform
+    assert(out.head == (7L -> ((6L, 600000L, 3000000L))))
+    // tie between keys 1..4 broken by smaller key
+    assert(out(1) == (1L -> ((1L, 100000L, 500000L))))
+  }
 }
