@@ -96,7 +96,16 @@ object Explain {
       // R4 session-4 later additions: KMV partial-agg shape, CDF
       // append fast path, journey paths, winsorize broadcast fences.
       "q_audience_overlap", "lake_table_changes", "q_event_paths",
-      "fs_winsorize")
+      "fs_winsorize",
+      // R4 session-5 additions: wedge-join link prediction, k-core
+      // semi-join peel, day-partitioned sweep line, one-window EWMA,
+      // prefix-sum decile lift, integer OOD rank, any-alignment span
+      // dedup, RANGE-frame distinct, heavy-hitter profile, evolved
+      // pruned read.
+      "graph_link_predict", "graph_kcore", "q_concurrency_peak",
+      "q_ewma", "fs_decile_lift", "emb_ood_scores", "dedup_ngram_spans",
+      "q_rolling_distinct", "q_skew_profile", "lake_partition_evolution",
+      "lake_clone")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

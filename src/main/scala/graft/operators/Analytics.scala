@@ -1434,8 +1434,15 @@ object Analytics {
         col("day"),
         greatest(col("s"), col("day") * dayUs).as("s2"),
         least(col("e"), (col("day") + 1) * dayUs - 1).as("e2"))
-    val deltas = split.select(col("day"), col("s2").as("ts_us"), lit(1).as("delta"))
-      .unionAll(split.select(col("day"), col("e2").as("ts_us"), lit(-1).as("delta")))
+    // one explode, not a union of two selects: a union would evaluate
+    // the whole sessionize -> day-split subtree twice (plan-audited)
+    val deltas = split
+      .select(
+        col("day"),
+        explode(array(
+          struct(col("s2").as("ts_us"), lit(1).as("delta")),
+          struct(col("e2").as("ts_us"), lit(-1).as("delta")))).as("d"))
+      .select(col("day"), col("d.ts_us").as("ts_us"), col("d.delta").as("delta"))
     val w = Window.partitionBy(col("day")).orderBy(col("ts_us"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas
