@@ -1454,6 +1454,33 @@ object SparkEntry {
         "vec_id", "embedding",
         m = 16, dims = 64, ksub = 32, iterations = 2,
         nCells = 8, coarseIterations = 3, nProbe = 3, k = 5)),
+    // Index persistence (embeddinghub's save/load surface re-expressed
+    // as table-format artifacts): the IVF-PQ index's three frames —
+    // coarse cells, residual codebooks, encoded corpus — commit to
+    // lakehouse tables, reload in a fresh lineage, and the reloaded
+    // index probes BIT-IDENTICALLY to the fresh one (same oracle as
+    // emb_knn_ivfpq; parquet round-trips doubles exactly).
+    "emb_index_persist" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_index"
+      val tp = new org.apache.hadoop.fs.Path(root)
+      val fsys = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(tp)) fsys.delete(tp, true) // fresh tables per run
+      val emb = t(s, dir, "embeddings")
+      val idx = Quantization.buildIvfPq(
+        emb, "vec_id", "embedding",
+        m = 16, dims = 64, ksub = 32, iterations = 2,
+        nCells = 8, coarseIterations = 3)
+      Lakehouse.commit(idx.coarse, root, "ix_coarse", "overwrite")
+      Lakehouse.commit(idx.codebooks, root, "ix_cb", "overwrite")
+      Lakehouse.commit(idx.encoded, root, "ix_enc", "overwrite")
+      val reloaded = Quantization.IvfPqIndex(
+        Lakehouse.read(s, root, "ix_coarse").localCheckpoint(),
+        Lakehouse.read(s, root, "ix_cb").localCheckpoint(),
+        Lakehouse.read(s, root, "ix_enc"))
+      Quantization.probeIvfPq(
+        reloaded, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        m = 16, dims = 64, nProbe = 3, k = 5)
+    }),
     // Incremental index maintenance: build IVF-PQ on the corpus MINUS
     // the delta, upsert the delta with the frozen artifacts (no
     // re-training), emit the merged encoded corpus. Codes are emitted
@@ -2465,6 +2492,8 @@ object SparkEntry {
              round(sum(err) / count(*), 6) AS mean_abs_err
       FROM cc GROUP BY vec_id""",
     "emb_knn_ivfpq" -> ivfPqOracleSql,
+    // the reloaded index must answer exactly like the fresh one
+    "emb_index_persist" -> ivfPqOracleSql,
     "emb_index_upsert" -> ivfPqUpsertOracleSql,
     "emb_pq_codebooks" -> s"""
       WITH $pqPrefixCtes
@@ -4530,6 +4559,12 @@ object SparkEntry {
       Analytics.windowFunnel(
         t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("click", "view", "purchase"), windowUs = 86400000000L)),
+    // Funnel stage-transition latency: exact integer min/mean/max of
+    // t_n - t_{n-1} for in-window conversions, per adjacent stage.
+    "q_funnel_latency" -> ((s, dir) =>
+      Analytics.funnelStageLatency(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("click", "view", "purchase"), windowUs = 86400000000L)),
     // Experimentation readout: deterministic md5 A/B split of users,
     // two-proportion z on purchase conversion, micro-unit fixed point.
     "q_ab_test_zscore" -> ((s, dir) =>
@@ -5483,6 +5518,30 @@ object SparkEntry {
       SELECT CAST(2 AS BIGINT), count(*) FROM d WHERE depth >= 2
       UNION ALL
       SELECT CAST(3 AS BIGINT), count(*) FROM d WHERE depth >= 3""",
+    "q_funnel_latency" -> """
+      WITH base AS (
+        SELECT user_id AS entity, event_type AS etype, epoch_us(ts) AS ts_us FROM events),
+      s1 AS (SELECT entity, min(ts_us) AS t1 FROM base WHERE etype = 'click' GROUP BY entity),
+      s2 AS (
+        SELECT s1.entity, t1, min(CASE WHEN b.ts_us > t1 THEN b.ts_us END) AS t2
+        FROM s1 LEFT JOIN base b ON b.entity = s1.entity AND b.etype = 'view'
+        GROUP BY s1.entity, t1),
+      s3 AS (
+        SELECT s2.entity, t1, t2, min(CASE WHEN b.ts_us > t2 THEN b.ts_us END) AS t3
+        FROM s2 LEFT JOIN base b ON b.entity = s2.entity AND b.etype = 'purchase'
+        GROUP BY s2.entity, t1, t2)
+      SELECT CAST(1 AS BIGINT) AS stage_from, CAST(2 AS BIGINT) AS stage_to,
+             count(*) AS n,
+             CAST(sum(t2 - t1) // count(*) AS BIGINT) AS mean_us,
+             min(t2 - t1) AS min_us, max(t2 - t1) AS max_us
+      FROM s3 WHERE t2 IS NOT NULL AND t2 - t1 <= 86400000000
+      HAVING count(*) > 0
+      UNION ALL
+      SELECT 2, 3, count(*),
+             CAST(sum(t3 - t2) // count(*) AS BIGINT),
+             min(t3 - t2), max(t3 - t2)
+      FROM s3 WHERE t3 IS NOT NULL AND t3 - t1 <= 86400000000
+      HAVING count(*) > 0""",
     "q_ab_test_zscore" -> """
       WITH conv AS (
         SELECT user_id,

@@ -1244,18 +1244,7 @@ object Analytics {
     val base = events.select(
       col(entityCol).as("entity"), col(typeCol).as("etype"),
       unix_micros(col(tsCol)).as("ts_us"))
-    var cur = base.where(col("etype") === stages.head)
-      .groupBy(col("entity")).agg(min(col("ts_us")).as("t1"))
-    stages.tail.zipWithIndex.foreach { case (s, i) =>
-      val n = i + 2
-      val prevCols = (1 until n).map(j => col(s"t$j"))
-      cur = cur
-        .join(
-          base.where(col("etype") === s).select(col("entity"), col("ts_us")),
-          Seq("entity"), "left")
-        .groupBy(col("entity") +: prevCols: _*)
-        .agg(min(when(col("ts_us") > col(s"t${n - 1}"), col("ts_us"))).as(s"t$n"))
-    }
+    val cur = funnelStageTimes(base, stages)
     val depth = (stages.size to 2 by -1)
       .foldLeft(when(lit(false), lit(0L))) { (acc, n) =>
         acc.when(
@@ -1270,6 +1259,73 @@ object Analytics {
         struct(lit((i + 1).toLong).as("stage_idx"), col(s"s${i + 1}").as("n_users"))): _*))
       .as("e"))
       .select(col("e.stage_idx"), col("e.n_users"))
+  }
+
+  /** The earliest-greedy per-entity stage-time chain shared by
+    * [[windowFunnel]] and [[funnelStageLatency]]: t1 = first stage-1
+    * event, t_n = first stage-n event strictly after t_{n-1}. One
+    * entity-keyed aggregate per stage; under AQE the chain re-uses the
+    * entity partitioning.
+    */
+  private def funnelStageTimes(base: DataFrame, stages: Seq[String]): DataFrame = {
+    var cur = base.where(col("etype") === stages.head)
+      .groupBy(col("entity")).agg(min(col("ts_us")).as("t1"))
+    stages.tail.zipWithIndex.foreach { case (s, i) =>
+      val n = i + 2
+      val prevCols = (1 until n).map(j => col(s"t$j"))
+      cur = cur
+        .join(
+          base.where(col("etype") === s).select(col("entity"), col("ts_us")),
+          Seq("entity"), "left")
+        .groupBy(col("entity") +: prevCols: _*)
+        .agg(min(when(col("ts_us") > col(s"t${n - 1}"), col("ts_us"))).as(s"t$n"))
+    }
+    cur
+  }
+
+  /** Funnel stage-transition latency — "how long between step n−1 and
+    * step n for entities that converted inside the window": per
+    * adjacent stage pair, the count and exact integer min / max /
+    * truncated-mean of t_n − t_{n−1}, restricted (like
+    * [[windowFunnel]]'s depth rule) to entities whose t_n landed
+    * within `windowUs` of t1. Same one-aggregate-per-stage chain as
+    * the funnel, one explode over the transition structs at the end —
+    * no extra shuffles over the event log.
+    */
+  def funnelStageLatency(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    require(stages.size >= 2, "funnelStageLatency needs at least 2 stages")
+    val base = events.select(
+      col(entityCol).as("entity"), col(typeCol).as("etype"),
+      unix_micros(col(tsCol)).as("ts_us"))
+    val cur = funnelStageTimes(base, stages)
+    val transitions = (2 to stages.size).map { n =>
+      struct(
+        lit((n - 1).toLong).as("stage_from"),
+        lit(n.toLong).as("stage_to"),
+        when(
+          col(s"t$n").isNotNull && col(s"t$n") - col("t1") <= windowUs,
+          col(s"t$n") - col(s"t${n - 1}")).as("dt_us"))
+    }
+    cur
+      .select(explode(array(transitions: _*)).as("e"))
+      .select(col("e.stage_from"), col("e.stage_to"), col("e.dt_us"))
+      .where(col("dt_us").isNotNull)
+      .groupBy(col("stage_from"), col("stage_to"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dt_us")).as("sum_dt"),
+        min(col("dt_us")).as("min_us"),
+        max(col("dt_us")).as("max_us"))
+      .select(
+        col("stage_from"), col("stage_to"), col("n"),
+        expr("sum_dt div n").as("mean_us"), col("min_us"), col("max_us"))
   }
 
   /** Two-proportion z-test over a deterministic hash split — the

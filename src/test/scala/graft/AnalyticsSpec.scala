@@ -663,4 +663,32 @@ class AnalyticsSpec extends AnyFunSuite {
     // bound is inclusive) -> distinct {a, c} = 2
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
+
+  test("funnelStageLatency: earliest-greedy deltas, window gate, exact integer stats") {
+    // user 1: click@0, view@10m, purchase@30m -> dt12=10m, dt23=20m
+    // user 2: click@0, view@5m, NO purchase -> only 1->2 (dt=5m)
+    // user 3: click@0, view@25h (outside 1d window) -> excluded
+    val ev = Seq(
+      (1L, 1L, "click", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "view", ts("2024-01-01 00:10:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 00:30:00")),
+      (4L, 2L, "click", ts("2024-01-01 00:00:00")),
+      (5L, 2L, "view", ts("2024-01-01 00:05:00")),
+      (6L, 3L, "click", ts("2024-01-01 00:00:00")),
+      (7L, 3L, "view", ts("2024-01-02 01:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts").withColumn("value", lit(1.0))
+    val out = Analytics.funnelStageLatency(
+      ev, "user_id", "event_type", "ts",
+      Seq("click", "view", "purchase"), windowUs = 86400000000L)
+      .collect()
+      .map(r => (r.getAs[Long]("stage_from"), r.getAs[Long]("stage_to")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mean_us"),
+          r.getAs[Long]("min_us"), r.getAs[Long]("max_us"))))
+      .toMap
+    val m10 = 600000000L
+    // 1->2: users 1 (10m) and 2 (5m): mean 7.5m
+    assert(out((1L, 2L)) == ((2L, m10 * 3 / 4, m10 / 2, m10)))
+    // 2->3: user 1 only (20m)
+    assert(out((2L, 3L)) == ((1L, m10 * 2, m10 * 2, m10 * 2)))
+  }
 }
