@@ -1617,6 +1617,12 @@ object SparkEntry {
       val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
       Graph.linkPrediction(edges, minCommon = 2)
     }),
+    // Offline HNSW hierarchy: integer-geometric levels (P(l≥1)=1/4),
+    // per-layer 3-NN graphs over the level-filtered corpus — the
+    // batch-built layered index a server would mmap.
+    "emb_hnsw_build" -> ((s, dir) =>
+      Graph.hnswBuild(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, maxLevel = 3)),
     // Dense-core extraction: 3 synchronized peeling rounds at k=3 over
     // the undirected 3-NN graph; survivors + residual degree.
     "graph_kcore" -> ((s, dir) => {
@@ -1731,6 +1737,38 @@ object SparkEntry {
         SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
           SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id)
       SELECT id AS node_id, deg AS core_degree FROM d3 WHERE deg >= 3"""
+
+  /** Per-layer kNN over the level-filtered corpus, with the SAME
+    * pure-integer trailing-base-4-zeros level rule as
+    * Graph.hnswBuild (md5 60-bit hash, divisibility by 4^l).
+    */
+  private lazy val hnswOracleSql: String = {
+    def arm(l: Int) = s"""
+      SELECT CAST($l AS BIGINT) AS level, src, dst FROM (
+        SELECT qid AS src, nvid AS dst,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nvid) AS rank
+        FROM (
+          SELECT qid, nvid,
+                 sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+            SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                   unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+            FROM lv q JOIN lv n ON n.vec_id <> q.vec_id
+            WHERE q.level >= $l AND n.level >= $l)
+          GROUP BY qid, nvid))
+      WHERE rank <= 3"""
+    s"""
+      WITH lv AS (
+        SELECT vec_id, embedding,
+               CASE WHEN h % 64 = 0 THEN 3
+                    WHEN h % 16 = 0 THEN 2
+                    WHEN h % 4 = 0 THEN 1
+                    ELSE 0 END AS level
+        FROM (
+          SELECT vec_id, embedding,
+                 ('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM embeddings))
+      ${(0 to 3).map(arm).mkString("\n      UNION ALL\n")}"""
+  }
 
   /** All-points 10-NN label consistency: integer match counts, one
     * IEEE division at output.
@@ -2597,6 +2635,7 @@ object SparkEntry {
     "graph_triangles" -> triangleOracleSql,
     "graph_link_predict" -> linkPredictOracleSql,
     "graph_kcore" -> kcoreOracleSql,
+    "emb_hnsw_build" -> hnswOracleSql,
     "emb_label_consistency" -> labelConsistencyOracleSql,
     "emb_centroid_drift" -> """
       WITH b AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over derived similarity graphs — the curation step
@@ -208,6 +208,45 @@ object Graph {
       .select(
         col("a"), col("b"), col("common"),
         expr("common * 1000000 div (deg_a + deg_b - common)").as("jaccard_micro"))
+  }
+
+  /** Offline HNSW layer build — the batch half of the reference's
+    * actual serving index (embeddinghub/embeddingstore/index.h uses
+    * hnswlib's HierarchicalNSW; online insertion/search stays with
+    * specialized engines as BASELINE.md documents). Each node draws a
+    * geometric level with P(level ≥ l) = 4^-l from a PURE-INTEGER
+    * hash rule (count of trailing base-4 zeros of an md5-derived
+    * 60-bit hash — no float boundary anywhere, bit-reproducible in
+    * SQL), and every layer l gets the k-NN graph among nodes with
+    * level ≥ l — exactly the layered navigable-small-world structure
+    * a server would mmap and search greedily top-down.
+    *
+    * Scale shape: layer 0 is one kNN build over the corpus (swap in
+    * the IVF-PQ probe at 100 TB, as with [[knnGraph]]); every higher
+    * layer shrinks 4×, so the whole hierarchy costs ~4/3 of layer 0.
+    */
+  def hnswBuild(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int,
+      maxLevel: Int
+  ): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 8, s"maxLevel out of range: $maxLevel")
+    val h = graft.functions.TextFunctions.md5Long60(
+      concat(lit("hnsw:"), col(keyCol).cast("string")))
+    var level: Column = lit(0L)
+    for (l <- 1 to maxLevel)
+      level = when(pmod(h, lit(math.pow(4, l).toLong)) === 0, l.toLong).otherwise(level)
+    val leveled = space
+      .select(col(keyCol), col(vecCol), level.as("level"))
+      .localCheckpoint() // level draw + base frame pinned across layers
+    (0 to maxLevel)
+      .map { l =>
+        knnGraph(leveled.where(col("level") >= l), keyCol, vecCol, k)
+          .select(lit(l.toLong).as("level"), col("src"), col("dst"))
+      }
+      .reduce(_ unionAll _)
   }
 
   /** Bounded k-core peeling: `rounds` synchronized rounds of "drop

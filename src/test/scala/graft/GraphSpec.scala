@@ -144,6 +144,32 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == Set(1L, 2L, 3L, 4L))
   }
 
+  test("hnswBuild: integer-geometric levels, shrinking layers, full kNN per layer") {
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val out = Graph.hnswBuild(emb, "vec_id", "embedding", k = 3, maxLevel = 3)
+    val layers = out.groupBy(col("level"))
+      .agg(countDistinct(col("src")).as("nodes"), count(lit(1)).as("edges"))
+      .collect()
+      .map(r => r.getAs[Long]("level") -> ((r.getAs[Long]("nodes"), r.getAs[Long]("edges"))))
+      .toMap
+    val n0 = layers(0L)._1
+    // level rule: P(level >= 1) = 1/4 — with 200 vectors the level-1
+    // layer must be a real subset, nonempty, and ~4x smaller
+    assert(layers.contains(1L) && layers(1L)._1 < n0 / 2 && layers(1L)._1 > 0)
+    // every node with >= 3 peers in its layer emits exactly 3 edges
+    assert(layers(0L)._2 == 3 * n0)
+    // the level rule matches the local md5 computation exactly
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("hnsw:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h0 = java.lang.Long.parseLong(h.take(15), 16)
+    val expected0 =
+      if (h0 % 64 == 0) 3L else if (h0 % 16 == 0) 2L else if (h0 % 4 == 0) 1L else 0L
+    val node0Layers = out.where(col("src") === 0L)
+      .select(col("level")).distinct().collect().map(_.getLong(0)).toSet
+    assert(node0Layers == (0L to expected0).toSet,
+      s"node 0 must appear in layers 0..$expected0")
+  }
+
   test("knnGraph emits exactly k out-edges per node, excluding self") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3)
