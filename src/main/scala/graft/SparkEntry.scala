@@ -4441,6 +4441,29 @@ object SparkEntry {
     "q_ewma" -> ((s, dir) =>
       Analytics.ewmaTrailing(
         t(s, dir, "events"), "user_id", "ts", "event_id", "value", nLags = 8)),
+    // Pareto / cumulative-share analysis: customers ranked by exact
+    // revenue, running share from the distributed prefix-sum (never a
+    // single-task window), top-80% flag crossing-inclusive.
+    "q_pareto" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("entity"))
+        .agg(sum(floor(col("o_totalprice") * 1000000.0).cast("long"))
+          .as("revenue_micro"))
+        .withColumn("neg_rev", -col("revenue_micro"))
+      val (run, _, total) = FeatureStore.globalRunningSumWithTotals(
+        per, Seq("neg_rev", "entity"), "revenue_micro")
+      // shares go through DECIMAL(38): cum * 1e6 overflows BIGINT at
+      // large SFs (total revenue micro is already ~1e16)
+      run.select(
+        col("entity"), col("revenue_micro"),
+        col("row_number").as("rank"),
+        col("running_sum").as("cum_micro"),
+        expr(s"CAST(CAST(running_sum AS DECIMAL(38,0)) * 1000000 div ${total}L AS BIGINT)")
+          .as("cum_share_micro"),
+        (expr(
+          s"CAST(CAST(running_sum - revenue_micro AS DECIMAL(38,0)) * 1000000 div ${total}L AS BIGINT)")
+          < 800000L).as("is_top80"))
+    }),
     // Join-key skew diagnostic: top-20 heaviest lineitem part keys
     // with share + skew-vs-uniform factors in integer micro-units.
     "q_skew_profile" -> ((s, dir) =>
@@ -5113,6 +5136,24 @@ object SparkEntry {
       FROM base
       WINDOW w AS (PARTITION BY entity ORDER BY ts_us, tiebreak)"""
     },
+    "q_pareto" -> """
+      WITH per AS (
+        SELECT o_custkey AS entity,
+               CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+                 AS revenue_micro
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(revenue_micro) AS BIGINT) AS t FROM per),
+      r AS (
+        SELECT entity, revenue_micro,
+               row_number() OVER (ORDER BY revenue_micro DESC, entity) AS rank,
+               sum(revenue_micro) OVER (ORDER BY revenue_micro DESC, entity
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM per)
+      SELECT entity, revenue_micro, CAST(rank AS BIGINT) AS rank,
+             CAST(cum AS BIGINT) AS cum_micro,
+             CAST(CAST(cum AS HUGEINT) * 1000000 // t AS BIGINT) AS cum_share_micro,
+             CAST(cum - revenue_micro AS HUGEINT) * 1000000 // t < 800000 AS is_top80
+      FROM r CROSS JOIN tot""",
     "q_skew_profile" -> """
       WITH c AS (
         SELECT CAST(l_partkey AS BIGINT) AS key, count(*) AS cnt

@@ -162,6 +162,61 @@ object FeatureStore {
     (rangeSlice(parted, offsets, 0L, total, orderCols), total)
   }
 
+  /** Scale-safe RUNNING SUM over a total order — the cumulative
+    * companion of [[globalRowNumbers]]: `sum(value) OVER (ORDER BY …)`
+    * without the single-task window. Range-partition on the order,
+    * one per-partition (count, sum) aggregate to the driver
+    * (numPartitions rows), broadcast prefix offsets, then each
+    * partition computes its local running sum + its offset. `valueCol`
+    * must be integral (use micro-units) so prefix offsets are exact
+    * under any partitioning. Returns the input plus `row_number` and
+    * `running_sum`.
+    */
+  def globalRunningSum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String
+  ): DataFrame = globalRunningSumWithTotals(df, orderCols, valueCol)._1
+
+  /** [[globalRunningSum]] plus (total rows, total sum) — both already
+    * known from the prefix offsets, so share-of-total consumers
+    * (Pareto cuts, cumulative distributions) need NO second pass.
+    */
+  def globalRunningSumWithTotals(
+      df: DataFrame,
+      orderCols: Seq[String], // must be a TOTAL order
+      valueCol: String
+  ): (DataFrame, Long, Long) = {
+    val parted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .select(col("*"), spark_partition_id().as("_pid"))
+      .localCheckpoint()
+    val stats = parted.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accN = 0L
+    var accS = 0L
+    val offsets = stats.map { case (pid, n, s) =>
+      val o = (pid, accN, accS); accN += n; accS += s; o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(
+      offsets.toSeq.toDF("_pid", "_noff", "_soff"))
+    val w = Window.partitionBy(col("_pid")).orderBy(orderCols.map(col): _*)
+    val out = parted
+      .join(offDf, Seq("_pid"))
+      .withColumn("row_number", (row_number().over(w) + col("_noff")).cast("long"))
+      .withColumn(
+        "running_sum",
+        (sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + col("_soff")).cast("long"))
+      .drop("_pid", "_noff", "_soff")
+    (out, accN, accS)
+  }
+
   def pagedMaterialization(
       materialized: DataFrame,
       pageSize: Long,

@@ -347,6 +347,25 @@ class InvariantsSpec extends AnyFunSuite {
     java.lang.Long.parseLong(d.take(15), 16)
   }
 
+  test("globalRunningSum invariant: any layout -> the sequential cumulative sum") {
+    val rnd = new Random(419)
+    for (trial <- 1 to 5) {
+      val n = 1 + rnd.nextInt(60)
+      val rows = (1L to n).map(i => (i, rnd.nextInt(1000).toLong - 200L))
+      val (out, total, sum) = FeatureStore.globalRunningSumWithTotals(
+        rows.toDF("k", "v").repartition(1 + rnd.nextInt(6)), Seq("k"), "v")
+      val got = out.collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("row_number"), r.getAs[Long]("running_sum")))
+        .sortBy(_._1)
+      var acc = 0L
+      rows.zip(got).zipWithIndex.foreach { case (((k, v), (gk, grn, grs)), i) =>
+        acc += v
+        assert(gk == k && grn == i + 1 && grs == acc, s"trial $trial row $k")
+      }
+      assert(total == n && sum == rows.map(_._2).sum)
+    }
+  }
+
   test("concurrencyPeak invariant: equals the naive per-start-instant overlap count") {
     val rnd = new Random(91)
     for (trial <- 1 to 4) {
