@@ -1623,6 +1623,15 @@ object SparkEntry {
     "emb_hnsw_build" -> ((s, dir) =>
       Graph.hnswBuild(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, maxLevel = 3)),
+    // Greedy-descent replay over the built hierarchy: global entry,
+    // one step per upper layer, two-hop layer-0 frontier, exact top-3
+    // among candidates — validates the artifact navigates.
+    "emb_hnsw_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Graph.hnswSearchReplay(
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 10), k = 3, kBuild = 3, maxLevel = 3)
+    }),
     // Dense-core extraction: 3 synchronized peeling rounds at k=3 over
     // the undirected 3-NN graph; survivors + residual degree.
     "graph_kcore" -> ((s, dir) => {
@@ -1768,6 +1777,75 @@ object SparkEntry {
                  ('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
           FROM embeddings))
       ${(0 to 3).map(arm).mkString("\n      UNION ALL\n")}"""
+  }
+
+  /** Greedy-descent replay, unrolled: all-pair sims once (escored),
+    * per-layer kNN edges from level filters, the global entry, one
+    * argmax step per upper layer, a two-hop layer-0 frontier, exact
+    * top-3. Mirrors Graph.hnswSearchReplay step for step.
+    */
+  private lazy val hnswSearchOracleSql: String = {
+    def edgesFor(l: Int) = s"""
+      ed$l AS (
+        SELECT src, dst FROM (
+          SELECT qid AS src, nvid AS dst,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nvid) AS rank
+          FROM es
+          JOIN lv a ON a.vec_id = es.qid AND a.level >= $l
+          JOIN lv b ON b.vec_id = es.nvid AND b.level >= $l)
+        WHERE rank <= 3)"""
+    def stepFor(out: String, prev: String, edges: String, width: Int) = s"""
+      cand_$out AS (
+        SELECT DISTINCT query_id, cand FROM (
+          SELECT query_id, cur AS cand FROM $prev
+          UNION ALL
+          SELECT p.query_id, e.dst FROM $prev p JOIN $edges e ON e.src = p.cur)),
+      $out AS (
+        SELECT query_id, cand AS cur FROM (
+          SELECT c.query_id, c.cand,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY es.sim DESC, c.cand) AS rn
+          FROM cand_$out c JOIN es ON es.qid = c.query_id AND es.nvid = c.cand
+          WHERE c.cand <> c.query_id)
+        WHERE rn <= $width)"""
+    s"""
+      WITH lv AS (
+        SELECT vec_id,
+               CASE WHEN h % 64 = 0 THEN 3
+                    WHEN h % 16 = 0 THEN 2
+                    WHEN h % 4 = 0 THEN 1
+                    ELSE 0 END AS level
+        FROM (
+          SELECT vec_id,
+                 ('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM embeddings)),
+      es AS (
+        SELECT qid, nvid,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
+        GROUP BY qid, nvid),
+      ${(0 to 3).map(edgesFor).mkString(",")},
+      entry AS (SELECT vec_id AS cur FROM lv ORDER BY level DESC, vec_id LIMIT 1),
+      c0 AS (
+        SELECT q.vec_id AS query_id, e.cur
+        FROM embeddings q CROSS JOIN entry e WHERE q.vec_id < 10),
+      ${stepFor("s3a", "c0", "ed3", 3)},
+      ${stepFor("s3b", "s3a", "ed3", 3)},
+      ${stepFor("s2a", "s3b", "ed2", 3)},
+      ${stepFor("s2b", "s2a", "ed2", 3)},
+      ${stepFor("s1a", "s2b", "ed1", 3)},
+      ${stepFor("s1b", "s1a", "ed1", 3)},
+      ${stepFor("b1", "s1b", "ed0", 8)},
+      ${stepFor("b2", "b1", "ed0", 8)},
+      ${stepFor("b3", "b2", "ed0", 8)}
+      SELECT query_id, cur AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT b.query_id, b.cur,
+               row_number() OVER (PARTITION BY b.query_id
+                 ORDER BY es.sim DESC, b.cur) AS rank
+        FROM b3 b JOIN es ON es.qid = b.query_id AND es.nvid = b.cur)
+      WHERE rank <= 3"""
   }
 
   /** All-points 10-NN label consistency: integer match counts, one
@@ -2636,6 +2714,7 @@ object SparkEntry {
     "graph_link_predict" -> linkPredictOracleSql,
     "graph_kcore" -> kcoreOracleSql,
     "emb_hnsw_build" -> hnswOracleSql,
+    "emb_hnsw_search" -> hnswSearchOracleSql,
     "emb_label_consistency" -> labelConsistencyOracleSql,
     "emb_centroid_drift" -> """
       WITH b AS (

@@ -225,11 +225,15 @@ object Graph {
     * the IVF-PQ probe at 100 TB, as with [[knnGraph]]); every higher
     * layer shrinks 4×, so the whole hierarchy costs ~4/3 of layer 0.
     */
-  def hnswBuild(
+  /** The level draw shared by build and search: P(level ≥ l) = 4^-l
+    * via trailing base-4 zeros of an md5 60-bit hash. Returns the
+    * space with a `level` column, pinned (the build touches it once
+    * per layer).
+    */
+  def hnswLevels(
       space: DataFrame,
       keyCol: String,
       vecCol: String,
-      k: Int,
       maxLevel: Int
   ): DataFrame = {
     require(maxLevel >= 1 && maxLevel <= 8, s"maxLevel out of range: $maxLevel")
@@ -238,15 +242,119 @@ object Graph {
     var level: Column = lit(0L)
     for (l <- 1 to maxLevel)
       level = when(pmod(h, lit(math.pow(4, l).toLong)) === 0, l.toLong).otherwise(level)
-    val leveled = space
+    space
       .select(col(keyCol), col(vecCol), level.as("level"))
-      .localCheckpoint() // level draw + base frame pinned across layers
+      .localCheckpoint()
+  }
+
+  def hnswBuild(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      k: Int,
+      maxLevel: Int
+  ): DataFrame = {
+    val leveled = hnswLevels(space, keyCol, vecCol, maxLevel)
     (0 to maxLevel)
       .map { l =>
         knnGraph(leveled.where(col("level") >= l), keyCol, vecCol, k)
           .select(lit(l.toLong).as("level"), col("src"), col("dst"))
       }
       .reduce(_ unionAll _)
+  }
+
+  /** Bounded greedy-descent replay over a built HNSW hierarchy — the
+    * batch emulation of the serving engine's search, validating that
+    * the shipped artifact ([[hnswBuild]]) actually navigates: start at
+    * the GLOBAL entry point (highest level, smallest key), take TWO
+    * greedy steps per upper layer (argmax cosine over beam ∪ layer
+    * neighbors — a fixed step budget keeps the plan static, where
+    * true HNSW iterates to local convergence), then run THREE
+    * beam-search rounds of width max(k,5) at layer 0 (the ef-search
+    * analog) and return the exact top-k of the final beam. Everything
+    * is deterministic: ties break (sim desc, key asc); the query
+    * itself is excluded from candidacy (queries are corpus members
+    * here).
+    *
+    * Scale shape: the hierarchy is built once (layer-0 kNN dominates);
+    * per query each step touches ≤ width·(1+k) candidate rows —
+    * broadcast-sized frames joined against the pinned edge list,
+    * never a corpus scan per query.
+    *
+    * Navigability caveat (measured, not hidden): pure kNN layers are
+    * navigable on smooth manifolds but DISCONNECT on strongly
+    * clustered corpora (each cluster's kNN edges stay internal, so a
+    * walk cannot leave the entry's cluster) — hnswlib repairs this
+    * with its diverse-neighbor selection heuristic at insert time.
+    * For clustered data graft's production ANN path is the IVF family
+    * (emb_knn_ivf* — the coarse quantizer routes ACROSS clusters by
+    * construction); this replay exists to validate the shipped layer
+    * artifact end to end.
+    */
+  def hnswSearchReplay(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      kBuild: Int,
+      maxLevel: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    val leveled = hnswLevels(space, keyCol, vecCol, maxLevel)
+    val edges = (0 to maxLevel)
+      .map { l =>
+        knnGraph(leveled.where(col("level") >= l), keyCol, vecCol, kBuild)
+          .select(lit(l.toLong).as("level"), col("src"), col("dst"))
+      }
+      .reduce(_ unionAll _)
+      .localCheckpoint()
+    val vecs = leveled.select(col(keyCol).as("vid"), col(vecCol).as("v"))
+    val entry = leveled
+      .orderBy(col("level").desc, col(keyCol))
+      .limit(1)
+      .select(col(keyCol).as("cur"))
+    val q = queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
+    // beam = (query_id, q_vec, cur) rows, width grows to `beamWidth`
+    // at layer 0 (the ef-search analog)
+    def expand(beam: DataFrame, lEdges: DataFrame, width: Int): DataFrame = {
+      val cands = beam.select(col("query_id"), col("q_vec"), col("cur").as("cand"))
+        .unionAll(
+          beam.join(lEdges, col("cur") === col("src"))
+            .select(col("query_id"), col("q_vec"), col("dst").as("cand")))
+        .dropDuplicates("query_id", "cand")
+      val scored = cands
+        .where(col("cand") =!= col("query_id"))
+        .join(vecs, col("cand") === col("vid"))
+        .withColumn(
+          "sim", graft.functions.VectorFunctions.cosine(col("q_vec"), col("v")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= width)
+        .select(col("query_id"), col("q_vec"), col("cand").as("cur"))
+    }
+    var beam = q.crossJoin(broadcast(entry))
+    for (l <- maxLevel to 1 by -1) {
+      val lEdges = edges.where(col("level") === l).select(col("src"), col("dst"))
+      // width-3 beams (not pure greedy): upper layers are sparse, and
+      // a width-1 walk strands queries in the entry's region when the
+      // corpus is strongly clustered
+      beam = expand(expand(beam, lEdges, 3), lEdges, 3)
+    }
+    val e0 = edges.where(col("level") === 0).select(col("src"), col("dst"))
+    val beamWidth = math.max(k, 8)
+    for (_ <- 1 to 3) beam = expand(beam, e0, beamWidth)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cur"))
+    beam
+      .join(vecs, col("cur") === col("vid"))
+      .withColumn(
+        "sim", graft.functions.VectorFunctions.cosine(col("q_vec"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cur").as("neighbor_id"), col("rank").cast("long"))
   }
 
   /** Bounded k-core peeling: `rounds` synchronized rounds of "drop

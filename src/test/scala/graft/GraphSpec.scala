@@ -170,6 +170,52 @@ class GraphSpec extends AnyFunSuite {
       s"node 0 must appear in layers 0..$expected0")
   }
 
+  test("hnswSearchReplay: high recall on a navigable (smooth-manifold) corpus") {
+    // 200 points on a slow 2-D circle: kNN edges follow the manifold,
+    // so the layered walk must navigate from the global entry to any
+    // query's neighborhood — the property HNSW exists to provide.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val n = 200
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (0 until n).map { i =>
+      val a = 2 * math.Pi * i / n
+      Row(i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val space = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val queries = space.where(col("vec_id") % 37 === 0) // 6 spread-out queries
+    val got = Graph.hnswSearchReplay(
+      space, "vec_id", "embedding", queries, k = 3, kBuild = 3, maxLevel = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(got.length == 18, "3 results for each query")
+    assert(got.forall { case (q, nb) => q != nb }, "query never returns itself")
+    val exact = graft.operators.Similarity
+      .knnBruteForce(space, queries, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val hits = got.count(exact.contains)
+    assert(hits >= 15, s"recall too low on a navigable corpus: $hits/18")
+  }
+
+  test("hnswSearchReplay: deterministic structure on the clustered test corpus") {
+    // the clustered corpus documents the kNN-layer navigability caveat
+    // (see scaladoc): results are still full, deterministic, self-free
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val a = Graph.hnswSearchReplay(
+      emb, "vec_id", "embedding", queries, k = 3, kBuild = 3, maxLevel = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a.length == 30 && a.forall(t => t._1 != t._2))
+    val b = Graph.hnswSearchReplay(
+      emb.repartition(7), "vec_id", "embedding", queries, k = 3, kBuild = 3, maxLevel = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b, "replay must be layout-independent")
+  }
+
   test("knnGraph emits exactly k out-edges per node, excluding self") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3)
