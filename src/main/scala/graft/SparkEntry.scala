@@ -525,7 +525,30 @@ object SparkEntry {
       FeatureStore.onlineExport(
         materializedLatest(s, dir)
           .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")),
-        shards = 32))
+        shards = 32)),
+    // Exact categorical vocabulary (StringIndexer analog): p_type
+    // indexed by (frequency desc, value asc) with a min-count floor;
+    // rare types encode as OOV -1. Vocab-sized window + broadcast
+    // apply — the corpus pass never shuffles.
+    "fs_vocab_encode" -> ((s, dir) =>
+      FeatureStore.vocabEncode(
+        t(s, dir, "part"), "p_partkey", "p_type", minCount = 12L)),
+    // Deterministic negative sampling for recsys/contrastive training:
+    // per customer, 12 md5-keyed item proposals mod the part key space,
+    // positives (ordered parts) anti-joined away, earliest 5 surviving
+    // slots kept — O(users x proposals), never users x items.
+    "fs_negative_sample" -> ((s, dir) => {
+      val inter = t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      FeatureStore.negativeSample(
+        t(s, dir, "customer"), "c_custkey",
+        inter, "o_custkey", "l_partkey",
+        t(s, dir, "part"), "p_partkey",
+        proposals = 12, k = 5, seed = "neg7")
+    })
   )
 
   private def fsOracles: Map[String, String] = Map(
@@ -1172,7 +1195,39 @@ object SparkEntry {
     "fs_materialize_incremental" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1"""
+        FROM events) WHERE rn = 1""",
+    "fs_vocab_encode" -> """
+      WITH c AS (
+        SELECT p_type AS category, count(*) AS cnt FROM part GROUP BY p_type),
+      v AS (
+        SELECT category,
+               CAST(row_number() OVER (ORDER BY cnt DESC, category) - 1 AS BIGINT) AS idx
+        FROM c WHERE cnt >= 12)
+      SELECT p_partkey AS entity, p_type AS category,
+             coalesce(idx, -1) AS idx
+      FROM part LEFT JOIN v ON part.p_type = v.category""",
+    "fs_negative_sample" -> """
+      WITH sp AS (SELECT max(p_partkey) + 1 AS n_items FROM part),
+      prop AS (
+        SELECT c_custkey AS "user", CAST(t.slot AS BIGINT) AS slot,
+               ('0x' || substr(md5('neg7:' || CAST(c_custkey AS VARCHAR)
+                                   || ':' || CAST(t.slot AS VARCHAR)), 1, 15))::BIGINT
+                 % n_items AS item
+        FROM customer CROSS JOIN sp CROSS JOIN (SELECT range AS slot FROM range(12)) t),
+      pos AS (
+        SELECT DISTINCT o_custkey AS "user", CAST(l_partkey AS BIGINT) AS item
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      filt AS (
+        SELECT p."user", p.item, min(p.slot) AS slot
+        FROM prop p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pos WHERE pos."user" = p."user" AND pos.item = p.item)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT "user", item, slot,
+               row_number() OVER (PARTITION BY "user" ORDER BY slot, item) AS rk
+        FROM filt)
+      SELECT "user", item, slot FROM ranked WHERE rk <= 5"""
   )
 
   // ---------------------------------------------------------------- //
@@ -4751,6 +4806,24 @@ object SparkEntry {
         .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
     }),
+    // Hive-style partitioned layout round-trip: events written
+    // partitionBy(event_date), read back with a single-day predicate.
+    // The date filter resolves at PLANNING time against directory
+    // names (PartitionFilters, spec-asserted) — the scan reads 1 of 30
+    // day directories, the 100 TB first-line defense before zone maps
+    // or bucketing. Day profile per event_type; decimal-exact spend.
+    "source_partitioned_prune" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_part_events"
+      Tables.writePartitioned(
+        t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        tmp, Seq("event_date"))
+      s.read.parquet(tmp)
+        .where(col("event_date") === lit("2024-01-10").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("spend"))
+    }),
     // Lakehouse round-trip (the reference Spark runner's Iceberg/Delta
     // registration path, offline_store_spark_runner.py:193/213,
     // re-expressed on graft's own JSON-commit-log format): commit
@@ -5741,6 +5814,11 @@ object SparkEntry {
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
              min(n_name) AS first_name
       FROM nation GROUP BY n_regionkey""",
+    "source_partitioned_prune" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS spend
+      FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+      GROUP BY event_type""",
     "source_lakehouse_roundtrip" -> """
       WITH latest AS (
         SELECT n_nationkey, n_regionkey FROM nation

@@ -1424,4 +1424,109 @@ object FeatureStore {
           expr("n_pos * n_total * 1000000 div (n_entities * pos_total)"))
           .as("lift_micro"))
   }
+
+  /** Exact categorical vocabulary encoder — the StringIndexer /
+    * label-vocabulary step of classical feature engineering (the
+    * non-hashed counterpart of [[featureHash]]; featureform users run
+    * this as a SQL transformation before materialization). Vocabulary =
+    * categories whose corpus frequency >= `minCount`, indexed 0..V-1 by
+    * (frequency desc, value asc) so the layout is fully deterministic;
+    * everything below the floor (and anything unseen at apply time)
+    * encodes as the OOV index -1.
+    *
+    * Scale shape: one map-side-combined groupBy builds the counts
+    * (output bounded by category CARDINALITY, not corpus size); the
+    * ordered indexing window runs over those V vocab rows only — the
+    * single-partition sort touches the vocabulary, never the corpus —
+    * and the apply side is a broadcast hash join, so the corpus pass is
+    * scan + broadcast-probe with no corpus shuffle at all.
+    */
+  def vocabEncode(
+      df: DataFrame,
+      entityCol: String,
+      featureCol: String,
+      minCount: Long = 1L
+  ): DataFrame = {
+    val vocab = df
+      .groupBy(col(featureCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .withColumn(
+        "idx",
+        row_number()
+          .over(Window.orderBy(col("cnt").desc, col(featureCol).asc))
+          .cast("long") - 1L)
+      .select(col(featureCol), col("idx"))
+    df.select(col(entityCol).as("entity"), col(featureCol).as("category"))
+      .join(broadcast(vocab), col("category") === vocab(featureCol), "left")
+      .select(
+        col("entity"),
+        col("category"),
+        coalesce(col("idx"), lit(-1L)).as("idx"))
+  }
+
+  /** Deterministic negative sampling — the candidate-generation step of
+    * contrastive / recommender training data: for each user, up to `k`
+    * items the user has NOT interacted with, drawn by content-keyed
+    * pseudo-random proposals so the sample is reproducible across runs,
+    * engines, and partitionings (md5-keyed like [[graft.operators.Sampling]]).
+    *
+    * Each user gets `proposals` candidate draws (slot 0..proposals-1);
+    * draw = md5(seed:user:slot) mod |item key space|. Positives are
+    * removed with a left-anti join, duplicate draws collapse to their
+    * first slot, and the earliest `k` surviving slots win.
+    *
+    * Scale shape: proposals are generated by explode over users —
+    * O(users x proposals) rows, never the users x items cross join that
+    * the naive formulation implies. The anti join hash-partitions on
+    * (user, item) — linear in interactions — and the final top-k window
+    * partitions by user over <= `proposals` rows per key. `itemSpace`
+    * is a 1-row broadcast (max item key), not a driver collect.
+    */
+  def negativeSample(
+      users: DataFrame,
+      userCol: String,
+      interactions: DataFrame,
+      iUserCol: String,
+      iItemCol: String,
+      items: DataFrame,
+      itemKeyCol: String,
+      proposals: Int,
+      k: Int,
+      seed: String
+  ): DataFrame = {
+    require(proposals >= k, s"proposals=$proposals must be >= k=$k")
+    val space = items.agg((max(col(itemKeyCol)) + 1L).as("n_items"))
+    val prop = users
+      .select(col(userCol).cast("long").as("user"))
+      .crossJoin(broadcast(space))
+      .select(
+        col("user"),
+        explode(sequence(lit(0L), lit(proposals - 1L))).as("slot"),
+        col("n_items"))
+      .withColumn(
+        "item",
+        conv(
+          substring(
+            md5(concat(
+              lit(s"$seed:"), col("user").cast("string"),
+              lit(":"), col("slot").cast("string"))),
+            1, 15),
+          16, 10).cast("long") % col("n_items"))
+    val pos = interactions
+      .select(
+        col(iUserCol).cast("long").as("user"),
+        col(iItemCol).cast("long").as("item"))
+      .distinct()
+    prop
+      .join(pos, Seq("user", "item"), "left_anti")
+      .groupBy(col("user"), col("item"))
+      .agg(min(col("slot")).as("slot"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("user")).orderBy(col("slot"), col("item"))))
+      .where(col("rk") <= k)
+      .select(col("user"), col("item"), col("slot"))
+  }
 }

@@ -734,4 +734,55 @@ class FeatureStoreSpec extends AnyFunSuite {
       .map(r => Option(r.getAs[Any]("lift_micro"))).toSet
     assert(lifts == Set(None))
   }
+
+  test("vocabEncode: frequency-desc/value-asc order, min-count floor -> OOV -1") {
+    val df = Seq(
+      (1L, "b"), (2L, "b"), (3L, "b"),
+      (4L, "a"), (5L, "a"), (6L, "c"),
+      (7L, "a"), (8L, "d")).toDF("id", "cat")
+    val out = FeatureStore.vocabEncode(df, "id", "cat", minCount = 2L)
+      .collect().map(r => r.getAs[Long]("entity") -> r.getAs[Long]("idx")).toMap
+    // counts: b=3, a=3, c=1, d=1. Tie b/a broken by value asc -> a=0, b=1.
+    // c and d fall below the floor -> OOV -1.
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 0L, 5L -> 0L, 7L -> 0L,
+      6L -> -1L, 8L -> -1L))
+  }
+
+  test("negativeSample: positives excluded, deterministic, first k slots win") {
+    val users = Seq(Tuple1(1L), Tuple1(2L)).toDF("u")
+    val items = (0L to 9L).map(Tuple1(_)).toDF("item_id")
+    // user 1 has interacted with most of the catalog: negatives must
+    // avoid all of 0..7 and can only come from {8, 9}
+    val inter = (0L to 7L).map(i => (1L, i)).toDF("u", "i")
+    val out = FeatureStore.negativeSample(
+      users, "u", inter, "u", "i", items, "item_id",
+      proposals = 16, k = 3, seed = "t")
+    val byUser = out.collect()
+      .groupBy(_.getAs[Long]("user"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("item"), r.getAs[Long]("slot"))).toSet)
+      .toMap
+    assert(byUser(1L).map(_._1).subsetOf(Set(8L, 9L)))
+    assert(byUser(2L).size == 3)
+    // no sampled negative is a positive
+    assert(byUser(1L).map(_._1).intersect((0L to 7L).toSet).isEmpty)
+    // deterministic: a second run is identical
+    val again = FeatureStore.negativeSample(
+      users, "u", inter, "u", "i", items, "item_id",
+      proposals = 16, k = 3, seed = "t")
+      .collect().map(r =>
+        (r.getAs[Long]("user"), r.getAs[Long]("item"), r.getAs[Long]("slot"))).toSet
+    assert(again ==
+      out.collect().map(r =>
+        (r.getAs[Long]("user"), r.getAs[Long]("item"), r.getAs[Long]("slot"))).toSet)
+    // within a user, kept slots are the earliest surviving ones:
+    // every kept slot is <= every dropped-but-surviving slot
+    val all2 = FeatureStore.negativeSample(
+      users, "u", inter, "u", "i", items, "item_id",
+      proposals = 16, k = 16, seed = "t")
+      .where(col("user") === 2L).collect().map(_.getAs[Long]("slot")).sorted
+    val kept2 = byUser(2L).map(_._2)
+    assert(kept2 == all2.take(3).toSet)
+  }
 }

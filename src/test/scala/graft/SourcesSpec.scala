@@ -179,4 +179,23 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("status")).toMap
     assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
   }
+
+  test("writePartitioned: date filter prunes to one partition directory at planning time") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, GraftTestSession.Sf0001, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    Tables.writePartitioned(ev, s"$tmp/part_events", Seq("event_date"))
+    val back = spark.read.parquet(s"$tmp/part_events")
+      .where(col("event_date") === lit("2024-01-10").cast("date"))
+    // the predicate must resolve against directory names, not row data
+    val scan = back.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("event_date")))
+    assert(scan.relation.location.inputFiles.length > 1) // table HAS many partitions
+    assert(scan.selectedPartitions.partitionCount == 1)  // ... scan reads exactly one
+    // and the pruned read returns exactly the filtered rows
+    val expected = ev.where(to_date(col("ts")) === lit("2024-01-10").cast("date")).count()
+    assert(back.count() == expected && expected > 0)
+  }
 }
