@@ -105,7 +105,17 @@ object Explain {
       "graph_link_predict", "graph_kcore", "q_concurrency_peak",
       "q_ewma", "fs_decile_lift", "emb_ood_scores", "dedup_ngram_spans",
       "q_rolling_distinct", "q_skew_profile", "lake_partition_evolution",
-      "lake_clone")
+      "lake_clone",
+      // R4 session-6 additions: vocab broadcast apply (corpus side must
+      // be scan + BroadcastHashJoin, the tiny window only over vocab
+      // rows), proposal/anti-join negative sampling (no cross join on
+      // the corpus path), planning-time partition elimination
+      // (PartitionFilters on the scan).
+      "fs_vocab_encode", "fs_negative_sample", "source_partitioned_prune",
+      // near-dup arrival gate: first-arrival window + doc max, no
+      // pair join anywhere in the plan; scene cuts: lazy frame
+      // explode + per-clip lag window.
+      "stream_dedup_near", "mm_scene_cut")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

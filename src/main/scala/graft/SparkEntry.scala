@@ -5956,6 +5956,13 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(t(s, dir, "documents"))),
         stride = 30)),
+    // Shot-boundary detection over the video payloads: per-frame
+    // checksum-derived intensity, cut where |delta| >= 128. Lag window
+    // per clip; corpus dimension stays embarrassingly parallel.
+    "mm_scene_cut" -> ((s, dir) =>
+      Multimodal.sceneCuts(
+        Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(t(s, dir, "documents"))),
+        threshold = 128)),
     // Aspect-preserving resize planning: ingest -> batched decode ->
     // fit-into-256 target shapes (the deterministic half of vision
     // preprocessing; pixel work stays behind the codec boundary).
@@ -5989,6 +5996,12 @@ object SparkEntry {
     // in StreamingSpec: dedupStream over MemoryStream == this).
     "stream_dedup" -> ((s, dir) =>
       StreamingFeatures.dedupBatch(t(s, dir, "documents"), "doc_id", "text")),
+    // Streaming NEAR-dup gate, batch analog (stream parity spec-checked
+    // in StreamingSpec): is_dup per doc iff any MinHash-LSH band bucket
+    // was first claimed by an earlier arrival. No pair join — the
+    // keep/drop verdict needs only first-arrival per bucket.
+    "stream_dedup_near" -> ((s, dir) =>
+      StreamingFeatures.nearDedupBatch(t(s, dir, "documents"), "doc_id", "text")),
     // Stream-stream interval-join attribution, batch analog: click ->
     // purchase pairs within a 60-minute window per user.
     "stream_attribution" -> ((s, dir) =>
@@ -6125,6 +6138,26 @@ object SparkEntry {
                     ELSE CAST(1 AS BIGINT) END AS n_frames
         FROM documents)
       SELECT media_id, unnest(range(0, n_frames, 30)) AS frame_idx FROM m""",
+    "mm_scene_cut" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               1 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 300) AS n_frames,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
+        FROM documents WHERE doc_id % 3 = 0),
+      f AS (
+        SELECT media_id, checksum, unnest(range(0, n_frames)) AS frame_idx
+        FROM m WHERE n_frames > 1),
+      s AS (
+        SELECT media_id, frame_idx,
+               ('0x' || substr(md5(CAST(checksum AS VARCHAR) || ':'
+                                   || CAST(frame_idx AS VARCHAR)), 1, 2))::INT AS signal
+        FROM f),
+      d AS (
+        SELECT media_id, frame_idx, signal,
+               lag(signal) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+        FROM s)
+      SELECT media_id, frame_idx, CAST(signal - prev AS INT) AS delta
+      FROM d WHERE prev IS NOT NULL AND abs(signal - prev) >= 128""",
     "stream_latest_value" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -6148,6 +6181,15 @@ object SparkEntry {
     "stream_dedup" -> """
       SELECT md5(text) AS fp, min(doc_id) AS doc_id
       FROM documents GROUP BY md5(text)""",
+    "stream_dedup_near" -> s"""
+      WITH $minhashChainCtes,
+      first_seen AS (
+        SELECT band, bh, min(doc_id) AS first_id
+        FROM banded GROUP BY band, bh)
+      SELECT b.doc_id,
+             CAST(max(CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END) AS INT) AS is_dup
+      FROM banded b JOIN first_seen f ON b.band = f.band AND b.bh = f.bh
+      GROUP BY b.doc_id""",
     "stream_attribution" -> """
       SELECT t.user_id, c.event_id AS conv_id, epoch_us(c.ts) AS conv_ts_us,
              t.event_id AS touch_id, epoch_us(t.ts) AS touch_ts_us

@@ -152,11 +152,6 @@ object Dedup {
     // rows. (A where(size(shs) > 0) would push into the scan and
     // re-inline the whole shingling expression as a per-row
     // DataFilter — shingling would run twice per doc.)
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(
-        col(idCol).as("doc_id"),
-        array_distinct(shingles(col(textCol), shingleWidth)).as("shs"))
     // persist: BOTH self-join sides read the sketch. Without a pin the
     // planner broadcasts one side, and the broadcast-build thread races
     // the stream side through a duplicate evaluation of the md5-heavy
@@ -165,15 +160,41 @@ object Dedup {
     // where the persisted single evaluation is stable. Footprint is
     // bands rows of (long, int, 32-char hash) per doc — the same order
     // as a shuffle write of the sketch, spilling to disk if huge.
-    val banded = sh.select(
-      col("doc_id"),
-      posexplode(
-        call_function(
-          graft.plans.GraftFunctions.MinHashBandsName,
-          col("shs"), lit(bands), lit(rowsPerBand)))
-        .as(Seq("band", "band_hash")))
+    val banded = bandedSketch(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+      idCol, textCol, shingleWidth, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandPairs(banded)
+  }
+
+  /** The raw (doc_id, band, band_hash) sketch rows of the portable
+    * md5 MinHash scheme, computed by the native one-pass kernel — the
+    * shared front half of [[minhashLshNative]], also consumed by the
+    * streaming near-dup gate
+    * ([[graft.streaming.StreamingFeatures.nearDedupStream]]). Pure
+    * per-row projection (scan-shaped, no shuffle); docs too short to
+    * shingle yield null sketches, which posexplode to zero rows.
+    */
+  def bandedSketch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        array_distinct(shingles(col(textCol), shingleWidth)).as("shs"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          call_function(
+            graft.plans.GraftFunctions.MinHashBandsName,
+            col("shs"), lit(bands), lit(rowsPerBand)))
+          .as(Seq("band", "band_hash")))
   }
 
   /** Corpus-level overlap between document groups (sources, dumps,

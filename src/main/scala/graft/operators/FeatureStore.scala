@@ -1436,10 +1436,12 @@ object FeatureStore {
     *
     * Scale shape: one map-side-combined groupBy builds the counts
     * (output bounded by category CARDINALITY, not corpus size); the
-    * ordered indexing window runs over those V vocab rows only — the
-    * single-partition sort touches the vocabulary, never the corpus —
-    * and the apply side is a broadcast hash join, so the corpus pass is
-    * scan + broadcast-probe with no corpus shuffle at all.
+    * ordered indexing runs over those V vocab rows through
+    * [[globalRowNumbers]] — the distributed prefix-sum numbering, so
+    * even a pathological high-cardinality vocabulary (ids-as-
+    * categories) never funnels into a single-task sort — and the apply
+    * side is a broadcast hash join, so the corpus pass is scan +
+    * broadcast-probe with no corpus shuffle at all.
     */
   def vocabEncode(
       df: DataFrame,
@@ -1447,16 +1449,15 @@ object FeatureStore {
       featureCol: String,
       minCount: Long = 1L
   ): DataFrame = {
-    val vocab = df
+    val counts = df
       .groupBy(col(featureCol))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
-      .withColumn(
-        "idx",
-        row_number()
-          .over(Window.orderBy(col("cnt").desc, col(featureCol).asc))
-          .cast("long") - 1L)
-      .select(col(featureCol), col("idx"))
+      // (-cnt, value) ascending == (frequency desc, value asc); the
+      // pair is a total order because values are distinct post-groupBy
+      .withColumn("neg_cnt", -col("cnt"))
+    val vocab = globalRowNumbers(counts, Seq("neg_cnt", featureCol))
+      .select(col(featureCol), (col("row_number") - 1L).as("idx"))
     df.select(col(entityCol).as("entity"), col(featureCol).as("category"))
       .join(broadcast(vocab), col("category") === vocab(featureCol), "left")
       .select(

@@ -222,6 +222,44 @@ object Multimodal {
       .toDF("media_id", "frame_idx")
   }
 
+  /** Scene-cut detection plan for video payloads — the shot-boundary
+    * step of a video curation pipeline (split clips at cuts before
+    * captioning/sampling). Per frame a scalar intensity signal stands
+    * in for the decoded frame (derived deterministically from the
+    * media checksum + frame index — md5 hex-slice, engine-portable
+    * like the rest of [[FakeCodec]]; in production this column is the
+    * per-frame luma/histogram statistic the decoder emits); a cut is
+    * any frame whose |signal - lag(signal)| clears `threshold`.
+    *
+    * Scale shape: frames explode lazily (≤ n_frames rows per video),
+    * and the lag window partitions per media_id — frame counts are
+    * bounded per video, so no partition ever exceeds one clip; the
+    * corpus dimension stays embarrassingly parallel.
+    */
+  def sceneCuts(meta: Dataset[MediaMeta], threshold: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    meta.toDF()
+      .where(col("n_frames") > 1)
+      .select(
+        col("media_id"), col("checksum"),
+        explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
+      .withColumn(
+        "signal",
+        conv(
+          substring(
+            md5(concat(
+              col("checksum").cast("string"), lit(":"),
+              col("frame_idx").cast("string"))),
+            1, 2),
+          16, 10).cast("int"))
+      .withColumn("prev", lag(col("signal"), 1).over(w))
+      .where(col("prev").isNotNull && abs(col("signal") - col("prev")) >= threshold)
+      .select(
+        col("media_id"), col("frame_idx"),
+        (col("signal") - col("prev")).as("delta"))
+  }
+
   /** LAION-style image–text pair curation: the CLIP-similarity gate
     * plus caption-quality gates that decide which (image, caption)
     * pairs enter a multimodal training set (Schuhmann et al., LAION-400M:

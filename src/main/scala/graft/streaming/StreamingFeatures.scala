@@ -184,6 +184,65 @@ object StreamingFeatures {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
 
+  final case class BandArrival(doc_id: Long, band: Int, band_hash: String)
+  final case class BandHit(doc_id: Long, band: Int, hit: Boolean)
+
+  /** Streaming NEAR-dup gate — [[dedupStream]]'s exact-fingerprint
+    * state upgraded to MinHash-LSH band buckets (the streaming half of
+    * `dedup_minhash_lsh`, the shape a 100 TB ingest firehose actually
+    * runs: dedup-at-arrival, not dedup-after-landing). Input is the
+    * (doc_id, band, band_hash) rows of
+    * [[graft.operators.Dedup.bandedSketch]] (a pure projection, legal
+    * on a streaming DataFrame); state per bucket is the first-arrival
+    * doc id; a band row HITS when its bucket was first claimed by a
+    * strictly earlier arrival. A document is a near-dup candidate iff
+    * ANY of its bands hits — that doc-level verdict is a plain
+    * downstream aggregation of the emitted per-band flags.
+    *
+    * Policy: every arriving document's bands enter state, dup or not,
+    * so verdicts are chain-free — "dup" means the bucket was seen
+    * before, full stop — and the stream reproduces the batch analog
+    * ([[nearDedupBatch]]) exactly when arrival order is id order
+    * (spec-checked). State is O(1) per distinct bucket; bound it with
+    * a TTL in production, same note as [[dedupStream]].
+    */
+  def nearDedupStream(bands: Dataset[BandArrival]): Dataset[BandHit] = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    bands
+      .groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
+        val sorted = rows.toSeq.sortBy(_.doc_id)
+        val firstSeen = if (state.exists) state.get else sorted.head.doc_id
+        if (!state.exists) state.update(firstSeen)
+        sorted.iterator.map(b =>
+          BandHit(b.doc_id, b.band, b.doc_id > firstSeen))
+      }
+  }
+
+  /** Batch analog of [[nearDedupStream]] at the document level:
+    * (doc_id, is_dup) where is_dup=1 iff any of the doc's band buckets
+    * was first claimed by a smaller doc_id. One window shuffle on the
+    * bucket key (first-arrival per bucket), one aggregation shuffle on
+    * doc_id — both linear; no pair join at all, which is what makes
+    * the arrival-gate formulation cheaper than candidate enumeration
+    * when only the keep/drop verdict is needed. Docs too short to
+    * shingle have no bands and no verdict (absent), matching the
+    * stream.
+    */
+  def nearDedupBatch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val banded = graft.operators.Dedup.bandedSketch(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    banded
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("doc_id") > col("first_id"), 1).otherwise(0))
+          .cast("int").as("is_dup"))
+  }
+
   /** Stream-stream event-time interval join (attribution): each
     * conversion pairs with the same user's prior touch events within
     * `windowMinutes`. Both sides carry watermarks and the join

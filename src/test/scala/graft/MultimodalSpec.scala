@@ -150,4 +150,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == ((1, 0, 1, 0)))
     assert(out(3L) == ((0, 1, 1, 0))) // missing embedding: attributable, not dropped
   }
+
+  test("sceneCuts: exact boundaries vs a naive recomputation; stills skipped") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaMeta
+    // two clips + one still image (n_frames=1 must emit nothing)
+    val meta = Seq(
+      MediaMeta(1L, 10L, "video/mp4", 64L, 64L, 40L, 123456789L),
+      MediaMeta(2L, 10L, "video/mp4", 64L, 64L, 25L, 987654321L),
+      MediaMeta(3L, 10L, "image/png", 64L, 64L, 1L, 555L))
+      .toDS()
+    val out = Multimodal.sceneCuts(meta, threshold = 128)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx")) ->
+        r.getAs[Int]("delta"))
+      .toMap
+    // naive reference: same md5-derived signal, per clip
+    def signal(checksum: Long, f: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$checksum:$f".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      Integer.parseInt(hex.substring(0, 2), 16)
+    }
+    val expected = (for {
+      (id, cks, n) <- Seq((1L, 123456789L, 40L), (2L, 987654321L, 25L))
+      f <- 1L until n
+      d = signal(cks, f) - signal(cks, f - 1)
+      if math.abs(d) >= 128
+    } yield (id, f) -> d).toMap
+    assert(expected.nonEmpty) // the fixture genuinely exercises cuts
+    assert(out == expected)
+    assert(!out.keySet.exists(_._1 == 3L))
+  }
 }

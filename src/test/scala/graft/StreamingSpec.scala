@@ -269,6 +269,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup gate: band-bucket state across batches == batch analog") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingFeatures.BandArrival
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    val textC = "red green blue cyan magenta yellow"
+    val input = MemoryStream[(Long, String)](spark)
+    // the LSH sketch is a pure projection, so it runs ON the stream
+    val bands = graft.operators.Dedup
+      .bandedSketch(input.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("band", col("band").cast("int"))
+      .as[BandArrival]
+    val query = StreamingFeatures.nearDedupStream(bands)
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: doc 1 and its in-batch copy doc 2; doc 3 distinct
+      input.addData((1L, textA), (2L, textA), (3L, textB))
+      query.processAllAvailable()
+      // batch 2: doc 4 duplicates doc 1 ACROSS batches (pure state
+      // hit); doc 5 is new
+      input.addData((4L, textA), (5L, textC))
+      query.processAllAvailable()
+      val verdicts = spark.table("near_dedup")
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("hit"), 1).otherwise(0)).as("is_dup"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_dup")).toMap
+      assert(verdicts == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0))
+      // exact parity with the batch analog over the full arrival set
+      val docs = Seq((1L, textA), (2L, textA), (3L, textB), (4L, textA), (5L, textC))
+        .toDF("doc_id", "text")
+      val batch = StreamingFeatures.nearDedupBatch(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_dup")).toMap
+      assert(batch == verdicts)
+    } finally query.stop()
+  }
+
   test("streaming MultiSet sink folds micro-batches into versioned space snapshots") {
     val root = System.getProperty("java.io.tmpdir") + "/graft_stream_spaces_" +
       System.nanoTime()
