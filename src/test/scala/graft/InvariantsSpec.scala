@@ -533,4 +533,87 @@ class InvariantsSpec extends AnyFunSuite {
       assert(out == naive, s"trial $trial")
     }
   }
+
+  test("vocabEncode invariant: matches naive count/sort/index on random multisets") {
+    val rnd = new Random(421)
+    for (trial <- 1 to 5) {
+      val cats = ('a' to ('a' + 3 + rnd.nextInt(8)).toChar).map(_.toString)
+      val rows = (1L to (10 + rnd.nextInt(60)))
+        .map(i => (i, cats(rnd.nextInt(cats.size))))
+      val floor = 1L + rnd.nextInt(4)
+      val out = FeatureStore
+        .vocabEncode(
+          rows.toDF("id", "cat").repartition(1 + rnd.nextInt(4)), "id", "cat", floor)
+        .collect()
+        .map(r => r.getAs[Long]("entity") -> r.getAs[Long]("idx")).toMap
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val vocab = counts.toSeq.filter(_._2 >= floor)
+        .sortBy { case (v, c) => (-c, v) }
+        .zipWithIndex.map { case ((v, _), i) => v -> i.toLong }.toMap
+      val naive = rows.map { case (id, c) => id -> vocab.getOrElse(c, -1L) }.toMap
+      assert(out == naive, s"trial $trial floor=$floor")
+    }
+  }
+
+  test("negativeSample invariant: full naive replay of propose/filter/dedup/truncate") {
+    val rnd = new Random(97)
+    def h15(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    for (trial <- 1 to 4) {
+      val nUsers = 2 + rnd.nextInt(6)
+      val nItems = 4 + rnd.nextInt(12)
+      val users = (1L to nUsers).map(Tuple1(_))
+      val items = (0L until nItems).map(Tuple1(_))
+      val inter = (1 to 5 + rnd.nextInt(25))
+        .map(_ => (1L + rnd.nextInt(nUsers), rnd.nextInt(nItems).toLong)).distinct
+      val (proposals, k, seed) = (4 + rnd.nextInt(12), 1 + rnd.nextInt(4), s"s$trial")
+      val out = FeatureStore
+        .negativeSample(
+          users.toDF("u"), "u", inter.toDF("u", "i"), "u", "i",
+          items.toDF("item_id"), "item_id", proposals, k, seed)
+        .collect()
+        .map(r => (r.getAs[Long]("user"), r.getAs[Long]("item"), r.getAs[Long]("slot")))
+        .toSet
+      val pos = inter.toSet
+      val naive = (1L to nUsers).flatMap { u =>
+        (0L until proposals.toLong)
+          .map(slot => (h15(s"$seed:$u:$slot") % nItems, slot))
+          .filterNot { case (item, _) => pos((u, item)) }
+          .groupBy(_._1).map { case (item, xs) => (item, xs.map(_._2).min) }
+          .toSeq.sortBy { case (item, slot) => (slot, item) }
+          .take(k)
+          .map { case (item, slot) => (u, item, slot) }
+      }.toSet
+      assert(out == naive, s"trial $trial p=$proposals k=$k")
+    }
+  }
+
+  test("nearDedupBatch invariant: verdicts equal naive first-claim over the sketch rows") {
+    val rnd = new Random(613)
+    val words = Seq("a", "b", "c", "d", "e") // tiny alphabet forces collisions
+    for (trial <- 1 to 4) {
+      val docs = (1L to (6 + rnd.nextInt(14))).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(4))
+      val out = graft.streaming.StreamingFeatures
+        .nearDedupBatch(df, "doc_id", "text")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_dup")).toMap
+      // naive over the same sketch rows: dup iff any bucket was first
+      // claimed by a smaller doc_id (kernel fidelity is spec'd elsewhere)
+      val banded = graft.operators.Dedup.bandedSketch(df, "doc_id", "text")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[String]("band_hash")))
+      val firstClaim = banded.groupBy(b => (b._2, b._3))
+        .view.mapValues(_.map(_._1).min).toMap
+      val naive = banded.groupBy(_._1).map { case (id, rows) =>
+        id -> (if (rows.exists(b => firstClaim((b._2, b._3)) < id)) 1 else 0)
+      }
+      assert(out == naive, s"trial $trial")
+    }
+  }
 }
