@@ -317,7 +317,13 @@ object Graph {
     val q = queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
     // beam = (query_id, q_vec, cur) rows, width grows to `beamWidth`
     // at layer 0 (the ef-search analog)
-    def expand(beam: DataFrame, lEdges: DataFrame, width: Int): DataFrame = {
+    def expand(prevBeam: DataFrame, lEdges: DataFrame, width: Int): DataFrame = {
+      // PIN each round's beam: the union below consumes it TWICE (as
+      // candidates and as the edge-join probe), so an unpinned chain
+      // of r rounds re-evaluates round 1's plan 2^r times — measured
+      // 53s at sf0.1 for 9 rounds, vs ~2s pinned. The beam is
+      // queries × width rows, so the checkpoint is trivially small.
+      val beam = prevBeam.localCheckpoint()
       val cands = beam.select(col("query_id"), col("q_vec"), col("cur").as("cand"))
         .unionAll(
           beam.join(lEdges, col("cur") === col("src"))
