@@ -69,7 +69,13 @@ object Graph {
       .select(col("id"), col("sl").as("label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("votes").desc, col("nl"))
-    (1 to iterations).foldLeft(init) { (cur, _) =>
+    (1 to iterations).foldLeft(init) { (prev, _) =>
+      // pin: each round reads the label frame twice (vote source +
+      // prev-label fallback), so the unpinned plan grows 2^iterations
+      // subtrees (the hnswSearchReplay lesson). At the default 3
+      // rounds the A/B is a wash (the pinned kNN edges dominate);
+      // the checkpoint is the asymptotic guard for deeper schedules.
+      val cur = prev.localCheckpoint()
       val votes = edges
         .join(
           cur.select(col("id").as("src"), col("label").as("nl")).where(col("nl").isNotNull),
@@ -389,10 +395,17 @@ object Graph {
     var sub = und
     var surviving = degrees(sub).where(col("core_degree") >= k)
     for (_ <- 2 to rounds) {
-      val alive = surviving.select(col("id"))
+      // pin both per-round frames: `alive` probes two semi-joins and
+      // the new `sub` feeds both the next round's joins and its degree
+      // count — unpinned, the double consumption compounds 2^rounds
+      // (the hnswSearchReplay lesson; a wash at 3 rounds where the
+      // pinned edge build dominates, the guard for deeper peels).
+      // alive is node-sized; sub is the (shrinking) surviving edges.
+      val alive = surviving.select(col("id")).localCheckpoint()
       sub = sub
         .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
       surviving = degrees(sub).where(col("core_degree") >= k)
     }
     surviving.select(col("id").as("node_id"), col("core_degree"))
