@@ -115,7 +115,9 @@ object Explain {
       // near-dup arrival gate: first-arrival window + doc max, no
       // pair join anywhere in the plan; scene cuts: lazy frame
       // explode + per-clip lag window.
-      "stream_dedup_near", "mm_scene_cut")
+      "stream_dedup_near", "mm_scene_cut",
+      // backfill: manifest diff + broadcast-pruned dirty-day recompute.
+      "fs_backfill_days")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

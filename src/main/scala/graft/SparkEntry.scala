@@ -533,6 +533,21 @@ object SparkEntry {
     "fs_vocab_encode" -> ((s, dir) =>
       FeatureStore.vocabEncode(
         t(s, dir, "part"), "p_partkey", "p_type", minCount = 12L)),
+    // Selective partition backfill: two days of the daily aggregate
+    // went stale (late data); the per-day manifest diff finds exactly
+    // them, recomputes ONLY those partitions, and carries clean days
+    // forward — result equal to a full recompute (the oracle), with
+    // the backfilled flag auditing the detection.
+    "fs_backfill_days" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dirty = Seq("2024-01-05", "2024-01-20").map(d => lit(d).cast("date"))
+      val stale = ev.where(
+        !(col("event_id") % 3 === 0 && to_date(col("ts")).isin(dirty: _*)))
+      FeatureStore.backfillDays(
+        ev, "ts", "event_type", "value", "event_id",
+        FeatureStore.dailyAggregate(stale, "ts", "event_type", "value"),
+        FeatureStore.dailyManifest(stale, "ts", "event_id"))
+    }),
     // Deterministic negative sampling for recsys/contrastive training:
     // per customer, 12 md5-keyed item proposals mod the part key space,
     // positives (ordered parts) anti-joined away, earliest 5 surviving
@@ -1206,6 +1221,12 @@ object SparkEntry {
       SELECT p_partkey AS entity, p_type AS category,
              coalesce(idx, -1) AS idx
       FROM part LEFT JOIN v ON part.p_type = v.category""",
+    "fs_backfill_days" -> """
+      SELECT CAST(ts AS DATE) AS day, event_type AS feature, count(*) AS n,
+             CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS spend_micro,
+             CAST(CASE WHEN CAST(ts AS DATE) IN (DATE '2024-01-05', DATE '2024-01-20')
+                       THEN 1 ELSE 0 END AS INT) AS backfilled
+      FROM events GROUP BY 1, 2""",
     "fs_negative_sample" -> """
       WITH sp AS (SELECT max(p_partkey) + 1 AS n_items FROM part),
       prop AS (

@@ -1530,4 +1530,78 @@ object FeatureStore {
       .where(col("rk") <= k)
       .select(col("user"), col("item"), col("slot"))
   }
+
+  /** Per-day aggregate of an event stream: (day, feature) -> row count
+    * + exact micro-unit spend. The materialized table that
+    * [[backfillDays]] maintains.
+    */
+  def dailyAggregate(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String): DataFrame =
+    events
+      .groupBy(
+        to_date(col(tsCol)).as("day"), col(typeCol).as("feature"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col(valueCol) * 1000000.0).cast("long")).as("spend_micro"))
+
+  /** Per-day source fingerprint: row count + order-independent xor of
+    * the md5 row keys — written alongside a daily materialization so a
+    * later snapshot can be diffed per PARTITION without comparing row
+    * data. One map-side-combined pass; ~30 rows/month output.
+    */
+  def dailyManifest(events: DataFrame, tsCol: String, idCol: String): DataFrame =
+    events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr(
+          s"bit_xor(cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint))")
+          .as("xor_key"))
+
+  /** Selective partition backfill — the pattern that makes a 100 TB
+    * backfill affordable: when late/corrected data lands, do NOT
+    * recompute three years of daily aggregates; diff the per-day
+    * manifests (current snapshot vs the one the materialization was
+    * built from), recompute ONLY the dirty days, and carry every clean
+    * day's rows forward untouched. On a date-partitioned source (see
+    * `source_partitioned_prune`) the dirty-day semi join prunes the
+    * recompute scan to the dirty partitions at planning time.
+    *
+    * Returns the refreshed daily aggregate, each row flagged
+    * `backfilled` (1 = recomputed this run) — equal to a full
+    * recompute from the current snapshot (the oracle), with the flag
+    * auditing that detection fired on exactly the changed days.
+    * `dirtyDays` is day-count-sized, hence the broadcast joins.
+    */
+  def backfillDays(
+      current: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      idCol: String,
+      staleAgg: DataFrame,
+      staleManifest: DataFrame
+  ): DataFrame = {
+    val curM = dailyManifest(current, tsCol, idCol)
+      .select(col("day"), col("n_rows").as("cn"), col("xor_key").as("cx"))
+    val dirtyDays = curM
+      .join(
+        staleManifest.select(
+          col("day"), col("n_rows").as("sn"), col("xor_key").as("sx")),
+        Seq("day"), "full_outer")
+      .where(
+        col("cn").isNull || col("sn").isNull ||
+          col("cn") =!= col("sn") || col("cx") =!= col("sx"))
+      .select(col("day"))
+    val recomputed = dailyAggregate(
+      current
+        .withColumn("day", to_date(col(tsCol)))
+        .join(broadcast(dirtyDays), Seq("day"), "left_semi"),
+      tsCol, typeCol, valueCol)
+      .withColumn("backfilled", lit(1))
+    staleAgg
+      .join(broadcast(dirtyDays), Seq("day"), "left_anti")
+      .withColumn("backfilled", lit(0))
+      .unionByName(recomputed)
+  }
 }

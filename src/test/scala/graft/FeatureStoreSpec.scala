@@ -735,6 +735,39 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(lifts == Set(None))
   }
 
+  test("backfillDays: manifest diff recomputes exactly the dirty days; equals full recompute") {
+    val mk = (id: Long, day: String, typ: String, v: Double) =>
+      (id, ts(s"$day 10:00:00"), typ, v)
+    val current = Seq(
+      mk(1L, "2024-03-01", "click", 1.5), mk(2L, "2024-03-01", "view", 2.0),
+      mk(3L, "2024-03-02", "click", 3.0), mk(4L, "2024-03-02", "click", 0.5),
+      mk(5L, "2024-03-03", "view", 1.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    // stale snapshot missed event 4 (late data on Mar 2) and contains a
+    // row later DELETED from Mar 3 (id 6) — both day shapes must flag
+    val stale = current.where(col("event_id") =!= 4L)
+      .unionByName(Seq(mk(6L, "2024-03-03", "click", 9.0))
+        .toDF("event_id", "ts", "event_type", "value"))
+    val out = FeatureStore.backfillDays(
+      current, "ts", "event_type", "value", "event_id",
+      FeatureStore.dailyAggregate(stale, "ts", "event_type", "value"),
+      FeatureStore.dailyManifest(stale, "ts", "event_id"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"), r.getAs[Int]("backfilled"))))
+      .toMap
+    val full = FeatureStore.dailyAggregate(current, "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"))))
+      .toMap
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap == full)
+    // Mar 1 untouched; Mar 2 (late insert) and Mar 3 (delete) recomputed
+    assert(out.collect { case ((d, _), (_, _, 1)) => d }.toSet ==
+      Set("2024-03-02", "2024-03-03"))
+    assert(out(("2024-03-01", "click"))._3 == 0)
+  }
+
   test("vocabEncode: frequency-desc/value-asc order, min-count floor -> OOV -1") {
     val df = Seq(
       (1L, "b"), (2L, "b"), (3L, "b"),
