@@ -47,4 +47,38 @@ class SkewKmeansSpec extends AnyFunSuite {
     // tie between keys 1..4 broken by smaller key
     assert(out(1) == (1L -> ((1L, 100000L, 500000L))))
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true in final plan)") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // graft sessions ship with adaptive.skewJoin enabled; the default
+    // 256MB skew threshold is sized for clusters, so shrink it to make
+    // the runtime split observable on a test-sized shuffle.
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carries ~95% of the rows with a fat payload; the
+      // rest spread across 40 cold keys
+      val big = spark.range(40000).select(
+        when(col("id") % 20 =!= 0, 0L).otherwise(pmod(col("id"), lit(40L)))
+          .as("k"),
+        concat(lit("x" * 64), col("id").cast("string")).as("payload"))
+      val dim = spark.range(40).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = big.join(dim, Seq("k"))
+      // drive the frame's OWN QueryExecution (count() would plan a
+      // separate aggregate query and leave this one unexecuted)
+      assert(joined.collect().length == 40000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"no skew split in:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
