@@ -116,8 +116,9 @@ object Explain {
       // pair join anywhere in the plan; scene cuts: lazy frame
       // explode + per-clip lag window.
       "stream_dedup_near", "mm_scene_cut",
-      // backfill: manifest diff + broadcast-pruned dirty-day recompute.
-      "fs_backfill_days")
+      // backfill: manifest diff + broadcast-pruned dirty-day recompute;
+      // classifier inference: single scan-projection, zero exchanges.
+      "fs_backfill_days", "text_classifier_score")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

@@ -3567,6 +3567,11 @@ object SparkEntry {
     // negative log-likelihood under the corpus unigram distribution.
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+    // fastText-shaped hashed linear classifier inference: bigrams hash
+    // into 1024 weight slots, doc score = summed evidence, all inside
+    // one per-row HOF fold — no explode, no shuffle, scan-speed.
+    "text_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(t(s, dir, "documents"), "doc_id", "text")),
     // CCNet head/middle/tail quality terciles over the LM score —
     // exact NTILE via the distributed numbering primitive.
     "text_ppl_buckets" -> ((s, dir) =>
@@ -4114,6 +4119,21 @@ object SparkEntry {
              replace(p,' ','@@'), n FROM m2
       UNION ALL SELECT 3, string_split(p,' ')[1], string_split(p,' ')[2],
              replace(p,' ','@@'), n FROM m3""",
+    "text_classifier_score" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      u AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        FROM t),
+      wt AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('w:' ||
+                    CAST(('0x' || substr(md5('clf:' || g), 1, 15))::BIGINT % 1024
+                         AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000 AS wm
+        FROM u)
+      SELECT doc_id, count(*) AS n_bigrams, CAST(sum(wm) AS BIGINT) AS score_sum_micro,
+             CAST(CASE WHEN sum(wm) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM wt GROUP BY doc_id""",
     "text_lm_score" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),

@@ -626,4 +626,50 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("dw_pico")).as("weight_pico"))
   }
+
+  /** Hashed linear classifier INFERENCE — the fastText-shaped quality/
+    * toxicity filter CCNet and RefinedWeb run over a crawl: each doc's
+    * word bigrams hash into a fixed table of `buckets` weight slots and
+    * the doc's score is the summed evidence (embedding-bag of hashed
+    * n-grams, the exact fastText scoring shape). Weights here derive
+    * deterministically from the bucket id (micro-units in
+    * [-1e6, 1e6] — a stand-in for trained parameters that keeps the
+    * score engine-portable; production swaps in a broadcast weight
+    * array, same plan). keep = summed evidence >= 0, which is the
+    * mean-threshold-at-zero decision without a division (no negative
+    * integer-division portability trap).
+    *
+    * Scale shape: the whole scorer is a per-row HOF fold inside the
+    * scan projection — NO explode, NO shuffle, NO join; classifier
+    * inference at 100 TB runs at scan speed, which is exactly why the
+    * hashing-trick linear model is the filter of choice at corpus
+    * scale. Docs too short to form a bigram carry no evidence and are
+    * excluded (same row set as the SQL oracle's unnest).
+    */
+  def classifierScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val weighted = transform(
+      shingles(col(textCol), 2),
+      g => {
+        val bucket =
+          conv(substring(md5(concat(lit("clf:"), g)), 1, 15), 16, 10)
+            .cast("long") % lit(buckets.toLong)
+        (conv(
+          substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 15),
+          16, 10).cast("long") % lit(2000001L)) - lit(1000000L)
+      })
+    docs
+      .select(col(idCol).as("doc_id"), weighted.as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_bigrams"),
+        aggregate(col("ws"), lit(0L), (a, x) => a + x).as("score_sum_micro"))
+      .where(col("n_bigrams") > 0)
+      .withColumn("keep", (col("score_sum_micro") >= 0L).cast("int"))
+  }
 }

@@ -321,4 +321,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
     assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle", 5L -> "tail"))
   }
+
+  test("classifierScore: exact hashed-linear evidence vs naive; short docs excluded") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def h15(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def weight(bigram: String): Long =
+      (h15(s"w:${h15(s"clf:$bigram") % 1024}") % 2000001L) - 1000000L
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "one two"), (3L, "solo"),
+      (4L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("score_sum_micro"), r.getAs[Int]("keep"))))
+      .toMap
+    def naive(text: String): (Long, Long, Int) = {
+      val w = text.split(" ")
+      val ws = w.indices.dropRight(1).map(i => weight(s"${w(i)} ${w(i + 1)}"))
+      (ws.size.toLong, ws.sum, if (ws.sum >= 0) 1 else 0)
+    }
+    assert(out == Map(
+      1L -> naive("alpha beta gamma"),
+      2L -> naive("one two"),
+      4L -> naive("alpha beta alpha beta"))) // doc 3: no bigram, excluded
+    // a repeated bigram contributes its weight every occurrence
+    assert(out(4L)._2 ==
+      2 * weight("alpha beta") + weight("beta alpha"))
+  }
 }
