@@ -118,7 +118,9 @@ object Explain {
       "stream_dedup_near", "mm_scene_cut",
       // backfill: manifest diff + broadcast-pruned dirty-day recompute;
       // classifier inference: single scan-projection, zero exchanges.
-      "fs_backfill_days", "text_classifier_score")
+      "fs_backfill_days", "text_classifier_score",
+      // forward labels: ONE merged-stream window, no inequality join.
+      "fs_label_horizon")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

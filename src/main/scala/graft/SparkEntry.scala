@@ -533,6 +533,16 @@ object SparkEntry {
     "fs_vocab_encode" -> ((s, dir) =>
       FeatureStore.vocabEncode(
         t(s, dir, "part"), "p_partkey", "p_type", minCount = 12L)),
+    // Forward label horizon: for each click, did the user purchase
+    // within 72h strictly after it, and how long did it take — ONE
+    // merged-stream window per entity, never the anchor x outcome
+    // inequality join.
+    "fs_label_horizon" -> ((s, dir) =>
+      FeatureStore.labelHorizon(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        anchorIs = col("event_type") === "click",
+        outcomeIs = col("event_type") === "purchase",
+        horizonUs = 72L * 3600L * 1000000L)),
     // Selective partition backfill: two days of the daily aggregate
     // went stale (late data); the per-day manifest diff finds exactly
     // them, recomputes ONLY those partitions, and carries clean days
@@ -1221,6 +1231,22 @@ object SparkEntry {
       SELECT p_partkey AS entity, p_type AS category,
              coalesce(idx, -1) AS idx
       FROM part LEFT JOIN v ON part.p_type = v.category""",
+    "fs_label_horizon" -> """
+      WITH a AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      o AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      nxt AS (
+        SELECT a.event_id, a.user_id, a.ts, min(o.ts) AS nts
+        FROM a LEFT JOIN o ON o.user_id = a.user_id AND o.ts > a.ts
+        GROUP BY 1, 2, 3)
+      SELECT event_id, user_id AS entity, epoch_us(ts) AS ts_us,
+             CAST(CASE WHEN nts IS NOT NULL
+                        AND epoch_us(nts) <= epoch_us(ts) + 259200000000
+                       THEN 1 ELSE 0 END AS INT) AS label,
+             CASE WHEN nts IS NOT NULL
+                   AND epoch_us(nts) <= epoch_us(ts) + 259200000000
+                  THEN epoch_us(nts) - epoch_us(ts) END AS ttc_us
+      FROM nxt""",
     "fs_backfill_days" -> """
       SELECT CAST(ts AS DATE) AS day, event_type AS feature, count(*) AS n,
              CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS spend_micro,
@@ -4847,6 +4873,22 @@ object SparkEntry {
         .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
     }),
+    // JSON-lines source registration round-trip (the third leg of the
+    // source matrix beside CSV and the ORC spec): explicit schema (no
+    // inference pass over the corpus — the 100 TB requirement), same
+    // region profile oracle as the CSV leg's nation profile.
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_jsonl_customer"
+      val cust = t(s, dir, "customer")
+      cust.write.mode("overwrite").json(tmp)
+      Tables
+        .registerPrimary(s, "customer_jsonl", tmp, "json",
+          expectedSchema = Some(cust.schema))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("balance"))
+    }),
     // Hive-style partitioned layout round-trip: events written
     // partitionBy(event_date), read back with a single-day predicate.
     // The date filter resolves at PLANNING time against directory
@@ -5855,6 +5897,10 @@ object SparkEntry {
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
              min(n_name) AS first_name
       FROM nation GROUP BY n_regionkey""",
+    "source_jsonl_roundtrip" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+      FROM customer GROUP BY c_mktsegment""",
     "source_partitioned_prune" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS spend

@@ -1531,6 +1531,63 @@ object FeatureStore {
       .select(col("user"), col("item"), col("slot"))
   }
 
+  /** Forward-looking label generation — the churn/conversion label
+    * builder: for every anchor event, label 1 iff the same entity has
+    * an outcome event STRICTLY after the anchor and within
+    * `horizonUs`, plus the exact time-to-outcome when it does. The
+    * mirror image of the point-in-time training set (features look
+    * back, labels look forward); `fs_leakage_audit` polices the
+    * backward side, this builds the forward side.
+    *
+    * Plan: anchors and outcomes merge into ONE per-entity stream and a
+    * single window pass computes each anchor's next outcome timestamp
+    * (running min over the reversed order; equal-timestamp outcomes
+    * sort below the anchor so "strictly after" is exact) — one shuffle
+    * on entity, NEVER the anchor×outcome inequality join whose hot
+    * entities explode quadratically at 100 TB. `anchorIs`/`outcomeIs`
+    * must be disjoint predicates.
+    */
+  def labelHorizon(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      anchorIs: Column,
+      outcomeIs: Column,
+      horizonUs: Long
+  ): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val tagged = events
+      .where(anchorIs || outcomeIs)
+      .select(
+        col(entityCol).as("entity"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("event_id"),
+        when(outcomeIs, 0).otherwise(1).as("flag"))
+    // ascending order is (ts, flag, id): an outcome at the anchor's
+    // exact timestamp (flag 0) sorts BEFORE the anchor, so the
+    // suffix-min below never counts it. The window runs the REVERSE
+    // of that order with a strict preceding frame = suffix of the
+    // ascending order.
+    val w = Window
+      .partitionBy(col("entity"))
+      .orderBy(col("ts_us").desc, col("flag").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn(
+        "next_us", min(when(col("flag") === 0, col("ts_us"))).over(w))
+      .where(col("flag") === 1)
+      .select(
+        col("event_id"),
+        col("entity"),
+        col("ts_us"),
+        (col("next_us").isNotNull &&
+          col("next_us") <= col("ts_us") + horizonUs).cast("int").as("label"),
+        when(
+          col("next_us") <= col("ts_us") + horizonUs,
+          col("next_us") - col("ts_us")).as("ttc_us"))
+  }
+
   /** Per-day aggregate of an event stream: (day, feature) -> row count
     * + exact micro-unit spend. The materialized table that
     * [[backfillDays]] maintains.

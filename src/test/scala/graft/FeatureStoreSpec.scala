@@ -735,6 +735,41 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(lifts == Set(None))
   }
 
+  test("labelHorizon: strict-after window labels, exact time-to-outcome, equal-ts excluded") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      // user 1: anchor at 10:00; outcome at 10:00 EXACTLY (excluded),
+      // next outcome 11:30 -> label 1, ttc 90min
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "purchase"),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "purchase"),
+      // user 2: outcome 73h after the anchor -> outside 72h, label 0
+      (4L, ts("2024-01-01 00:00:00"), 2L, "click"),
+      (5L, ts("2024-01-04 01:00:00"), 2L, "purchase"),
+      // user 3: two anchors share the later outcome; only the second
+      // is within 72h
+      (6L, ts("2024-01-01 00:00:00"), 3L, "click"),
+      (7L, ts("2024-01-03 12:00:00"), 3L, "click"),
+      (8L, ts("2024-01-05 00:00:00"), 3L, "purchase"),
+      // user 4: no outcome at all
+      (9L, ts("2024-01-02 00:00:00"), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = FeatureStore.labelHorizon(
+      ev, "user_id", "ts", "event_id",
+      col("event_type") === "click", col("event_type") === "purchase",
+      horizonUs = 72L * 3600L * 1000000L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Int]("label"), Option(r.getAs[Any]("ttc_us")))))
+      .toMap
+    assert(out(1L) == ((1, Some(90L * 60L * 1000000L))))
+    assert(out(4L) == ((0, None)))
+    assert(out(6L) == ((0, None)))
+    assert(out(7L) == ((1, Some(36L * 3600L * 1000000L))))
+    assert(out(9L) == ((0, None)))
+    assert(out.size == 5) // outcomes never surface as rows
+  }
+
   test("backfillDays: manifest diff recomputes exactly the dirty days; equals full recompute") {
     val mk = (id: Long, day: String, typ: String, v: Double) =>
       (id, ts(s"$day 10:00:00"), typ, v)
