@@ -591,6 +591,87 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelHorizon invariant: matches the naive quadratic scan, with ts collisions") {
+    val rnd = new Random(733)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(60)
+      // coarse second grid forces anchor/outcome timestamp collisions
+      val ev = (1L to n).map { id =>
+        (id,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(40) * 1000L),
+          1L + rnd.nextInt(5),
+          if (rnd.nextBoolean()) "a" else "o")
+      }
+      val horizonUs = (1L + rnd.nextInt(20)) * 1000000L
+      val out = FeatureStore.labelHorizon(
+        ev.toDF("event_id", "ts", "user_id", "event_type")
+          .repartition(1 + rnd.nextInt(4)),
+        "user_id", "ts", "event_id",
+        col("event_type") === "a", col("event_type") === "o", horizonUs)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Int]("label"), Option(r.getAs[Any]("ttc_us")).map(_.asInstanceOf[Long]))))
+        .toMap
+      val naive = ev.filter(_._4 == "a").map { case (id, ts, u, _) =>
+        val after = ev
+          .filter(e => e._4 == "o" && e._3 == u && e._2.getTime > ts.getTime)
+          .map(_._2.getTime)
+        val nxt = if (after.isEmpty) None else Some(after.min)
+        val hit = nxt.exists(t => (t - ts.getTime) * 1000L <= horizonUs)
+        id -> ((if (hit) 1 else 0,
+          if (hit) Some((nxt.get - ts.getTime) * 1000L) else None))
+      }.toMap
+      assert(out == naive, s"trial $trial horizon=$horizonUs")
+    }
+  }
+
+  test("backfillDays invariant: random drift always lands on the full recompute, flags exact") {
+    val rnd = new Random(839)
+    for (trial <- 1 to 4) {
+      val days = (1 to 8).map(d => f"2024-02-$d%02d")
+      val current = (1L to (30 + rnd.nextInt(60))).map { id =>
+        (id,
+          java.sql.Timestamp.valueOf(s"${days(rnd.nextInt(days.size))} 12:00:00"),
+          if (rnd.nextBoolean()) "x" else "y",
+          rnd.nextInt(100) / 10.0)
+      }
+      // stale: drop a random subset and add rows current lacks
+      val dropped = current.filter(_ => rnd.nextInt(5) == 0)
+      val added = (1 to rnd.nextInt(5)).map { i =>
+        (1000L + i,
+          java.sql.Timestamp.valueOf(s"${days(rnd.nextInt(days.size))} 12:00:00"),
+          "x", 1.0)
+      }
+      val stale = (current.diff(dropped) ++ added)
+      val cols = Seq("event_id", "ts", "event_type", "value")
+      val staleDf = stale.toDF(cols: _*)
+      val out = FeatureStore.backfillDays(
+        current.toDF(cols: _*).repartition(1 + rnd.nextInt(4)),
+        "ts", "event_type", "value", "event_id",
+        FeatureStore.dailyAggregate(staleDf, "ts", "event_type", "value"),
+        FeatureStore.dailyManifest(staleDf, "ts", "event_id"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"), r.getAs[Int]("backfilled"))))
+        .toMap
+      val full = FeatureStore
+        .dailyAggregate(current.toDF(cols: _*), "ts", "event_type", "value")
+        .collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"))))
+        .toMap
+      assert(out.view.mapValues(v => (v._1, v._2)).toMap == full, s"trial $trial values")
+      val dirtyDays = (current.map(e => (e._1, e._2)).toSet
+        .union(stale.map(e => (e._1, e._2)).toSet) --
+        current.map(e => (e._1, e._2)).toSet
+          .intersect(stale.map(e => (e._1, e._2)).toSet))
+        .map(_._2.toString.substring(0, 10))
+      val flagged = out.collect { case ((d, _), (_, _, 1)) => d }.toSet
+      assert(flagged == dirtyDays.filter(d => out.keys.exists(_._1 == d)),
+        s"trial $trial flags: $flagged vs $dirtyDays")
+    }
+  }
+
   test("nearDedupBatch invariant: verdicts equal naive first-claim over the sketch rows") {
     val rnd = new Random(613)
     val words = Seq("a", "b", "c", "d", "e") // tiny alphabet forces collisions
