@@ -1650,6 +1650,11 @@ object FeatureStore {
         col("cn").isNull || col("sn").isNull ||
           col("cn") =!= col("sn") || col("cx") =!= col("sx"))
       .select(col("day"))
+      // pin: both output branches (anti-join keep, semi-join
+      // recompute) consume the dirty-day set; unpinned, each branch
+      // re-evaluates the manifest diff — TWO extra full corpus scans
+      // at 100 TB for a frame of at most #days rows.
+      .localCheckpoint()
     val recomputed = dailyAggregate(
       current
         .withColumn("day", to_date(col(tsCol)))
