@@ -308,6 +308,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup state survives a query RESTART through the checkpoint (exactly-once resume)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (inDir, outDir, ckDir) = (s"$root/in", s"$root/out", s"$root/ck")
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fp", StringType),
+      StructField("ts", TimestampType)))
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/$name"), rows.mkString("\n"))
+    def runQuery(): Unit = {
+      val q = StreamingFeatures
+        .dedupStream(
+          spark.readStream.schema(schema).json(inDir).as[DocArrival])
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1: fps x and y commit to the checkpointed state
+    writeBatch("b1.json", Seq(
+      """{"doc_id": 3, "fp": "x", "ts": "2024-01-01T00:00:00.000Z"}""",
+      """{"doc_id": 7, "fp": "y", "ts": "2024-01-01T00:01:00.000Z"}"""))
+    runQuery()
+    // run 2 = a NEW query resuming from the checkpoint: the late dup of
+    // "x" must still be dropped — state recovered, not rebuilt
+    writeBatch("b2.json", Seq(
+      """{"doc_id": 1, "fp": "x", "ts": "2024-01-01T02:00:00.000Z"}""",
+      """{"doc_id": 9, "fp": "z", "ts": "2024-01-01T02:00:00.000Z"}"""))
+    runQuery()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("doc_id")).toMap
+    assert(out == Map("x" -> 3L, "y" -> 7L, "z" -> 9L))
+  }
+
   test("streaming near-dup gate: band-bucket state across batches == batch analog") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingFeatures.BandArrival
