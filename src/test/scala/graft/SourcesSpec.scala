@@ -180,6 +180,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes the partitioned fact at runtime") {
+    import org.apache.spark.sql.functions._
+    // date-partitioned fact + tiny dim carrying the date: the filter
+    // sits on the DIM, so static pruning can't help — only DPP can
+    // narrow the fact scan, via a runtime subquery on the join key.
+    // This is the star-join lever at 100 TB (TPC-DS-style plans).
+    val ev = Tables.load(spark, GraftTestSession.Sf0001, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    Tables.writePartitioned(ev, s"$tmp/dpp_events", Seq("event_date"))
+    val fact = spark.read.parquet(s"$tmp/dpp_events")
+    val dim = spark.range(30)
+      .select(
+        date_add(lit("2024-01-01").cast("date"), col("id").cast("int"))
+          .as("event_date"),
+        (col("id") % 7 === 0).as("is_campaign_day"))
+    val joined = fact
+      .join(dim, Seq("event_date"))
+      .where(col("is_campaign_day"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val n = joined.collect().map(r => r.getAs[Long]("n")).sum
+    // semantically right...
+    val expected = ev
+      .where(dayofmonth(col("event_date")) % 7 === 1) // ids 0,7,14,21,28 -> days 1,8,15,22,29
+      .count()
+    assert(n == expected && n > 0)
+    // ...and the fact scan carries a runtime pruning filter on the
+    // partition column (the DPP subquery), visible in the final plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic pruning in:\n${plan.take(4000)}")
+  }
+
   test("writePartitioned: date filter prunes to one partition directory at planning time") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, GraftTestSession.Sf0001, "events")
