@@ -119,8 +119,9 @@ object Explain {
       // backfill: manifest diff + broadcast-pruned dirty-day recompute;
       // classifier inference: single scan-projection, zero exchanges.
       "fs_backfill_days", "text_classifier_score",
-      // forward labels: ONE merged-stream window, no inequality join.
-      "fs_label_horizon")
+      // forward labels: ONE merged-stream window, no inequality join;
+      // IVFPQ+Refine: rerank joins sized by the candidate list.
+      "fs_label_horizon", "emb_knn_ivfpq_rerank")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")

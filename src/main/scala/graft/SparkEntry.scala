@@ -1556,6 +1556,16 @@ object SparkEntry {
         "vec_id", "embedding",
         m = 16, dims = 64, ksub = 32, iterations = 2,
         nCells = 8, coarseIterations = 3, nProbe = 3, k = 5)),
+    // FAISS IVFPQ+Refine: ADC shortlist of 4x k from the compressed
+    // index, exact cosine ONLY on the shortlist — memory stays
+    // PQ-sized, final ranking recovers the quantization loss.
+    "emb_knn_ivfpq_rerank" -> ((s, dir) =>
+      Quantization.knnIvfPqRerank(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding",
+        m = 16, dims = 64, ksub = 32, iterations = 2,
+        nCells = 8, coarseIterations = 3, nProbe = 3, k = 5, overfetch = 4)),
     // Index persistence (embeddinghub's save/load surface re-expressed
     // as table-format artifacts): the IVF-PQ index's three frames —
     // coarse cells, residual codebooks, encoded corpus — commit to
@@ -2484,6 +2494,33 @@ object SparkEntry {
       WHERE rank <= 5"""
   }
 
+  /** IVFPQ+Refine oracle: the full ivfPqOracleSql chain widened to the
+    * 20-candidate ADC shortlist (nested WITH inside the CTE body —
+    * legal subquery scoping), then the exact-cosine rerank tail of the
+    * binary-rerank oracle.
+    */
+  private lazy val ivfPqRerankOracleSql: String = {
+    require(ivfPqOracleSql.trim.endsWith("WHERE rank <= 5"),
+      "ivfPqOracleSql tail changed; update the rerank wrapper")
+    s"""
+      WITH cands AS (
+        ${ivfPqOracleSql.replace("WHERE rank <= 5", "WHERE rank <= 20")}),
+      rscored AS (
+        SELECT query_id, neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM cands c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id)
+        GROUP BY query_id, neighbor_id)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM rscored)
+      WHERE rank <= 5"""
+  }
+
   /** Incremental-maintenance oracle: the IVF-PQ chain with TRAINING
     * restricted to the old corpus (vec_id >= 10) and ENCODING covering
     * every row — the unrolled twin of buildIvfPq(old) +
@@ -2710,6 +2747,7 @@ object SparkEntry {
              round(sum(err) / count(*), 6) AS mean_abs_err
       FROM cc GROUP BY vec_id""",
     "emb_knn_ivfpq" -> ivfPqOracleSql,
+    "emb_knn_ivfpq_rerank" -> ivfPqRerankOracleSql,
     // the reloaded index must answer exactly like the fresh one
     "emb_index_persist" -> ivfPqOracleSql,
     "emb_index_upsert" -> ivfPqUpsertOracleSql,

@@ -484,6 +484,48 @@ object Quantization {
     probeIvfPq(index, queries, keyCol, vecCol, m, dims, nProbe, k)
   }
 
+  /** IVF-PQ serving with exact re-rank — FAISS's IndexIVFPQ +
+    * RefineFlat composition, the canonical production serving shape:
+    * the compressed index proposes k·overfetch candidates by ADC
+    * (probed cells only — the corpus is never scanned at full
+    * precision), then ONLY the shortlist pays a full-precision cosine.
+    * Memory stays PQ-sized while final ranking quality recovers most
+    * of the quantization loss; the rerank cost is a
+    * candidate-sized hash join + broadcast of the query vectors, same
+    * shape as [[knnBinaryRerank]].
+    */
+  def knnIvfPqRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iterations: Int,
+      nCells: Int,
+      coarseIterations: Int,
+      nProbe: Int,
+      k: Int,
+      overfetch: Int
+  ): DataFrame = {
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val cands = knnIvfPq(
+      corpus, queries, keyCol, vecCol, m, dims, ksub, iterations,
+      nCells, coarseIterations, nProbe, k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(
+      queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
+    val rescored = cands
+      .join(
+        corpus.select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec")),
+        "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosine(col("q_vec"), col("n_vec")))
+    Similarity.topKPerGroup(rescored, "query_id", "sim", "neighbor_id", k)
+  }
+
   /** Smallest nProbe whose WORST-query recall vs exact euclidean top-k
     * meets the target — the IVF-PQ acceptance-gate loop, mirroring
     * `Similarity.tuneNProbe`'s contract: Some(nProbe) for the first of

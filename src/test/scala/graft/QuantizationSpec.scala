@@ -104,6 +104,40 @@ class QuantizationSpec extends AnyFunSuite {
     assert(rIvfPq >= rRaw - 0.1, s"IVF-PQ recall $rIvfPq collapsed vs raw PQ $rRaw")
   }
 
+  test("knnIvfPqRerank: exact-cosine order within the ADC shortlist, k per query") {
+    val q = emb.where(col("vec_id") < 10)
+    def run(k: Int) = Quantization.knnIvfPq(emb, q, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2,
+      nCells = 8, coarseIterations = 3, nProbe = 3, k = k)
+    val shortlist = run(20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rr = Quantization.knnIvfPqRerank(emb, q, "vec_id", "embedding",
+      m = 16, dims = 64, ksub = 32, iterations = 2,
+      nCells = 8, coarseIterations = 3, nProbe = 3, k = 5, overfetch = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank")))
+    // exactly k per query, every pick drawn from the ADC shortlist
+    assert(rr.length == 50)
+    assert(rr.forall { case (qid, nid, _) => shortlist((qid, nid)) })
+    // rank order == exact cosine desc over the full-precision vectors
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rr.groupBy(_._1).foreach { case (qid, rows) =>
+      val sims = rows.sortBy(_._3).map(t => cos(vecs(qid), vecs(t._2)))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $qid not cosine-ordered: ${sims.mkString(",")}")
+    }
+  }
+
   test("upsertIvfPq equals encoding the full corpus with the frozen artifacts") {
     val old = emb.where(col("vec_id") >= 10)
     val delta = emb.where(col("vec_id") < 10)
