@@ -269,6 +269,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("bounded-state dedup: dup within the watermark dropped, state evicted after it") {
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[DocArrival](spark)
+    val query = StreamingFeatures
+      .dedupStreamBounded(input.toDS().toDF(), "1 hour")
+      .writeStream.format("memory").queryName("bounded_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(DocArrival(1L, "x", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      // within the 1h delay of the first copy: dropped
+      input.addData(DocArrival(2L, "x", ts("2024-01-01 00:30:00")))
+      query.processAllAvailable()
+      // advance event time far past x; its state is evicted...
+      input.addData(DocArrival(3L, "y", ts("2024-01-01 06:00:00")))
+      query.processAllAvailable()
+      // ...so a LATE re-arrival of x is re-admitted (the documented
+      // bounded-state trade; the periodic batch dedup catches it)
+      input.addData(DocArrival(4L, "x", ts("2024-01-01 06:30:00")))
+      query.processAllAvailable()
+      val ids = spark.table("bounded_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 3L, 4L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("stateful streams run on the RocksDB state store (the at-scale state backend)") {
     // The default HDFS-backed store keeps every key on the executor
     // heap — fine for tests, a hard wall for 100 TB streaming state.
