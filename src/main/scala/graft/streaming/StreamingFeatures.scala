@@ -41,6 +41,52 @@ object StreamingFeatures {
       }
   }
 
+  /** [[latestValueStream]] re-expressed on Spark 4's transformWithState
+    * — the successor state API (SPARK-49564 "arbitrary stateful
+    * processing v2"): named state variables with per-variable TTL
+    * config, timers, and schema evolution, RocksDB-backed. Semantics
+    * kept bit-identical to the mapGroupsWithState form (spec-pinned
+    * parity), so callers can migrate APIs without a behavior diff;
+    * production gains the TTL knob (pass a real TTLConfig to bound
+    * state by time, same trade as [[dedupStreamBounded]]).
+    */
+  final class LatestValueProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FeatureEvent, LatestValue] {
+    @transient private var latest:
+        org.apache.spark.sql.streaming.ValueState[LatestValue] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[LatestValue](
+        "latest",
+        org.apache.spark.sql.Encoders.product[LatestValue],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        entity: Long,
+        rows: Iterator[FeatureEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LatestValue] = {
+      val incoming = rows.maxBy(e => (e.ts.getTime, e.event_id))
+      val best =
+        if (latest.exists() && latest.get().ts.after(incoming.ts)) latest.get()
+        else LatestValue(entity, incoming.value, incoming.ts)
+      latest.update(best)
+      Iterator.single(best)
+    }
+  }
+
+  def latestValueStreamTws(events: Dataset[FeatureEvent]): Dataset[LatestValue] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.entity)
+      .transformWithState(
+        new LatestValueProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Batch analog with identical semantics (same as
     * FeatureStore.materializeLatest but typed).
     */

@@ -119,6 +119,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transformWithState latest-value == the mapGroupsWithState form (API migration parity)") {
+    // transformWithState requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[FeatureEvent](spark)
+      val query = StreamingFeatures
+        .latestValueStreamTws(input.toDS())
+        .writeStream.format("memory").queryName("latest_tws")
+        .outputMode(OutputMode.Update())
+        .start()
+      try {
+        input.addData(
+          FeatureEvent(1L, 10.0, ts("2024-01-01 00:00:00"), 1L),
+          FeatureEvent(2L, 5.0, ts("2024-01-01 00:00:00"), 2L))
+        query.processAllAvailable()
+        input.addData(
+          FeatureEvent(1L, 20.0, ts("2024-01-01 02:00:00"), 3L),
+          FeatureEvent(2L, 99.0, ts("2023-12-31 00:00:00"), 4L))
+        query.processAllAvailable()
+        val state = spark.table("latest_tws")
+          .groupBy($"entity")
+          .agg(org.apache.spark.sql.functions.max_by($"value", $"ts").as("value"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // identical to the mapGroupsWithState spec above: the late
+        // event for entity 2 must NOT overwrite newer state
+        assert(state == Map(1L -> 20.0, 2L -> 5.0))
+      } finally query.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming training set matches batch point-in-time join semantics") {
     val input = MemoryStream[TaggedEvent](spark)
     val query = StreamingFeatures
