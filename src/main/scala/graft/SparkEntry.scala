@@ -4971,6 +4971,34 @@ object SparkEntry {
       profile("v1", Lakehouse.read(s, root, "nation_lake", Some(v1)))
         .unionByName(profile("latest", Lakehouse.read(s, root, "nation_lake")))
     }),
+    // Write-Audit-Publish: a clean batch passes the contract and
+    // publishes zero-copy; a corrupted batch (negated region keys)
+    // fails the audit and must leave the main table UNTOUCHED — the
+    // profile equals the clean batch, proving the gate held.
+    "lake_write_audit_publish" -> ((s, dir) => {
+      import graft.operators.FeatureStore.ContractCheck
+      val root = System.getProperty("java.io.tmpdir") + "/graft_wap"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fsys = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(rootPath)) fsys.delete(rootPath, true) // fresh per run
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      val checks = Seq(
+        ContractCheck.NotNull("n_nationkey"),
+        ContractCheck.InRange("n_regionkey", 0, 4),
+        ContractCheck.Unique("n_nationkey"))
+      val (v1, _) = Lakehouse.writeAuditPublish(
+        nation, root, "nation_wap", "overwrite", checks)
+      require(v1.nonEmpty, "clean batch must publish")
+      val bad = nation.withColumn("n_regionkey", -col("n_regionkey") - 1L)
+      val (v2, _) = Lakehouse.writeAuditPublish(
+        bad, root, "nation_wap", "overwrite", checks)
+      require(v2.isEmpty, "corrupted batch must NOT publish")
+      Lakehouse.read(s, root, "nation_wap")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+    }),
     // MERGE INTO on the lakehouse format (Delta/Iceberg upsert
     // statement; the reference registers feature tables into exactly
     // these formats — offline_store_spark_runner.py:193/213): orders
@@ -5956,6 +5984,10 @@ object SparkEntry {
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
              CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'latest' AS snap
       FROM latest GROUP BY n_regionkey""",
+    "lake_write_audit_publish" -> """
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+             CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      FROM nation GROUP BY n_regionkey""",
     "lake_merge_into" -> """
       WITH base AS (
         SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status

@@ -820,6 +820,60 @@ object Lakehouse {
     * source has since overwritten — retain source versions as long as
     * clones of them live, exactly as Delta documents.
     */
+  /** Write-Audit-Publish — Iceberg's WAP governance flow, composed
+    * from graft's own primitives:
+    *
+    *  1. WRITE the candidate batch to a staging table
+    *     (`<table>__staged`) — production-format files, invisible to
+    *     every reader of the main table;
+    *  2. AUDIT the staged snapshot with the declarative data contract
+    *     ([[graft.operators.FeatureStore.dataContract]] — all checks
+    *     in ONE scan);
+    *  3. PUBLISH only if every check passes: a ZERO-COPY commit on the
+    *     main table referencing the staged files (shallow-clone
+    *     mechanics, honoring append/overwrite and the append schema
+    *     contract — no bytes move at any table size). On failure the
+    *     main table is untouched and the staged snapshot stays for
+    *     debugging (vacuum reclaims it once re-staged).
+    *
+    * Returns (published version if the audit passed, the per-check
+    * report). The only driver-side read is the #checks-row report.
+    */
+  def writeAuditPublish(
+      df: DataFrame,
+      root: String,
+      table: String,
+      mode: String,
+      checks: Seq[graft.operators.FeatureStore.ContractCheck]
+  ): (Option[Int], DataFrame) = {
+    import org.apache.spark.sql.functions.{col, min, when}
+    val spark = df.sparkSession
+    val staging = s"${table}__staged"
+    val stagedV = commit(df, root, staging, "overwrite")
+    val report = graft.operators.FeatureStore
+      .dataContract(read(spark, root, staging, Some(stagedV)), checks)
+      .localCheckpoint()
+    val allPass = report
+      .agg(min(when(col("pass"), 1).otherwise(0)).as("p"))
+      .collect()(0).getInt(0) == 1
+    if (!allPass) (None, report)
+    else {
+      if (mode == "append")
+        checkAppendSchema(spark, root, table, df.schema, evolveSchema = false)
+      val src = snapshotCommits(spark, root, staging, Some(stagedV))
+      val dirs = src.flatMap(_.dataDirs)
+      val stats = src.flatMap(_.clusters)
+      val v = commitInternal(
+        root, table, mode, None,
+        dataDir => {
+          fs(spark, new Path(dataDir)).mkdirs(new Path(dataDir))
+          stats
+        },
+        extraDirs = dirs)
+      (Some(v), report)
+    }
+  }
+
   def shallowClone(
       spark: SparkSession,
       root: String,

@@ -434,4 +434,34 @@ class LakehouseSpec extends AnyFunSuite {
       naive.select("a").as[Long].collect().toSet)
     assert(both.inputFiles.length < fullFiles)
   }
+
+  test("write-audit-publish: clean publishes zero-copy, dirty leaves the table untouched") {
+    import graft.operators.FeatureStore.ContractCheck
+    val checks = Seq(
+      ContractCheck.NotNull("k"), ContractCheck.InRange("v", 0, 100))
+    val clean = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val (v1, rep1) = Lakehouse.writeAuditPublish(clean, root, "wap", "overwrite", checks)
+    assert(v1.nonEmpty)
+    assert(rep1.collect().forall(_.getAs[Boolean]("pass")))
+    assert(Lakehouse.read(spark, root, "wap").count() == 3)
+    // the published version's OWN data dir holds no bytes — every file
+    // is referenced from staging (zero-copy publish)
+    val ownDir = new java.io.File(s"$root/wap/data/v${v1.get}")
+    assert(!ownDir.exists() || ownDir.listFiles().forall(!_.getName.endsWith(".parquet")))
+    // dirty batch: a null key and an out-of-range value
+    val dirty = Seq((Some(4L), 10.0), (None, 50.0), (Some(6L), 999.0))
+      .toDF("k", "v")
+    val (v2, rep2) = Lakehouse.writeAuditPublish(dirty, root, "wap", "append", checks)
+    assert(v2.isEmpty)
+    val failed = rep2.collect().filter(!_.getAs[Boolean]("pass"))
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("n_violations")).toMap
+    assert(failed == Map("not_null" -> 1L, "in_range" -> 1L))
+    // main table untouched; the staged snapshot remains for debugging
+    assert(Lakehouse.read(spark, root, "wap").count() == 3)
+    assert(Lakehouse.read(spark, root, "wap__staged").count() == 3)
+    // a clean append THROUGH the gate extends the table
+    val more = Seq((7L, 70.0)).toDF("k", "v")
+    val (v3, _) = Lakehouse.writeAuditPublish(more, root, "wap", "append", checks)
+    assert(v3.nonEmpty && Lakehouse.read(spark, root, "wap").count() == 4)
+  }
 }
