@@ -672,6 +672,30 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeAuditPublish invariant: publishes iff the batch is clean; table state is exact") {
+    import graft.operators.FeatureStore.ContractCheck
+    val root = java.nio.file.Files.createTempDirectory("graft_inv_wap").toString
+    val rnd = new Random(947)
+    val checks = Seq(ContractCheck.NotNull("k"), ContractCheck.InRange("v", 0, 50))
+    for (trial <- 1 to 6) {
+      val t = s"w$trial"
+      // random batch; ~half the trials inject a violation
+      val rows = (1L to (5 + rnd.nextInt(10))).map { i =>
+        (if (rnd.nextInt(20) == 0) None else Some(i),
+          if (rnd.nextInt(8) == 0) 50.0 + rnd.nextInt(100) else rnd.nextInt(51).toDouble)
+      }
+      val df = rows.toDF("k", "v")
+      val clean = rows.forall(r => r._1.nonEmpty && r._2 >= 0 && r._2 <= 50)
+      val (v, report) = Lakehouse.writeAuditPublish(df, root, t, "overwrite", checks)
+      assert(v.nonEmpty == clean, s"trial $trial clean=$clean got $v")
+      assert(report.collect().forall(_.getAs[Boolean]("pass")) == clean)
+      if (clean)
+        assert(Lakehouse.read(spark, root, t).count() == rows.size.toLong)
+      else // never published -> no main table at all
+        assert(Lakehouse.versions(spark, root, t).isEmpty)
+    }
+  }
+
   test("nearDedupBatch invariant: verdicts equal naive first-claim over the sketch rows") {
     val rnd = new Random(613)
     val words = Seq("a", "b", "c", "d", "e") // tiny alphabet forces collisions
