@@ -1294,6 +1294,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // Grouped kNN (Milvus group_by / Vespa grouping): top-5 per query
+    // with at most 2 hits from any one label — one entity cannot
+    // monopolize the result list.
+    "emb_knn_grouped" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGrouped(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 5, perGroup = 2)
+    }),
     // Contrastive triplet mining: per anchor, 5 nearest same-label
     // (positives) and 5 nearest other-label (hard negatives) from ONE
     // corpus scan with two label-masked bounded heaps.
@@ -2786,6 +2795,26 @@ object SparkEntry {
              embedding[-1] AS e_last, label
       FROM embeddings WHERE vec_id BETWEEN 0 AND 9""",
     "emb_knn_brute" -> knnBruteSql,
+    "emb_knn_grouped" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id, nl AS group_label,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid, n.label AS nl,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid, nl),
+      capped AS (
+        SELECT query_id, neighbor_id, group_label, sim,
+               row_number() OVER (PARTITION BY query_id, group_label
+                                  ORDER BY sim DESC, neighbor_id) AS grn
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(group_label AS INT) AS group_label, rank FROM (
+        SELECT query_id, neighbor_id, group_label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM capped WHERE grn <= 2)
+      WHERE rank <= 5""",
     // Same brute-force scoring CTE, split by the anchor/neighbor label
     // relation into the positive and hard-negative ranked lists.
     "emb_triplet_mine" -> """

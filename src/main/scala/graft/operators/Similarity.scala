@@ -64,6 +64,50 @@ object Similarity {
     knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
       (q, n) => cosine(q, n))
 
+  /** Grouped kNN — the vector-DB "search with grouping" feature
+    * (Milvus group_by / Vespa grouping): top-k neighbors per query
+    * with AT MOST `perGroup` results from any one label group, so one
+    * over-represented document/entity cannot monopolize the result
+    * list. Two-stage ranking: per-(query, group) cap first, then the
+    * global top-k among survivors — both windows bounded (candidates
+    * per query ≤ corpus groups × perGroup after the cap). Brute
+    * scoring scaffold here; the candidate source swaps for the IVF-PQ
+    * probe at corpus scale exactly as with the other kNN variants.
+    */
+  def knnGrouped(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      perGroup: Int
+  ): DataFrame = {
+    require(perGroup >= 1, s"perGroup must be >= 1, got $perGroup")
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(
+      queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus
+      .select(
+        col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        col(labelCol).as("group_label"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("group_label"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val capped = scored
+      .withColumn("grn", row_number().over(wg))
+      .where(col("grn") <= perGroup)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    capped
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("group_label"), col("rank"))
+  }
+
   /** Shared brute-force scaffold: broadcast queries x corpus scan,
     * self-pair exclusion, bounded-heap top-k on the given score
     * (higher = closer).

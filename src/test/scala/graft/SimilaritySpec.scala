@@ -359,4 +359,30 @@ class SimilaritySpec extends AnyFunSuite {
     // all distances strictly positive (mean is between the clusters)
     assert(out.values.forall(_._1 > 0L))
   }
+
+  test("knnGrouped: per-label cap holds, survivors rank by similarity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // query 100 points at +x; label 1 has THREE near-identical close
+    // vectors (only two may surface); label 2 is further but must
+    // enter via the cap; label 3 is orthogonal noise
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.00f), 1), (2L, Array(1.0f, 0.01f), 1),
+      (3L, Array(1.0f, 0.02f), 1),
+      (4L, Array(0.8f, 0.30f), 2), (5L, Array(0.7f, 0.40f), 2),
+      (6L, Array(0.0f, 1.00f), 3),
+      (100L, Array(1.0f, 0.0f), 9)).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.knnGrouped(
+      corpus, corpus.where(col("vec_id") === 100L),
+      "vec_id", "embedding", "label", k = 5, perGroup = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"),
+        (r.getAs[Long]("neighbor_id"), r.getAs[Int]("group_label"))))
+      .sortBy(_._1)
+    // label 1 capped at 2 (ids 1,2 — the two best; id 3 displaced);
+    // then label 2's pair; label 3 takes the last slot
+    assert(out.map(_._2._1).toSeq == Seq(1L, 2L, 4L, 5L, 6L))
+    assert(out.count(_._2._2 == 1) == 2)
+    assert(!out.exists(_._2._1 == 3L))
+  }
 }
