@@ -672,6 +672,45 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnGrouped invariant: equals naive cap-then-rank on random corpora") {
+    val rnd = new Random(1021)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(20)
+      val corpus = (1L to n).map(i =>
+        (i, Array(rnd.nextFloat() - 0.5f, rnd.nextFloat() - 0.5f,
+          rnd.nextFloat() - 0.5f), rnd.nextInt(3)))
+      val (k, per) = (1 + rnd.nextInt(5), 1 + rnd.nextInt(3))
+      val df = corpus.toDF("vec_id", "embedding", "label")
+      val out = graft.operators.Similarity.knnGrouped(
+        df, df.where(col("vec_id") <= 3L), "vec_id", "embedding", "label", k, per)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Long]("neighbor_id"))
+        .toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        d / (na * nb)
+      }
+      val byId = corpus.map(c => c._1 -> c).toMap
+      val naive = (1L to 3L).flatMap { qid =>
+        val scored = corpus.filter(_._1 != qid)
+          .map(c => (c._1, c._3, cos(byId(qid)._2, c._2)))
+          .sortBy { case (id, _, s) => (-s, id) }
+        val capped = scala.collection.mutable.Map.empty[Int, Int]
+        val kept = scored.filter { case (_, lab, _) =>
+          val c = capped.getOrElse(lab, 0)
+          if (c < per) { capped(lab) = c + 1; true } else false
+        }
+        kept.take(k).zipWithIndex.map { case ((id, _, _), i) =>
+          (qid, i + 1L) -> id
+        }
+      }.toMap
+      assert(out == naive, s"trial $trial k=$k per=$per")
+    }
+  }
+
   test("writeAuditPublish invariant: publishes iff the batch is clean; table state is exact") {
     import graft.operators.FeatureStore.ContractCheck
     val root = java.nio.file.Files.createTempDirectory("graft_inv_wap").toString
