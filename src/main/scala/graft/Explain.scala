@@ -121,7 +121,9 @@ object Explain {
       "fs_backfill_days", "text_classifier_score",
       // forward labels: ONE merged-stream window, no inequality join;
       // IVFPQ+Refine: rerank joins sized by the candidate list.
-      "fs_label_horizon", "emb_knn_ivfpq_rerank")
+      "fs_label_horizon", "emb_knn_ivfpq_rerank",
+      // grouped kNN: two bounded windows over the broadcast-scored scan.
+      "emb_knn_grouped")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")
