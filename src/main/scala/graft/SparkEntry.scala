@@ -1294,6 +1294,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // Range search (FAISS range_search): every corpus vector within
+    // cosine radius 0.35 of each query — filter-only plan, no window.
+    "emb_range_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rangeSearch(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", minSim = 0.35)
+    }),
     // Grouped kNN (Milvus group_by / Vespa grouping): top-5 per query
     // with at most 2 hits from any one label — one entity cannot
     // monopolize the result list.
@@ -2795,6 +2802,16 @@ object SparkEntry {
              embedding[-1] AS e_last, label
       FROM embeddings WHERE vec_id BETWEEN 0 AND 9""",
     "emb_knn_brute" -> knnBruteSql,
+    "emb_range_search" -> """
+      WITH scored AS (
+        SELECT qid AS query_id, nvid AS neighbor_id,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim FROM (
+          SELECT q.vec_id AS qid, n.vec_id AS nvid,
+                 unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
+          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        GROUP BY qid, nvid)
+      SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= 0.35""",
     "emb_knn_grouped" -> """
       WITH scored AS (
         SELECT qid AS query_id, nvid AS neighbor_id, nl AS group_label,

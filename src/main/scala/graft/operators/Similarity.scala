@@ -64,6 +64,34 @@ object Similarity {
     knnBruteForceBy(corpus, queries, keyCol, vecCol, k)(
       (q, n) => cosine(q, n))
 
+  /** Range search — the vector-DB radius verb (FAISS range_search /
+    * Milvus range filtering): ALL corpus vectors within a cosine
+    * radius of each query, not a fixed k. The cheapest search plan
+    * possible — broadcast queries × corpus scan + a filter, no window,
+    * no shuffle at all; result size is data-dependent (the caller owns
+    * the radius). The self-join version of this verb is the embedding
+    * near-dup family (dedup_embedding*); this is the query-set form.
+    */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      minSim: Double
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(
+      queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")))
+    corpus
+      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      // 6dp-round BEFORE the threshold so the in/out decision is
+      // engine-exact (same guard as clipPairCuration's gate)
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .where(col("sim") >= minSim)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** Grouped kNN — the vector-DB "search with grouping" feature
     * (Milvus group_by / Vespa grouping): top-k neighbors per query
     * with AT MOST `perGroup` results from any one label group, so one

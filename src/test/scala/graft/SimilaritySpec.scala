@@ -360,6 +360,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.values.forall(_._1 > 0L))
   }
 
+  test("rangeSearch: exactly the vectors inside the radius, boundary-exact at 6dp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // sim 1.0 to the query direction
+      (2L, Array(1.0f, 1.0f)),   // cos = 0.707107
+      (3L, Array(0.0f, 1.0f)),   // cos = 0.0
+      (4L, Array(-1.0f, 0.0f)),  // cos = -1.0
+      (9L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.rangeSearch(
+      corpus, corpus.where(col("vec_id") === 9L), "vec_id", "embedding", minSim = 0.7)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("sim")).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == 1.0 && out(2L) == 0.707107)
+    // data-dependent cardinality: widening the radius admits more
+    val wide = graft.operators.Similarity.rangeSearch(
+      corpus, corpus.where(col("vec_id") === 9L), "vec_id", "embedding", minSim = -1.0)
+      .count()
+    assert(wide == 4)
+  }
+
   test("knnGrouped: per-label cap holds, survivors rank by similarity") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
