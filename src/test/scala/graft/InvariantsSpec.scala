@@ -672,6 +672,65 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierScore invariant: equals the naive per-bigram hash walk on random docs") {
+    val rnd = new Random(1117)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def h15(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 4) {
+      val docs = (1L to (5 + rnd.nextInt(15))).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val out = TextAnalysis.classifierScore(
+        docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(4)), "doc_id", "text")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("score_sum_micro"),
+            r.getAs[Int]("keep"))))
+        .toMap
+      val naive = docs.flatMap { case (id, text) =>
+        val w = text.split(" ")
+        val ws = w.indices.dropRight(1).map { i =>
+          val bucket = h15(s"clf:${w(i)} ${w(i + 1)}") % 1024L
+          (h15(s"w:$bucket") % 2000001L) - 1000000L
+        }
+        if (ws.isEmpty) None
+        else Some(id -> ((ws.size.toLong, ws.sum, if (ws.sum >= 0) 1 else 0)))
+      }.toMap
+      assert(out == naive, s"trial $trial")
+    }
+  }
+
+  test("rangeSearch invariant: exact radius membership on random corpora") {
+    val rnd = new Random(1231)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(16)
+      val corpus = (1L to n).map(i =>
+        (i, Array.fill(3)(rnd.nextFloat() - 0.5f)))
+      val tau = -0.5 + rnd.nextInt(10) / 10.0
+      val df = corpus.toDF("vec_id", "embedding")
+      val out = graft.operators.Similarity.rangeSearch(
+        df, df.where(col("vec_id") <= 2L), "vec_id", "embedding", tau)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .toSet
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      val byId = corpus.toMap
+      val naive = (for {
+        q <- 1L to 2L; c <- corpus if c._1 != q
+        s = BigDecimal(cos(byId(q), c._2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if s >= tau
+      } yield (q, c._1)).toSet
+      assert(out == naive, s"trial $trial tau=$tau")
+    }
+  }
+
   test("knnGrouped invariant: equals naive cap-then-rank on random corpora") {
     val rnd = new Random(1021)
     for (trial <- 1 to 4) {
