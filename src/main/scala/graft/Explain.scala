@@ -122,8 +122,9 @@ object Explain {
       // forward labels: ONE merged-stream window, no inequality join;
       // IVFPQ+Refine: rerank joins sized by the candidate list.
       "fs_label_horizon", "emb_knn_ivfpq_rerank",
-      // grouped kNN: two bounded windows over the broadcast-scored scan.
-      "emb_knn_grouped")
+      // grouped kNN: two bounded windows over the broadcast-scored
+      // scan; range search: filter-only, no window/shuffle at all.
+      "emb_knn_grouped", "emb_range_search")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")
