@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -556,12 +557,13 @@ object SparkEntry {
       FeatureStore.backfillDays(
         ev, "ts", "event_type", "value", "event_id",
         FeatureStore.dailyAggregate(stale, "ts", "event_type", "value"),
-        FeatureStore.dailyManifest(stale, "ts", "event_id"))
+        FeatureStore.dailyManifest(stale, "ts", "event_id", "event_type", "value"))
     }),
     // Deterministic negative sampling for recsys/contrastive training:
-    // per customer, 12 md5-keyed item proposals mod the part key space,
-    // positives (ordered parts) anti-joined away, earliest 5 surviving
-    // slots kept — O(users x proposals), never users x items.
+    // per customer, 12 md5-keyed draws mapped through the dense
+    // 0..|part|-1 index (every negative is a REAL part even under key
+    // gaps), positives (ordered parts) anti-joined away, earliest 5
+    // surviving slots kept — O(users x proposals), never users x items.
     "fs_negative_sample" -> ((s, dir) => {
       val inter = t(s, dir, "orders")
         .join(
@@ -1254,13 +1256,19 @@ object SparkEntry {
                        THEN 1 ELSE 0 END AS INT) AS backfilled
       FROM events GROUP BY 1, 2""",
     "fs_negative_sample" -> """
-      WITH sp AS (SELECT max(p_partkey) + 1 AS n_items FROM part),
+      WITH sp AS (SELECT count(*) AS n_items FROM part),
+      iidx AS (
+        SELECT CAST(p_partkey AS BIGINT) AS item,
+               row_number() OVER (ORDER BY p_partkey) - 1 AS draw
+        FROM (SELECT DISTINCT p_partkey FROM part)),
       prop AS (
-        SELECT c_custkey AS "user", CAST(t.slot AS BIGINT) AS slot,
-               ('0x' || substr(md5('neg7:' || CAST(c_custkey AS VARCHAR)
+        SELECT c_custkey AS "user", CAST(t.slot AS BIGINT) AS slot, i.item
+        FROM customer CROSS JOIN sp
+             CROSS JOIN (SELECT range AS slot FROM range(12)) t
+             JOIN iidx i
+               ON i.draw = ('0x' || substr(md5('neg7:' || CAST(c_custkey AS VARCHAR)
                                    || ':' || CAST(t.slot AS VARCHAR)), 1, 15))::BIGINT
-                 % n_items AS item
-        FROM customer CROSS JOIN sp CROSS JOIN (SELECT range AS slot FROM range(12)) t),
+                 % n_items),
       pos AS (
         SELECT DISTINCT o_custkey AS "user", CAST(l_partkey AS BIGINT) AS item
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -1602,8 +1610,8 @@ object SparkEntry {
       Lakehouse.commit(idx.codebooks, root, "ix_cb", "overwrite")
       Lakehouse.commit(idx.encoded, root, "ix_enc", "overwrite")
       val reloaded = Quantization.IvfPqIndex(
-        Lakehouse.read(s, root, "ix_coarse").localCheckpoint(),
-        Lakehouse.read(s, root, "ix_cb").localCheckpoint(),
+        Lakehouse.read(s, root, "ix_coarse").pinned(),
+        Lakehouse.read(s, root, "ix_cb").pinned(),
         Lakehouse.read(s, root, "ix_enc"))
       Quantization.probeIvfPq(
         reloaded, emb.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -1710,7 +1718,7 @@ object SparkEntry {
     // iteration schedule is unrolled into the oracle.
     "graph_pagerank" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).pinned()
       Graph.pageRank(edges, dampingPct = 85, iterations = 3)
         .select(col("id").as("node_id"), col("pr_units"), col("pagerank"))
     }),
@@ -1718,7 +1726,7 @@ object SparkEntry {
     // clustering coefficient over the undirected 3-NN graph.
     "graph_triangles" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).pinned()
       Graph.triangleStats(edges).withColumnRenamed("id", "node_id")
     }),
     // Label-noise audit: fraction of each vector's 10 cosine-NN that
@@ -1731,7 +1739,7 @@ object SparkEntry {
     // vote — integer votes, smaller-label tiebreak, bit-reproducible.
     "graph_label_prop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).pinned()
       val seeds = emb.where(col("vec_id") < 50)
         .select(col("vec_id").as("id"), col("label"))
       Graph.labelPropagation(edges, seeds, iterations = 2)
@@ -1742,7 +1750,7 @@ object SparkEntry {
     // Jaccard — "which near-dup edges did the kNN budget miss".
     "graph_link_predict" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).pinned()
       Graph.linkPrediction(edges, minCommon = 2)
     }),
     // Offline HNSW hierarchy: integer-geometric levels (P(l≥1)=1/4),
@@ -1764,7 +1772,7 @@ object SparkEntry {
     // the undirected 3-NN graph; survivors + residual degree.
     "graph_kcore" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).localCheckpoint()
+      val edges = Graph.knnGraph(emb, "vec_id", "embedding", 3).pinned()
       Graph.kcorePeel(edges, k = 3, rounds = 3)
     })
   )
@@ -3101,7 +3109,9 @@ object SparkEntry {
     // Filter+verify record linkage: LSH candidates verified by exact
     // character-level Levenshtein (<= 20% of the longer text).
     "dedup_edit_verify" -> ((s, dir) =>
-      Dedup.editVerifiedPairs(t(s, dir, "documents"), "doc_id", "text", 0.2)),
+      Dedup.editVerifiedPairs(
+        t(s, dir, "documents"), "doc_id", "text", 0.2,
+        maxCandidatePairs = Some(1000000000L))),
     // Corpus-governance view: exact distinct-shingle Jaccard between
     // sources, side by side with its 16-lane MinHash estimate.
     "dedup_corpus_overlap" -> ((s, dir) =>
@@ -3111,13 +3121,22 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, portableHashes = true)),
+    // The pairwise verifies run with the candidate-count circuit
+    // breaker armed (Dedup.guardCandidates): on a duplication-heavy
+    // corpus the verify OUTPUT, not the blocked candidate generation,
+    // is the 100x-scale cost — the guard converts that into a fail-fast
+    // with sizing guidance instead of a silent quadratic burn.
     "dedup_jaccard_words" -> ((s, dir) =>
-      Dedup.jaccardWordPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.9)),
+      Dedup.jaccardWordPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 0.9,
+        maxCandidatePairs = Some(1000000000L))),
     // Asymmetric doc-in-doc containment: ordered (contained, container)
     // pairs at C(a->b) >= 0.8 — catches the small-doc-inside-big-doc
     // class the symmetric Jaccard size-ratio filter excludes.
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", "lang", 0.8)),
+      Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 0.8,
+        maxCandidatePairs = Some(1000000000L))),
     // Sequence-level span dedup (Lee et al. 2021 analog): repeated
     // 8-token spans survive only at their first corpus occurrence.
     "dedup_spans" -> ((s, dir) =>
@@ -3174,7 +3193,7 @@ object SparkEntry {
       val cut = lit(docs.count() / 2) // "yesterday" = the older half
       val pairs = Dedup.minhashLshNative(docs, "doc_id", "text")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .pinned()
       val oldPairs = pairs.where(col("a") < cut && col("b") < cut)
       val deltaPairs = pairs.where(col("a") >= cut || col("b") >= cut)
       val oldDocs = docs.where(col("doc_id") < cut)
@@ -3795,7 +3814,7 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 20)
         .select(col("query_id"), col("doc_id"), col("rel"), col("vec"))
-        .localCheckpoint() // each greedy round re-reads the pool
+        .pinned() // each greedy round re-reads the pool
       Search.mmrRerank(cands, k = 5, lambda = 0.5)
     }),
     // Hybrid search: fuse semantic (cosine kNN over embeddings) and

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1145,7 +1146,7 @@ object Analytics {
     val perX = pts.groupBy(col("x")).agg(max(col("y")).as("ymax"))
       .repartitionByRange(col("x"))
       .select(col("*"), spark_partition_id().as("_pid"))
-      .localCheckpoint() // pin the partition assignment the prefixes describe
+      .pinned() // pin the partition assignment the prefixes describe
     val pidMax = perX.groupBy(col("_pid")).agg(max(col("ymax")).as("m"))
       .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
     var acc = Double.NegativeInfinity
@@ -1196,7 +1197,7 @@ object Analytics {
         max(unix_micros(col(tsCol))).as("last_ts_us"),
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("monetary"))
-      .localCheckpoint() // three rankings over one computed base
+      .pinned() // three rankings over one computed base
     val n = per.count()
     require(n >= k, s"need at least k=$k entities to quartile-score, got $n")
     val big = n % k

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -141,7 +142,7 @@ object Cardinality {
         count_distinct(col(userCol)).as("exact_d"))
       // pin: the pair stage self-joins this |segments|-row frame; an
       // unpinned plan would re-scan the event log once per join leg
-      .localCheckpoint()
+      .pinned()
     def est(c: Column): Column =
       when(size(c) < k, size(c).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(M) / element_at(c, k).cast("double"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -275,13 +276,46 @@ object Dedup {
     * bucket join never carries document bodies. The codegen'd built-in
     * `levenshtein` runs with its early-exit threshold form.
     */
+  /** Candidate-count circuit breaker for the filter+verify family —
+    * the pairwise analog of [[embeddingNearDups]]'s `maxBlockRows`.
+    * Sub-quadratic candidate GENERATION does not bound candidate
+    * COUNT: a duplication-heavy crawl (boilerplate, mirrored sites)
+    * can push band/prefix buckets to millions of members, and then
+    * the verify join's OUTPUT — not the algorithm — is the cost.
+    * When a cap is set, the candidate set is persisted (the verify
+    * reuses it, so the count costs one cheap pass over cached rows)
+    * and the call fails fast with sizing guidance instead of silently
+    * burning a quadratic verify. None (the default) keeps the
+    * plan fully lazy for healthy corpora.
+    */
+  private def guardCandidates(
+      cands: DataFrame,
+      cap: Option[Long],
+      what: String
+  ): DataFrame = cap match {
+    case None => cands
+    case Some(c) =>
+      require(c > 0, s"maxCandidatePairs must be positive, got $c")
+      val p = cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = p.count()
+      require(
+        n <= c,
+        s"$what produced $n candidate pairs > maxCandidatePairs=$c — duplication-heavy " +
+          "corpus: raise the similarity threshold, tighten blocking, or pre-collapse " +
+          "exact dups (Dedup.exact) before the pairwise verify.")
+      p
+  }
+
   def editVerifiedPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxEditFrac: Double
+      maxEditFrac: Double,
+      maxCandidatePairs: Option[Long] = None
   ): DataFrame = {
-    val cands = minhashLshNative(docs, idCol, textCol).select(col("a"), col("b"))
+    val cands = guardCandidates(
+      minhashLshNative(docs, idCol, textCol).select(col("a"), col("b")),
+      maxCandidatePairs, "editVerifiedPairs")
     val ta = docs.select(col(idCol).as("a"), col(textCol).as("text_a"))
     val tb = docs.select(col(idCol).as("b"), col(textCol).as("text_b"))
     cands
@@ -408,7 +442,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockCol: String,
-      threshold: Double
+      threshold: Double,
+      maxCandidatePairs: Option[Long] = None
   ): DataFrame = {
     val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
     val prefix = sorted
@@ -418,13 +453,15 @@ object Dedup {
         explode(slice(col("stoks"), lit(1), col("p"))).as("pw"))
     val pa = prefix.select(col("block"), col("pw"), col("doc_id").as("a"), col("nw").as("nwa"))
     val pb = prefix.select(col("block"), col("pw"), col("doc_id").as("b"), col("nw").as("nwb"))
-    val cands = pa
-      .join(pb, Seq("block", "pw"))
-      .where(
-        col("a") < col("b") &&
-        col("nwa") >= col("nwb") * threshold && col("nwb") >= col("nwa") * threshold)
-      .select(col("a"), col("b"))
-      .distinct()
+    val cands = guardCandidates(
+      pa
+        .join(pb, Seq("block", "pw"))
+        .where(
+          col("a") < col("b") &&
+          col("nwa") >= col("nwb") * threshold && col("nwb") >= col("nwa") * threshold)
+        .select(col("a"), col("b"))
+        .distinct(),
+      maxCandidatePairs, "jaccardWordPairs")
     val ta = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("nw").as("nwa"))
     val tb = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"), col("nw").as("nwb"))
     cands
@@ -500,7 +537,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockCol: String,
-      threshold: Double
+      threshold: Double,
+      maxCandidatePairs: Option[Long] = None
   ): DataFrame = {
     val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
     val prefix = sorted
@@ -511,11 +549,13 @@ object Dedup {
     val full = sorted.select(
       col("block"), col("doc_id").as("b"), col("nw").as("nwb"),
       explode(col("stoks")).as("pw"))
-    val cands = prefix
-      .join(full, Seq("block", "pw"))
-      .where(col("a") =!= col("b") && col("nwb") >= col("nwa") * threshold)
-      .select(col("a"), col("b"))
-      .distinct()
+    val cands = guardCandidates(
+      prefix
+        .join(full, Seq("block", "pw"))
+        .where(col("a") =!= col("b") && col("nwb") >= col("nwa") * threshold)
+        .select(col("a"), col("b"))
+        .distinct(),
+      maxCandidatePairs, "containmentPairs")
     val ta = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("nw").as("nwa"))
     val tb = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"))
     cands
@@ -676,8 +716,7 @@ object Dedup {
       durable: Boolean = false,
       verbose: Boolean = false
   ): DataFrame = {
-    def pin(df: DataFrame): DataFrame =
-      if (durable) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Pins.pin(df, durable)
     // Materialize the edge list ONCE: the (possibly expensive)
     // pair-producing subtree must not re-evaluate every round.
     var edges = pin(
@@ -830,7 +869,7 @@ object Dedup {
     graft.plans.GraftFunctions.register(space.sparkSession)
     val cents = Similarity
       .kmeansCodebook(space, keyCol, vecCol, nCells, kmeansIterations)
-      .localCheckpoint() // tiny index artifact; don't re-iterate per consumer
+      .pinned() // tiny index artifact; don't re-iterate per consumer
     val probes = space
       .select(col(keyCol).as("k"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -87,10 +88,11 @@ object FeatureStore {
   /** Shared prep for the paged reads: range-partition by entity, pin,
     * and collect per-partition counts into prefix-sum offsets
     * (numPartitions rows — the one tiny driver aggregation).
-    * localCheckpoint pins the range partitioning so the count job and
-    * the numbering job see the same partitions (range boundaries come
-    * from sampling). At cluster scale a paged materialization is
-    * persisted anyway; swap for .checkpoint()/a parquet write there.
+    * The pin ([[Pins]]) freezes the range partitioning so the count job
+    * and the numbering job see the same partitions (range boundaries
+    * come from sampling). Cluster runs set `graft.pins.durable=true`
+    * (+ a checkpoint dir) and every pin in the engine switches to a
+    * reliable checkpoint that survives executor loss.
     */
   private def numberedPartitions(
       materialized: DataFrame,
@@ -98,7 +100,7 @@ object FeatureStore {
     val parted = materialized
       .repartitionByRange(orderCols.map(col): _*)
       .select(col("*"), spark_partition_id().as("_pid"))
-      .localCheckpoint()
+      .pinned()
     val counts = parted.groupBy(col("_pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -190,7 +192,7 @@ object FeatureStore {
     val parted = df
       .repartitionByRange(orderCols.map(col): _*)
       .select(col("*"), spark_partition_id().as("_pid"))
-      .localCheckpoint()
+      .pinned()
     val stats = parted.groupBy(col("_pid"))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
       .collect()
@@ -1359,7 +1361,7 @@ object FeatureStore {
       .select(featureBin.as("bin"), label.as("label"))
       .groupBy(col("bin"), col("label"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // cells are tiny; compute once, derive thrice
+      .pinned() // cells are tiny; compute once, derive thrice
     val bins = cells.groupBy(col("bin")).agg(sum(col("n")).as("nb"))
     val labels = cells.groupBy(col("label")).agg(sum(col("n")).as("nl"))
     val total = cells.agg(sum(col("n")).as("nt"))
@@ -1394,7 +1396,7 @@ object FeatureStore {
   def liftTable(scored: DataFrame, k: Int = 10): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val base = scored.select(col("entity"), col("score_micro"), col("label"))
-      .localCheckpoint() // numbering + totals over one computed base
+      .pinned() // numbering + totals over one computed base
     val n = base.count()
     require(n >= k, s"need at least k=$k entities, got $n")
     val big = n % k
@@ -1439,15 +1441,21 @@ object FeatureStore {
     * ordered indexing runs over those V vocab rows through
     * [[globalRowNumbers]] — the distributed prefix-sum numbering, so
     * even a pathological high-cardinality vocabulary (ids-as-
-    * categories) never funnels into a single-task sort — and the apply
-    * side is a broadcast hash join, so the corpus pass is scan +
-    * broadcast-probe with no corpus shuffle at all.
+    * categories) never funnels into a single-task sort. The APPLY side
+    * defaults to a broadcast hash join — scan + broadcast-probe, no
+    * corpus shuffle — which assumes a broadcast-SIZED vocabulary; for
+    * the ids-as-categories regime (a vocabulary too big to broadcast)
+    * pass `broadcastVocab = false` and the apply becomes a plain
+    * shuffled hash join on the category key (one corpus shuffle,
+    * no driver/executor-memory ceiling). The indexing side survives
+    * either regime; the flag only picks the apply-join strategy.
     */
   def vocabEncode(
       df: DataFrame,
       entityCol: String,
       featureCol: String,
-      minCount: Long = 1L
+      minCount: Long = 1L,
+      broadcastVocab: Boolean = true
   ): DataFrame = {
     val counts = df
       .groupBy(col(featureCol))
@@ -1456,10 +1464,11 @@ object FeatureStore {
       // (-cnt, value) ascending == (frequency desc, value asc); the
       // pair is a total order because values are distinct post-groupBy
       .withColumn("neg_cnt", -col("cnt"))
-    val vocab = globalRowNumbers(counts, Seq("neg_cnt", featureCol))
+    val vocab0 = globalRowNumbers(counts, Seq("neg_cnt", featureCol))
       .select(col(featureCol), (col("row_number") - 1L).as("idx"))
+    val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0
     df.select(col(entityCol).as("entity"), col(featureCol).as("category"))
-      .join(broadcast(vocab), col("category") === vocab(featureCol), "left")
+      .join(vocab, col("category") === vocab(featureCol), "left")
       .select(
         col("entity"),
         col("category"),
@@ -1473,16 +1482,26 @@ object FeatureStore {
     * engines, and partitionings (md5-keyed like [[graft.operators.Sampling]]).
     *
     * Each user gets `proposals` candidate draws (slot 0..proposals-1);
-    * draw = md5(seed:user:slot) mod |item key space|. Positives are
-    * removed with a left-anti join, duplicate draws collapse to their
-    * first slot, and the earliest `k` surviving slots win.
+    * draw = md5(seed:user:slot) mod |items|, mapped to a REAL item
+    * through a dense 0..|items|-1 index over the item table (built
+    * with [[globalRowNumbers]] — the distributed prefix-sum, never a
+    * single-task window). Sampling the INDEX rather than the raw key
+    * space means every emitted negative exists in the catalog even
+    * when item keys are sparse or non-zero-based — a raw
+    * `mod max(key)+1` draw proposes phantom items in every key gap,
+    * which survive the anti join (never positives) and poison the
+    * training set with nonexistent "negatives". Positives are removed
+    * with a left-anti join, duplicate draws collapse to their first
+    * slot, and the earliest `k` surviving slots win.
     *
     * Scale shape: proposals are generated by explode over users —
     * O(users x proposals) rows, never the users x items cross join that
-    * the naive formulation implies. The anti join hash-partitions on
-    * (user, item) — linear in interactions — and the final top-k window
-    * partitions by user over <= `proposals` rows per key. `itemSpace`
-    * is a 1-row broadcast (max item key), not a driver collect.
+    * the naive formulation implies. The draw→item mapping is one hash
+    * join on the dense index (items-sized, broadcast when small); the
+    * anti join hash-partitions on (user, item) — linear in
+    * interactions — and the final top-k window partitions by user over
+    * <= `proposals` rows per key. |items| comes from the index's own
+    * prefix-sum offsets — no extra counting pass.
     */
   def negativeSample(
       users: DataFrame,
@@ -1497,23 +1516,27 @@ object FeatureStore {
       seed: String
   ): DataFrame = {
     require(proposals >= k, s"proposals=$proposals must be >= k=$k")
-    val space = items.agg((max(col(itemKeyCol)) + 1L).as("n_items"))
+    val (numbered, nItems) = globalRowNumbersWithTotal(
+      items.select(col(itemKeyCol).cast("long").as("item")).distinct(),
+      Seq("item"))
+    require(nItems > 0, "negativeSample needs a non-empty item table")
+    val itemIdx = numbered.select((col("row_number") - 1L).as("_draw"), col("item"))
     val prop = users
       .select(col(userCol).cast("long").as("user"))
-      .crossJoin(broadcast(space))
       .select(
         col("user"),
-        explode(sequence(lit(0L), lit(proposals - 1L))).as("slot"),
-        col("n_items"))
+        explode(sequence(lit(0L), lit(proposals - 1L))).as("slot"))
       .withColumn(
-        "item",
+        "_draw",
         conv(
           substring(
             md5(concat(
               lit(s"$seed:"), col("user").cast("string"),
               lit(":"), col("slot").cast("string"))),
             1, 15),
-          16, 10).cast("long") % col("n_items"))
+          16, 10).cast("long") % lit(nItems))
+      .join(itemIdx, Seq("_draw"))
+      .select(col("user"), col("slot"), col("item"))
     val pos = interactions
       .select(
         col(iUserCol).cast("long").as("user"),
@@ -1602,17 +1625,32 @@ object FeatureStore {
         sum(floor(col(valueCol) * 1000000.0).cast("long")).as("spend_micro"))
 
   /** Per-day source fingerprint: row count + order-independent xor of
-    * the md5 row keys — written alongside a daily materialization so a
-    * later snapshot can be diffed per PARTITION without comparing row
-    * data. One map-side-combined pass; ~30 rows/month output.
+    * md5 over the FULL row content (id, feature type, exact timestamp,
+    * micro-unit value) — written alongside a daily materialization so
+    * a later snapshot can be diffed per PARTITION without comparing
+    * row data. Hashing content, not just the id, is what lets
+    * [[backfillDays]] detect IN-PLACE CORRECTIONS (same event_id,
+    * changed value/type/ts) — an id-only fingerprint is blind to
+    * exactly the late-correction case selective backfill exists for.
+    * One map-side-combined pass; ~30 rows/month output.
     */
-  def dailyManifest(events: DataFrame, tsCol: String, idCol: String): DataFrame =
+  def dailyManifest(
+      events: DataFrame,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      valueCol: String
+  ): DataFrame =
     events
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(
         count(lit(1)).as("n_rows"),
         expr(
-          s"bit_xor(cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint))")
+          s"""bit_xor(cast(conv(substring(md5(concat_ws(':',
+             |cast($idCol as string), cast($typeCol as string),
+             |cast(unix_micros($tsCol) as string),
+             |cast(floor($valueCol * 1000000) as string))), 1, 15), 16, 10) as bigint))"""
+            .stripMargin.replaceAll("\n", " "))
           .as("xor_key"))
 
   /** Selective partition backfill — the pattern that makes a 100 TB
@@ -1639,7 +1677,7 @@ object FeatureStore {
       staleAgg: DataFrame,
       staleManifest: DataFrame
   ): DataFrame = {
-    val curM = dailyManifest(current, tsCol, idCol)
+    val curM = dailyManifest(current, tsCol, idCol, typeCol, valueCol)
       .select(col("day"), col("n_rows").as("cn"), col("xor_key").as("cx"))
     val dirtyDays = curM
       .join(
@@ -1654,7 +1692,7 @@ object FeatureStore {
       // recompute) consume the dirty-day set; unpinned, each branch
       // re-evaluates the manifest diff — TWO extra full corpus scans
       // at 100 TB for a frame of at most #days rows.
-      .localCheckpoint()
+      .pinned()
     val recomputed = dailyAggregate(
       current
         .withColumn("day", to_date(col(tsCol)))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -12,9 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: one iteration = one join edges⋈pr on src (shuffle on
   * the edge key) + one map-side-combined aggregation on dst + a
   * broadcast of the 1-row node-count — the textbook distributed PR
-  * round. Iterations chain as Catalyst plans; pin (`localCheckpoint`)
-  * or durably `checkpoint` the edge list once — callers building edges
-  * from an expensive kNN should pass a pinned frame.
+  * round. Iterations chain as Catalyst plans; pin ([[Pins]]) the edge
+  * list once — callers building edges from an expensive kNN should
+  * pass a pinned frame. Every per-round pin below goes through
+  * [[Pins.pin]], so `graft.pins.durable=true` upgrades the whole
+  * loop to fault-tolerant reliable checkpoints on a real cluster.
   *
   * Exactness: FIXED-POINT INTEGER arithmetic. Rank mass lives as a
   * BIGINT count of 1e-12 units and every transfer is a truncating
@@ -75,7 +78,7 @@ object Graph {
       // subtrees (the hnswSearchReplay lesson). At the default 3
       // rounds the A/B is a wash (the pinned kNN edges dominate);
       // the checkpoint is the asymptotic guard for deeper schedules.
-      val cur = prev.localCheckpoint()
+      val cur = prev.pinned()
       val votes = edges
         .join(
           cur.select(col("id").as("src"), col("label").as("nl")).where(col("nl").isNotNull),
@@ -250,7 +253,7 @@ object Graph {
       level = when(pmod(h, lit(math.pow(4, l).toLong)) === 0, l.toLong).otherwise(level)
     space
       .select(col(keyCol), col(vecCol), level.as("level"))
-      .localCheckpoint()
+      .pinned()
   }
 
   def hnswBuild(
@@ -314,7 +317,7 @@ object Graph {
           .select(lit(l.toLong).as("level"), col("src"), col("dst"))
       }
       .reduce(_ unionAll _)
-      .localCheckpoint()
+      .pinned()
     val vecs = leveled.select(col(keyCol).as("vid"), col(vecCol).as("v"))
     val entry = leveled
       .orderBy(col("level").desc, col(keyCol))
@@ -329,7 +332,7 @@ object Graph {
       // of r rounds re-evaluates round 1's plan 2^r times — measured
       // 53s at sf0.1 for 9 rounds, vs ~2s pinned. The beam is
       // queries × width rows, so the checkpoint is trivially small.
-      val beam = prevBeam.localCheckpoint()
+      val beam = prevBeam.pinned()
       val cands = beam.select(col("query_id"), col("q_vec"), col("cur").as("cand"))
         .unionAll(
           beam.join(lEdges, col("cur") === col("src"))
@@ -401,11 +404,11 @@ object Graph {
       // (the hnswSearchReplay lesson; a wash at 3 rounds where the
       // pinned edge build dominates, the guard for deeper peels).
       // alive is node-sized; sub is the (shrinking) surviving edges.
-      val alive = surviving.select(col("id")).localCheckpoint()
+      val alive = surviving.select(col("id")).pinned()
       sub = sub
         .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .pinned()
       surviving = degrees(sub).where(col("core_degree") >= k)
     }
     surviving.select(col("id").as("node_id"), col("core_degree"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -246,7 +247,7 @@ object Quantization {
     val coarse = Similarity
       .kmeansCodebook(corpus, keyCol, vecCol, nCells, coarseIterations)
       .select(col("centroid_id").as("cell"), col("centroid").as("c_vec"))
-      .localCheckpoint()
+      .pinned()
     val assigned = Similarity
       .nearestCentroid(
         corpus, keyCol, vecCol,
@@ -261,13 +262,10 @@ object Quantization {
         col("vec_id"), col("cell"),
         zip_with(col("v"), col("c_vec"), (x, y) => x.cast("double") - y).as("r"))
     val cb = pqCodebooks(resid, "vec_id", "r", m, dims, ksub, iterations)
-      .localCheckpoint()
+      .pinned()
     val enc = pqEncode(resid, "vec_id", "r", m, dims, cb)
       .join(resid.select(col("vec_id"), col("cell")), "vec_id")
-    val pinned =
-      if (!pinEncoded) enc
-      else if (durable) enc.checkpoint()
-      else enc.localCheckpoint()
+    val pinned = if (!pinEncoded) enc else Pins.pin(enc, durable)
     IvfPqIndex(coarse, cb, pinned)
   }
 
@@ -558,7 +556,7 @@ object Quantization {
       corpus, keyCol, vecCol, m, dims, ksub, iterations, nCells, coarseIterations,
       pinEncoded = true)
     val exact = Similarity
-      .knnBruteForceL2(corpus, queries, keyCol, vecCol, k).localCheckpoint()
+      .knnBruteForceL2(corpus, queries, keyCol, vecCol, k).pinned()
     Similarity.tuneProbeLoop(
       exact,
       nProbe => probeIvfPq(index, queries, keyCol, vecCol, m, dims, nProbe, k),
@@ -581,7 +579,7 @@ object Quantization {
       k: Int
   ): DataFrame = {
     val cb = pqCodebooks(corpus, keyCol, vecCol, m, dims, ksub, iterations)
-      .localCheckpoint() // index-build artifact: pin so probe doesn't re-iterate Lloyd
+      .pinned() // index-build artifact: pin so probe doesn't re-iterate Lloyd
     val enc = pqEncode(corpus, keyCol, vecCol, m, dims, cb)
     pqKnnAdc(enc, queries, keyCol, vecCol, m, dims, cb, k)
   }
@@ -676,9 +674,9 @@ object Quantization {
     var rot: Seq[Seq[Double]] =
       Seq.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
     for (_ <- 1 to opqIterations) {
-      val rotated = rotate(space, keyCol, vecCol, rot).localCheckpoint()
+      val rotated = rotate(space, keyCol, vecCol, rot).pinned()
       val cb = pqCodebooks(rotated, "vec_id", "vec", m, dims, ksub, pqIterations)
-        .localCheckpoint()
+        .pinned()
       val recon = pqReconstruct(pqEncode(rotated, "vec_id", "vec", m, dims, cb), cb)
       // Decimal-exact covariance: each x·ŷ term 12dp-rounded and summed
       // as DECIMAL so A — and therefore the SVD and R — is bit-stable

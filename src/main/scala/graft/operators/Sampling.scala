@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -149,7 +150,7 @@ object Sampling {
       .select(
         col("b.id").as("id"), col("b.vec").as("vec"),
         lit(1L).as("rank"), lit(null).cast("double").as("dist"))
-      .localCheckpoint()
+      .pinned()
     (2 to k).foldLeft(seed) { (selected, r) =>
       val remaining = pts.join(selected.select(col("id")), Seq("id"), "left_anti")
       val scored = remaining
@@ -165,7 +166,7 @@ object Sampling {
         .select(
           col("b.id").as("id"), col("b.vec").as("vec"),
           lit(r.toLong).as("rank"), col("b.dmin").as("dist"))
-      selected.unionByName(pick).localCheckpoint()
+      selected.unionByName(pick).pinned()
     }.select(col("id"), col("rank"), col("dist"))
   }
 
@@ -222,7 +223,7 @@ object Sampling {
         col("e.id").as("id"),
         col("e.score").as("priority"),
         (col("r") + 1).cast("long").as("rank"))
-      .localCheckpoint()
+      .pinned()
     val tau = top
       .agg(when(count(lit(1)) === k + 1, min(col("priority")))
         .otherwise(lit(0.0)).as("tau"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -180,7 +181,7 @@ object Search {
     // 400+ exchanges in the static k=5 plan). Each pin is a tiny
     // eager materialization.
     val round1 = pickBest(
-      candidates.withColumn("score", lit(lambda) * col("rel")), 1).localCheckpoint()
+      candidates.withColumn("score", lit(lambda) * col("rel")), 1).pinned()
     val (sel, _) = (2 to k).foldLeft((round1, candidates)) { case ((selected, pool), r) =>
       val remaining = pool.join(
         selected.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"),
@@ -195,7 +196,7 @@ object Search {
           max(cosine(col("vec"), col("s_vec"))).as("ms"))
         .withColumn(
           "score", lit(lambda) * col("rel") - (lit(1.0) - lit(lambda)) * col("ms"))
-      (selected.unionByName(pickBest(scored, r)).localCheckpoint(), pool)
+      (selected.unionByName(pickBest(scored, r)).pinned(), pool)
     }
     sel.select(col("query_id"), col("doc_id"), col("rank"))
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -211,7 +212,7 @@ object Similarity {
       iterations: Int
   ): DataFrame = {
     graft.plans.GraftFunctions.register(space.sparkSession)
-    val cb = kmeansCodebook(space, keyCol, vecCol, k, iterations).localCheckpoint()
+    val cb = kmeansCodebook(space, keyCol, vecCol, k, iterations).pinned()
     space
       .select(col(keyCol).as("vec_id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cb))
@@ -494,7 +495,7 @@ object Similarity {
   ): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansCodebook(corpus, keyCol, vecCol, nCells, kmeansIterations)
-      .localCheckpoint() // index build artifact; don't re-iterate per probe
+      .pinned() // index build artifact; don't re-iterate per probe
     val assigned = nearestCentroid(corpus, keyCol, vecCol, cents)
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumnRenamed("assigned", "cell")
@@ -563,7 +564,7 @@ object Similarity {
       maxProbe: Int
   ): Option[Int] = {
     require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
-    val exact = knnBruteForce(corpus, queries, keyCol, vecCol, k).localCheckpoint()
+    val exact = knnBruteForce(corpus, queries, keyCol, vecCol, k).pinned()
     tuneProbeLoop(
       exact,
       nProbe => knnIvf(corpus, queries, keyCol, vecCol, groupColForCentroids, k, nProbe),

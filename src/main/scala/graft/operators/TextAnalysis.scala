@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Pins.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -502,7 +503,7 @@ object TextAnalysis {
     val parted = counts
       .repartitionByRange(col("doc_id"))
       .select(col("*"), spark_partition_id().as("_pid"))
-      .localCheckpoint() // pin the partition assignment the offsets describe
+      .pinned() // pin the partition assignment the offsets describe
     val sums = parted.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.operators.Pins.PinOps
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -806,20 +807,6 @@ object Lakehouse {
     -1 // unreachable
   }
 
-  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`,
-    * Iceberg snapshot-ref): materialize `targetTable` as one overwrite
-    * commit whose data references are the SOURCE snapshot's files — no
-    * bytes move, however large the table. The clone then evolves
-    * independently: appends/merges/deletes on either side never touch
-    * the other's log. Zone maps ride along (FileStat paths stay
-    * valid), so pruned reads work on the clone immediately.
-    *
-    * The standard shallow-clone caveat applies: the clone borrows the
-    * source's files, so `vacuum` on the SOURCE (which only consults
-    * the source's own log) can strand a clone whose snapshot the
-    * source has since overwritten — retain source versions as long as
-    * clones of them live, exactly as Delta documents.
-    */
   /** Write-Audit-Publish — Iceberg's WAP governance flow, composed
     * from graft's own primitives:
     *
@@ -834,7 +821,18 @@ object Lakehouse {
     *     mechanics, honoring append/overwrite and the append schema
     *     contract — no bytes move at any table size). On failure the
     *     main table is untouched and the staged snapshot stays for
-    *     debugging (vacuum reclaims it once re-staged).
+    *     debugging.
+    *
+    * Staged-file lifetime (the [[shallowClone]] caveat, inherited by
+    * construction): published main-table commits reference files that
+    * live under `<table>__staged/data`, and `vacuum` only deletes
+    * dirs referenced by NO commit in a table's own log — so (a) any
+    * log-expiry/cleanup on the STAGING table would corrupt the main
+    * table (don't vacuum staging while published versions reference
+    * it), and (b) superseded staged dirs from failed audits stay on
+    * disk until the staging log itself is truncated: each overwrite
+    * re-stage appends a commit, it never rewrites staging history, so
+    * staging vacuum alone cannot reclaim them.
     *
     * Returns (published version if the audit passed, the per-check
     * report). The only driver-side read is the #checks-row report.
@@ -852,7 +850,7 @@ object Lakehouse {
     val stagedV = commit(df, root, staging, "overwrite")
     val report = graft.operators.FeatureStore
       .dataContract(read(spark, root, staging, Some(stagedV)), checks)
-      .localCheckpoint()
+      .pinned()
     val allPass = report
       .agg(min(when(col("pass"), 1).otherwise(0)).as("p"))
       .collect()(0).getInt(0) == 1
@@ -874,6 +872,20 @@ object Lakehouse {
     }
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`,
+    * Iceberg snapshot-ref): materialize `targetTable` as one overwrite
+    * commit whose data references are the SOURCE snapshot's files — no
+    * bytes move, however large the table. The clone then evolves
+    * independently: appends/merges/deletes on either side never touch
+    * the other's log. Zone maps ride along (FileStat paths stay
+    * valid), so pruned reads work on the clone immediately.
+    *
+    * The standard shallow-clone caveat applies: the clone borrows the
+    * source's files, so `vacuum` on the SOURCE (which only consults
+    * the source's own log) can strand a clone whose snapshot the
+    * source has since overwritten — retain source versions as long as
+    * clones of them live, exactly as Delta documents.
+    */
   def shallowClone(
       spark: SparkSession,
       root: String,

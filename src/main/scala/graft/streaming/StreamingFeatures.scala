@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Pins.PinOps
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -392,7 +393,7 @@ object StreamingFeatures {
     val parted = pts
       .repartitionByRange(col("_ak"))
       .select(col("*"), spark_partition_id().as("_pid"))
-      .localCheckpoint() // pin the partition assignment the prefixes describe
+      .pinned() // pin the partition assignment the prefixes describe
     val pidMax = parted.groupBy(col("_pid")).agg(max(col("ts_us")).as("m"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = Long.MinValue

@@ -786,7 +786,7 @@ class FeatureStoreSpec extends AnyFunSuite {
     val out = FeatureStore.backfillDays(
       current, "ts", "event_type", "value", "event_id",
       FeatureStore.dailyAggregate(stale, "ts", "event_type", "value"),
-      FeatureStore.dailyManifest(stale, "ts", "event_id"))
+      FeatureStore.dailyManifest(stale, "ts", "event_id", "event_type", "value"))
       .collect()
       .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
         ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"), r.getAs[Int]("backfilled"))))
@@ -801,6 +801,43 @@ class FeatureStoreSpec extends AnyFunSuite {
     assert(out.collect { case ((d, _), (_, _, 1)) => d }.toSet ==
       Set("2024-03-02", "2024-03-03"))
     assert(out(("2024-03-01", "click"))._3 == 0)
+  }
+
+  test("backfillDays: IN-PLACE value/type corrections are detected (content-hashed manifest)") {
+    val mk = (id: Long, day: String, typ: String, v: Double) =>
+      (id, ts(s"$day 10:00:00"), typ, v)
+    val current = Seq(
+      mk(1L, "2024-03-01", "click", 1.5), mk(2L, "2024-03-01", "view", 2.0),
+      mk(3L, "2024-03-02", "click", 3.0), mk(4L, "2024-03-03", "view", 1.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    // stale snapshot has the SAME event_ids and per-day row counts —
+    // but event 3's value was corrected 9.0 -> 3.0 and event 4's type
+    // view -> click. An id-only fingerprint calls every day clean and
+    // silently serves the stale aggregate; the content hash must flag
+    // exactly Mar 2 and Mar 3.
+    val stale = Seq(
+      mk(1L, "2024-03-01", "click", 1.5), mk(2L, "2024-03-01", "view", 2.0),
+      mk(3L, "2024-03-02", "click", 9.0), mk(4L, "2024-03-03", "click", 1.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = FeatureStore.backfillDays(
+      current, "ts", "event_type", "value", "event_id",
+      FeatureStore.dailyAggregate(stale, "ts", "event_type", "value"),
+      FeatureStore.dailyManifest(stale, "ts", "event_id", "event_type", "value"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"), r.getAs[Int]("backfilled"))))
+      .toMap
+    val full = FeatureStore.dailyAggregate(current, "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"))))
+      .toMap
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap == full,
+      "corrected days must equal the full recompute")
+    assert(out.collect { case ((d, _), (_, _, 1)) => d }.toSet ==
+      Set("2024-03-02", "2024-03-03"),
+      s"in-place corrections on Mar 2/3 must be flagged dirty: $out")
+    assert(out(("2024-03-01", "click"))._3 == 0 && out(("2024-03-01", "view"))._3 == 0)
   }
 
   test("vocabEncode: frequency-desc/value-asc order, min-count floor -> OOV -1") {
@@ -852,5 +889,23 @@ class FeatureStoreSpec extends AnyFunSuite {
       .where(col("user") === 2L).collect().map(_.getAs[Long]("slot")).sorted
     val kept2 = byUser(2L).map(_._2)
     assert(kept2 == all2.take(3).toSet)
+  }
+
+  test("negativeSample: gapped non-dense item keys never yield phantom negatives") {
+    val users = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("u")
+    // key space [5, 4000] with huge gaps — a mod-max(key)+1 draw lands
+    // in a gap (a nonexistent item) with probability > 99.8%
+    val realKeys = Set(5L, 100L, 101L, 999L, 4000L)
+    val items = realKeys.toSeq.map(Tuple1(_)).toDF("item_id")
+    val inter = Seq((1L, 100L)).toDF("u", "i")
+    val got = FeatureStore.negativeSample(
+      users, "u", inter, "u", "i", items, "item_id",
+      proposals = 8, k = 4, seed = "gap")
+      .collect()
+      .map(r => (r.getAs[Long]("user"), r.getAs[Long]("item")))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, item) => realKeys(item) },
+      s"every sampled negative must be a real catalog item: ${got.mkString(",")}")
+    assert(!got.contains((1L, 100L)), "positives stay excluded")
   }
 }

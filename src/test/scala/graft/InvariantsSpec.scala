@@ -566,9 +566,14 @@ class InvariantsSpec extends AnyFunSuite {
       val nUsers = 2 + rnd.nextInt(6)
       val nItems = 4 + rnd.nextInt(12)
       val users = (1L to nUsers).map(Tuple1(_))
-      val items = (0L until nItems).map(Tuple1(_))
+      // GAPPED, non-zero-based key space: draws go through the dense
+      // index, so the naive replay maps idx -> sorted key (and every
+      // emitted negative is a real catalog item by construction)
+      val itemKeys = rnd.shuffle((0L to 60L).toList).take(nItems)
+      val sortedKeys = itemKeys.sorted.toIndexedSeq
+      val items = itemKeys.map(Tuple1(_))
       val inter = (1 to 5 + rnd.nextInt(25))
-        .map(_ => (1L + rnd.nextInt(nUsers), rnd.nextInt(nItems).toLong)).distinct
+        .map(_ => (1L + rnd.nextInt(nUsers), sortedKeys(rnd.nextInt(nItems)))).distinct
       val (proposals, k, seed) = (4 + rnd.nextInt(12), 1 + rnd.nextInt(4), s"s$trial")
       val out = FeatureStore
         .negativeSample(
@@ -580,7 +585,7 @@ class InvariantsSpec extends AnyFunSuite {
       val pos = inter.toSet
       val naive = (1L to nUsers).flatMap { u =>
         (0L until proposals.toLong)
-          .map(slot => (h15(s"$seed:$u:$slot") % nItems, slot))
+          .map(slot => (sortedKeys((h15(s"$seed:$u:$slot") % nItems).toInt), slot))
           .filterNot { case (item, _) => pos((u, item)) }
           .groupBy(_._1).map { case (item, xs) => (item, xs.map(_._2).min) }
           .toSeq.sortBy { case (item, slot) => (slot, item) }
@@ -588,6 +593,8 @@ class InvariantsSpec extends AnyFunSuite {
           .map { case (item, slot) => (u, item, slot) }
       }.toSet
       assert(out == naive, s"trial $trial p=$proposals k=$k")
+      assert(out.forall { case (_, item, _) => sortedKeys.contains(item) },
+        s"trial $trial emitted a phantom item")
     }
   }
 
@@ -649,7 +656,7 @@ class InvariantsSpec extends AnyFunSuite {
         current.toDF(cols: _*).repartition(1 + rnd.nextInt(4)),
         "ts", "event_type", "value", "event_id",
         FeatureStore.dailyAggregate(staleDf, "ts", "event_type", "value"),
-        FeatureStore.dailyManifest(staleDf, "ts", "event_id"))
+        FeatureStore.dailyManifest(staleDf, "ts", "event_id", "event_type", "value"))
         .collect()
         .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("feature")) ->
           ((r.getAs[Long]("n"), r.getAs[Long]("spend_micro"), r.getAs[Int]("backfilled"))))
