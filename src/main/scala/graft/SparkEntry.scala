@@ -4992,6 +4992,30 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("balance"))
     }),
+    // JDBC warehouse round-trip — the reference's primary deployment
+    // substrate is SQL warehouses (provider/postgres.go:166,
+    // snowflake.go, bigquery.go:444): export supplier to an embedded
+    // Derby database over spark.write.jdbc, register it back as a
+    // PARALLEL partitioned JDBC scan (4 range-predicated connections
+    // on s_suppkey — the JDBC fact-table contract), and profile it.
+    // The oracle reads the original parquet.
+    "source_jdbc_roundtrip" -> ((s, dir) => {
+      val url =
+        "jdbc:derby:" + System.getProperty("java.io.tmpdir") + "/graft_derby;create=true"
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      Tables.writeJdbc(sup, url, "supplier_wh")
+      Tables
+        .registerJdbc(
+          s, "supplier_wh", url, "supplier_wh",
+          partitionCol = Some("s_suppkey"),
+          lowerBound = 0L, upperBound = 1000000L, numPartitions = 4)
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("balance"),
+          min(col("s_name")).as("first_name"))
+    }),
     // Hive-style partitioned layout round-trip: events written
     // partitionBy(event_date), read back with a single-day predicate.
     // The date filter resolves at PLANNING time against directory
@@ -6032,6 +6056,11 @@ object SparkEntry {
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
       FROM customer GROUP BY c_mktsegment""",
+    "source_jdbc_roundtrip" -> """
+      SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_suppliers,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+             min(s_name) AS first_name
+      FROM supplier GROUP BY s_nationkey""",
     "source_partitioned_prune" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS spend

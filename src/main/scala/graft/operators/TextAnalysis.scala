@@ -389,6 +389,11 @@ object TextAnalysis {
     * Returns (rank, lhs, rhs, merged, n_pairs) — the ordered merge
     * table.
     */
+  /** Lineage re-pin cadence for the chained-replace loops ([[bpeMerges]],
+    * [[bpeEncode]]): plans stay <= this many projections deep.
+    */
+  private val RepinEvery = 16
+
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
     val spark = docs.sparkSession
@@ -419,12 +424,14 @@ object TextAnalysis {
         val Array(x, y) = p.split(" ", 2)
         val merged = s"$x@@$y"
         learned += ((r.toLong, x, y, merged, n))
-        // Each round appends one `replace` projection to the lineage.
-        // Fine for the few-round schedule here; a real 30k-merge
-        // training run must re-pin (localCheckpoint / persist-to-table)
-        // every ~10 rounds, or analysis time grows quadratically in the
-        // round count as Catalyst re-walks the whole replace chain.
         texts = texts.select(replace(col("t"), lit(s" $x  $y "), lit(s" $merged ")).as("t"))
+        // Each round appends one `replace` projection to the lineage,
+        // and every round's pair-count re-analyzes the whole chain —
+        // quadratic in the merge count if left to grow. Re-pin every
+        // RepinEvery rounds so a production-scale merge table (64,
+        // 32k, …) keeps each analyzed plan bounded at RepinEvery
+        // projections; the pin honors graft.pins.durable on clusters.
+        if (r % RepinEvery == 0) texts = Pins.pin(texts)
       }
     }
     learned.toSeq.toDF("rank", "lhs", "rhs", "merged", "n_pairs")
@@ -447,11 +454,13 @@ object TextAnalysis {
       .select(
         col(idCol).as("doc_id"),
         concat(lit(" "), replace(col(textCol), lit(" "), lit("  ")), lit(" ")).as("t"))
-    table.foreach { r =>
+    table.zipWithIndex.foreach { case (r, i) =>
       val (x, y, m) =
         (r.getAs[String]("lhs"), r.getAs[String]("rhs"), r.getAs[String]("merged"))
       enc = enc.select(
         col("doc_id"), replace(col("t"), lit(s" $x  $y "), lit(s" $m ")).as("t"))
+      // same bounded-plan guard as the trainer (one replace per rule)
+      if ((i + 1) % RepinEvery == 0) enc = Pins.pin(enc)
     }
     val toks = split(trim(col("t")), "  ")
     enc.select(

@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * implements the protocol core itself on plain parquet + a JSON commit
   * log — the same design Delta's spec describes publicly:
   *
-  *   <root>/<table>/data/v<version>/part-*.parquet   (immutable files)
+  *   <root>/<table>/data/v<ver>-<nonce>/part-*.parquet (immutable files)
   *   <root>/<table>/_log/v%08d.json                  (ordered commits)
   *
   * Each commit is one atomically-created log file listing the data
@@ -771,6 +771,15 @@ object Lakehouse {
   /** Shared commit protocol: write data (and optional zone maps), then
     * atomically claim the next version in the log; on a lost race,
     * delete the orphan data dir and retry at the new tip.
+    *
+    * The candidate data dir carries a per-writer NONCE
+    * (`data/v<N>-<nonce>`): data is written BEFORE the version is
+    * claimed, so two writers racing the same tip would otherwise write
+    * the SAME `data/v<N>` path and clobber each other's in-flight
+    * files (found by the 8-writer race spec). Readers never derive
+    * paths by convention — every commit records its `dataDirs`
+    * explicitly — so the nonce costs nothing; losers' orphan dirs are
+    * deleted on retry and are invisible to readers/vacuumable anyway.
     */
   private def commitInternal(
       root: String,
@@ -782,30 +791,59 @@ object Lakehouse {
   ): Int = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
     val spark = SparkSession.active
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     var attempt = versions(spark, root, table).lastOption.getOrElse(0) + 1
     while (true) {
-      val dataDir = s"$root/$table/data/v$attempt"
+      val dataDir = s"$root/$table/data/v$attempt-$nonce"
       val clusters = writeData(dataDir)
       val p = logPath(root, table, attempt)
       val f = fs(spark, p)
       f.mkdirs(p.getParent)
       val body = commitJson(Commit(attempt, mode, extraDirs :+ dataDir, batchId, clusters))
-      try {
-        // overwrite=false create is the atomic claim of this version
-        val out = f.create(p, false)
-        try out.write(body.getBytes("UTF-8"))
-        finally out.close()
-        return attempt
-      } catch {
-        case _: java.io.IOException =>
-          // lost the race for this version: clean our orphan data dir
-          // and retry against the new tip
-          f.delete(new Path(dataDir), true)
-          attempt = versions(spark, root, table).lastOption.getOrElse(0) + 1
-      }
+      if (atomicClaim(f, p, body.getBytes("UTF-8"))) return attempt
+      // lost the race for this version: clean our orphan data dir
+      // and retry against the new tip
+      f.delete(new Path(dataDir), true)
+      attempt = versions(spark, root, table).lastOption.getOrElse(0) + 1
     }
     -1 // unreachable
   }
+
+  /** Atomic exclusive create of a commit file — the claim primitive of
+    * the optimistic protocol. Hadoop's LocalFileSystem
+    * `create(overwrite=false)` is CHECK-THEN-ACT (exists? then create)
+    * — two local writers racing the same version can BOTH win and one
+    * commit silently overwrites the other (caught by the 8-writer race
+    * spec). For `file:` URIs the claim is therefore a POSIX hard link:
+    * the body is fully written to a private temp file first, then
+    * `Files.createLink` installs it at the commit path — atomic at the
+    * syscall level, fails with FileAlreadyExistsException for every
+    * racer but one, and the linked content is COMPLETE the instant the
+    * name appears (no partially-written commit is ever visible).
+    * Non-local stores keep the FileSystem-native conditional create,
+    * which IS atomic on HDFS and CAS-backed object stores — the same
+    * per-store split Delta's LogStore interface documents.
+    */
+  private def atomicClaim(f: FileSystem, p: Path, body: Array[Byte]): Boolean =
+    if (f.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      val tmp = local.resolveSibling(s".claim-${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        java.nio.file.Files.write(tmp, body)
+        java.nio.file.Files.createLink(local, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(body)
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
 
   /** Write-Audit-Publish — Iceberg's WAP governance flow, composed
     * from graft's own primitives:

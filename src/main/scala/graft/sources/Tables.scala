@@ -112,6 +112,82 @@ object Tables {
   ): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).format(format).save(path)
 
+  /** JDBC source leg — the graft analog of the reference's SQL-warehouse
+    * providers (reference: provider/postgres.go:166, snowflake.go,
+    * bigquery.go:444 register warehouse tables as primary sources).
+    * Reads `table` over `spark.read.jdbc` and registers it as a temp
+    * view, schema-validated like [[registerPrimary]].
+    *
+    * Scale shape: a plain jdbc read is ONE partition (one connection) —
+    * fine for dimension tables, wrong for facts. Pass `partitionCol`
+    * (+ bounds + numPartitions) and Spark issues numPartitions range-
+    * predicated queries in parallel — the standard JDBC parallel-scan
+    * contract. Predicate pushdown applies (filters become WHERE
+    * clauses on the remote; check PushedFilters in .explain).
+    *
+    * Driver note: this sandbox carries only the embedded Derby driver
+    * (`org.apache.derby.jdbc.EmbeddedDriver`, in-JVM, no server); any
+    * server-backed JDBC URL works identically once its driver jar is
+    * on the executor classpath.
+    */
+  def registerJdbc(
+      spark: SparkSession,
+      name: String,
+      url: String,
+      table: String,
+      driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+      partitionCol: Option[String] = None,
+      lowerBound: Long = 0L,
+      upperBound: Long = 1L,
+      numPartitions: Int = 1,
+      expectedSchema: Option[StructType] = None
+  ): DataFrame = {
+    val base = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+    val reader = partitionCol.fold(base) { c =>
+      base
+        .option("partitionColumn", c)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    }
+    val df = reader.load()
+    expectedSchema.foreach { expected =>
+      val actual = df.schema
+      val diff = expected.fields.filterNot { f =>
+        actual.fields.exists(a =>
+          a.name.equalsIgnoreCase(f.name) && a.dataType == f.dataType)
+      }
+      require(
+        diff.isEmpty,
+        s"schema mismatch for $name: missing/mistyped ${diff.map(_.name).mkString(",")}")
+    }
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** JDBC sink (materialization export to a warehouse — the write half
+    * of the reference's warehouse providers). `overwrite = true` drops
+    * and recreates the remote table.
+    */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+      overwrite: Boolean = true
+  ): Unit =
+    df.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .mode(if (overwrite) "overwrite" else "append")
+      .save()
+
   /** Bucketed catalog table: hash-bucket + sort by the join key at
     * write time so repeated joins/aggregations on that key need NO
     * exchange — the pre-shuffled layout every warehouse keeps for its

@@ -288,7 +288,7 @@ class LakehouseSpec extends AnyFunSuite {
     // retained files are RE-REFERENCED, not rewritten: the merge commit
     // lists 4 paths from the v1 data dir plus its own new dir
     val mergeCommit = Lakehouse.allCommits(spark, root, t).last
-    assert(mergeCommit.dataDirs.count(_.contains("/data/v1/")) == 4)
+    assert(mergeCommit.dataDirs.count(_.contains("/data/v1-")) == 4)
     // zone maps carried forward + fresh: pruned reads still exact
     val pruned = Lakehouse.readPruned(spark, root, t, "k", 41, 60)
       .select($"k").as[Long].collect().toSet
@@ -446,8 +446,10 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.read(spark, root, "wap").count() == 3)
     // the published version's OWN data dir holds no bytes — every file
     // is referenced from staging (zero-copy publish)
-    val ownDir = new java.io.File(s"$root/wap/data/v${v1.get}")
-    assert(!ownDir.exists() || ownDir.listFiles().forall(!_.getName.endsWith(".parquet")))
+    val ownDirs = Option(new java.io.File(s"$root/wap/data").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(s"v${v1.get}-"))
+    assert(ownDirs.forall(d =>
+      Option(d.listFiles()).toSeq.flatten.forall(!_.getName.endsWith(".parquet"))))
     // dirty batch: a null key and an out-of-range value
     val dirty = Seq((Some(4L), 10.0), (None, 50.0), (Some(6L), 999.0))
       .toDF("k", "v")
@@ -463,5 +465,41 @@ class LakehouseSpec extends AnyFunSuite {
     val more = Seq((7L, 70.0)).toDF("k", "v")
     val (v3, _) = Lakehouse.writeAuditPublish(more, root, "wap", "append", checks)
     assert(v3.nonEmpty && Lakehouse.read(spark, root, "wap").count() == 4)
+  }
+
+  test("8-writer append race: linear history, distinct versions, zero lost appends") {
+    val t = "t_race8"
+    Lakehouse.commit(Seq((0L, "base")).toDF("k", "v"), root, t, "overwrite")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 8 writers race the same tip; each must retry-on-claim-loss
+      // (the writer contract commit() implements internally) until it
+      // lands its OWN version — no coordination beyond the atomic
+      // create of the version file
+      val versions = Await.result(
+        Future.sequence((1 to 8).map { i =>
+          Future {
+            Lakehouse.commit(Seq((i.toLong, s"w$i")).toDF("k", "v"), root, t, "append")
+          }
+        }),
+        180.seconds)
+      assert(versions.toSet == (2 to 9).toSet,
+        s"writers must claim exactly v2..v9, one each: $versions")
+    } finally pool.shutdown()
+    assert(Lakehouse.versions(spark, root, t) == (1 to 9),
+      "commit history is linear and gap-free")
+    assert(
+      Lakehouse.read(spark, root, t).select("k").as[Long].collect().toSet ==
+        (0L to 8L).toSet,
+      "no append was lost")
+    // every intermediate snapshot is a consistent prefix: v_n holds
+    // exactly n rows (base + n-1 appends)
+    (1 to 9).foreach { v =>
+      assert(Lakehouse.read(spark, root, t, Some(v)).count() == v.toLong,
+        s"snapshot v$v must hold $v rows")
+    }
   }
 }

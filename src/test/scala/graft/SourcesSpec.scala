@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -230,5 +231,35 @@ class SourcesSpec extends AnyFunSuite {
     // and the pruned read returns exactly the filtered rows
     val expected = ev.where(to_date(col("ts")) === lit("2024-01-10").cast("date")).count()
     assert(back.count() == expected && expected > 0)
+  }
+
+  test("jdbc round-trip (embedded Derby): rows survive, parallel partitioned scan, pushdown") {
+    val url = s"jdbc:derby:$tmp/derby_spec;create=true"
+    val df = Seq(
+      (1L, "alpha", 10, 1.5), (2L, "beta", 10, 2.5),
+      (3L, "gamma", 20, 3.5), (4L, "delta", 20, 4.5),
+      (5L, "epsln", 30, 5.5)).toDF("id", "name", "grp", "score")
+    Tables.writeJdbc(df, url, "t_jdbc")
+    // plain (1-connection) read: exact row round-trip
+    val back = Tables.registerJdbc(spark, "t_jdbc_v", url, "t_jdbc")
+    assert(back.orderBy("id").collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[String]("name"),
+         r.getAs[Int]("grp"), r.getAs[Double]("score"))).toSeq ==
+      df.orderBy("id").collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[String]("name"),
+         r.getAs[Int]("grp"), r.getAs[Double]("score"))).toSeq)
+    // partitioned read: 4 range-predicated connections
+    val par = Tables.registerJdbc(
+      spark, "t_jdbc_p", url, "t_jdbc",
+      partitionCol = Some("id"), lowerBound = 1L, upperBound = 6L, numPartitions = 4)
+    assert(par.rdd.getNumPartitions == 4, "partitioned JDBC scan must fan out")
+    assert(par.count() == 5, "stripes cover every row exactly once")
+    // predicate pushdown: the filter reaches the remote as PushedFilters
+    val plan = par.where(col("grp") === 20).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("grp"),
+      s"filter must push to the JDBC source:\n$plan")
+    // overwrite mode really replaces
+    Tables.writeJdbc(df.where(col("grp") === 10), url, "t_jdbc")
+    assert(Tables.registerJdbc(spark, "t_jdbc_v2", url, "t_jdbc").count() == 2)
   }
 }

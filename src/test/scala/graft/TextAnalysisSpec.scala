@@ -349,4 +349,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L)._2 ==
       2 * weight("alpha beta") + weight("beta alpha"))
   }
+
+  test("bpeMerges at production depth: 64 merges, re-pinned lineage, equals naive replay") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 22).map(i => s"w$i")
+    val docsSeq = (1L to 60L).map { id =>
+      (id, Seq.fill(30)(vocab(math.min(rnd.nextInt(22), rnd.nextInt(22)))).mkString(" "))
+    }
+    val docs = docsSeq.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = TextAnalysis.bpeMerges(docs, "doc_id", "text", merges = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"), r.getAs[Long]("n_pairs")))
+      .sortBy(_._1)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // naive single-JVM replay of greedy BPE with the same tiebreak
+    var corpus = docsSeq.map(_._2.split(" ").toList)
+    val naive = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (rounds < 64 && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach { toks =>
+        toks.zip(toks.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((x, y), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, s"$a $b") }
+        naive += ((x, y, n))
+        corpus = corpus.map { toks =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+              out += s"$x@@$y"; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.toList
+        }
+        rounds += 1
+      }
+    }
+    assert(out.length == 64, s"corpus must support 64 merges, learned ${out.length}")
+    assert(out.map(t => (t._2, t._3, t._5)).toSeq == naive.toSeq,
+      "distributed schedule must equal the naive greedy replay, rule for rule")
+    // bounded-lineage sanity: 64 rounds with re-pins every 16 must not
+    // exhibit the quadratic analysis blowup (53s-class) the unpinned
+    // chain shows; generous ceiling for slow CI
+    assert(secs < 120, s"64-merge train took ${secs}s — lineage growth suspected")
+  }
 }
