@@ -12,7 +12,10 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver corpora are single files; GenData scale-ups are Spark
+    # directories of part files — read either shape
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}

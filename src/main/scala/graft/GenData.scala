@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: writes an N-times corpus from a
+  * source SF dir by KEY-OFFSET REPLICATION, for measuring how each
+  * operator family's runtime scales with input size (SCALING.md).
+  *
+  * Why replication and not fresh synthesis: the driver's generators are
+  * not available, and replication with consistent key offsets preserves
+  * every distribution the queries see (per-day densities, per-entity
+  * event counts, join fan-outs, text/dup structure, vector geometry)
+  * EXACTLY, copy for copy — so a 10x corpus stresses 10x input with
+  * identical per-record statistics, which is the controlled experiment
+  * a scaling exponent needs.
+  *
+  * Controls that keep outputs LINEAR in the copy count (so measured
+  * growth is engine cost, not output explosion):
+  *  - every foreign/primary key is offset by copyIdx * (max(key)+1): joins
+  *    never cross copies, and key spaces stay dense and collision-free;
+  *  - document token namespaces are suffixed per copy (copy 0
+  *    untouched): within-copy dup/similarity structure is byte-exact to
+  *    the source corpus, while cross-copy token overlap is zero — pair
+  *    outputs grow 10x, not 100x. (The output-explosion regime on
+  *    duplication-heavy corpora is governed separately by the
+  *    maxCandidatePairs guards — see Dedup.guardCandidates.)
+  *  - embedding vectors are cyclically rotated per copy: rotation is an
+  *    isometry, so intra-copy cosine structure (kNN lists, cluster
+  *    shapes) is exactly the source's, while cross-copy similarities
+  *    are incoherent.
+  *
+  * Usage: runMain graft.GenData <srcDir> <outDir> <copies>
+  */
+object GenData {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: GenData <srcDir> <outDir> <copies>")
+    val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(Some(s"local[$cpus]"), shufflePartitions = cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def save(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[gendata] wrote $name")
+    }
+    // key-space STRIDE per copy: max+1, because the driver corpus keys
+    // are 0-based — offsetting by max(key) alone collides one id per
+    // copy boundary (found at 2x: a duplicated doc_id broke CC node
+    // counts, prefix-sum total orders and BM25 df in one stroke)
+    def stride(df: DataFrame, col0: String): Long =
+      df.agg(max(col(col0))).head().getLong(0) + 1L
+
+    // replicate df `copies` times; `f(copyIdx, df)` applies that copy's
+    // offsets/perturbations (copy 0 must be the identity)
+    def replicate(df: DataFrame)(f: (Int, DataFrame) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(i, df)).reduce(_ unionByName _)
+
+    // dimension tables are shared across copies (nationkeys stay valid)
+    save(load("region"), "region")
+    save(load("nation"), "nation")
+
+    val customer = load("customer")
+    val supplier = load("supplier")
+    val part = load("part")
+    val orders = load("orders")
+    val events = load("events")
+    val kCust = stride(customer, "c_custkey")
+    val kSupp = stride(supplier, "s_suppkey")
+    val kPart = stride(part, "p_partkey")
+    val kOrder = stride(orders, "o_orderkey")
+    val kEvent = stride(events, "event_id")
+
+    save(replicate(customer)((i, df) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * kCust))), "customer")
+    save(replicate(supplier)((i, df) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * kSupp))), "supplier")
+    save(replicate(part)((i, df) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * kPart))), "part")
+    save(replicate(orders)((i, df) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * kOrder))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * kCust))), "orders")
+    save(replicate(load("lineitem"))((i, df) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * kOrder))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * kPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * kSupp))), "lineitem")
+    save(replicate(events)((i, df) =>
+      df.withColumn("event_id", col("event_id") + lit(i * kEvent))
+        .withColumn("user_id", col("user_id") + lit(i * kCust))), "events")
+
+    val documents = load("documents")
+    val kDoc = stride(documents, "doc_id")
+    save(replicate(documents) { (i, df) =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * kDoc))
+      if (i == 0) shifted
+      else {
+        // disjoint token namespace per copy: within-copy structure is
+        // byte-exact to the source, cross-copy overlap is zero
+        val t = array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$i"))), " ")
+        shifted
+          .withColumn("text", t)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }, "documents")
+
+    val embeddings = load("embeddings")
+    val kVec = stride(embeddings, "vec_id")
+    val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
+    save(replicate(embeddings) { (i, df) =>
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * kVec))
+      val r = i % dims
+      if (r == 0) shifted
+      else shifted.withColumn(
+        "embedding",
+        concat(
+          slice(col("embedding"), r + 1, dims - r),
+          slice(col("embedding"), 1, r)))
+    }, "embeddings")
+
+    System.err.println(s"[gendata] done: ${copies}x of $src at $out")
+    spark.stop()
+  }
+}

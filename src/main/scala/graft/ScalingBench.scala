@@ -1,0 +1,93 @@
+package graft
+
+/** Scaling-curve bench: times a representative query per operator
+  * family at several scale factors and fits the per-query scaling
+  * exponent alpha where t ~ n^alpha between the two largest SFs —
+  * the measured evidence behind SCALING.md's 100-TB extrapolation.
+  *
+  * Same timing discipline as [[Bench]]: noop sink (full column
+  * evaluation), whole-suite warmup at sf0.001 to amortize JIT/codegen,
+  * cache + pinned-RDD teardown before every rep, min of 2 reps.
+  *
+  * Usage: runMain graft.ScalingBench <outJson> <dir1> <dir2> ...
+  * (dirs ordered smallest to largest; the exponent uses the last two).
+  * Optional env SPARK_GRAFT_SCALE_QUERIES=csv overrides the query set.
+  */
+object ScalingBench {
+
+  /** One representative per family shape: scan-agg, multi-join, window,
+    * top-k, point-in-time join, prefix-sum paging, manifest-diff
+    * backfill, hash/banded/prefix-filtered dedup, CC fixpoint, ANN
+    * (brute oracle, IVF probe, IVF-PQ ADC, k-means build), text
+    * scoring/retrieval/packing, sampling, media scan, watermark replay.
+    */
+  val DefaultQueries: Seq[String] = Seq(
+    "q1_agg", "q5_multijoin", "q_window_suite", "q_topk_per_group",
+    "fs_materialize_latest", "fs_training_set_pit", "fs_rolling_features",
+    "fs_backfill_days", "fs_materialize_paged",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_containment",
+    "dedup_components",
+    "emb_knn_brute", "emb_kmeans", "emb_knn_ivf", "emb_knn_ivfpq",
+    "text_quality", "text_bm25_topk", "text_tfidf_top_terms", "text_seq_pack",
+    "sample_stratified", "mm_scene_cut", "stream_late_events")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScalingBench <outJson> <dir1> <dir2> ...")
+    val outJson = args(0)
+    val dirs = args.drop(1).toSeq
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(Some(s"local[$cpus]"), shufflePartitions = cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def force(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+
+    for (w <- queries) // JIT/codegen warmup (see Bench)
+      try force(w, "/root/testdata/sf0.001") catch { case _: Throwable => }
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(3000)
+
+    def timed(name: String, dir: String): Double = {
+      val reps = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        try { force(name, dir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      if (reps.exists(_ < 0)) -1.0 else reps.min
+    }
+
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = queries.map { q =>
+      val ts = dirs.map { d =>
+        val t = timed(q, d)
+        System.err.println(f"[scaling] $q%-24s $d%-24s ${t}%8.2f s")
+        d -> t
+      }
+      // alpha between the two LARGEST dirs, assuming dir order is
+      // ascending SF and each step is 10x (the exponent is
+      // log(t2/t1)/log(10))
+      val alpha =
+        if (ts.length >= 2 && ts.takeRight(2).forall(_._2 > 0)) {
+          val Seq(a, b) = ts.takeRight(2).map(_._2)
+          math.log(b / a) / math.log(10.0)
+        } else Double.NaN
+      (q, ts, alpha)
+    }
+    val json = rows.map { case (q, ts, alpha) =>
+      val times = ts.map { case (d, t) => "\"" + d + "\":" + ms(t) }.mkString("{", ",", "}")
+      val a = if (alpha.isNaN) "null" else ms(alpha)
+      "\"" + q + "\":{\"times\":" + times + ",\"alpha\":" + a + "}"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    System.err.println(s"[scaling] wrote $outJson")
+    println(json.take(1900))
+    spark.stop()
+  }
+}

@@ -73,14 +73,19 @@ object SparkEntry {
     // Paged export (IterateSegment, provider/offline.go:592): every
     // 40-row page of the materialization, tagged with its page index —
     // iterating all pages IS the full materialization, oracle-checked.
-    "fs_materialize_paged" -> ((s, dir) =>
-      FeatureStore
-        .pagedMaterialization(
-          materializedLatest(s, dir)
-            .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")),
-          pageSize = 40L)
-        .map { case (start, _, page) => page.withColumn("page", lit(start / 40L)) }
-        .reduce(_ unionByName _)),
+    // Full paged export in a FIXED 32 shards (page size scales with
+    // the data): page count — and the union-plan size this query
+    // builds for the oracle — is constant at any SF. A fixed page
+    // SIZE here measured alpha=1.2 at 10x (375 unioned subtrees).
+    "fs_materialize_paged" -> ((s, dir) => {
+      val (psize, pages) = FeatureStore.pagedMaterializationFixedPages(
+        materializedLatest(s, dir)
+          .select(col("entity"), col("value"), unix_micros(col("ts")).as("ts_us")),
+        nPages = 32)
+      pages
+        .map { case (start, _, page) => page.withColumn("page", lit(start / psize)) }
+        .reduce(_ unionByName _)
+    }),
     "fs_training_set_pit" -> ((s, dir) => pitTrainingSet(s, dir)),
     // Cross-store enrichment: the PIT training set joined with the
     // entity's embedding (feature store ⨝ embedding store — the
@@ -105,13 +110,14 @@ object SparkEntry {
     // (provider/offline.go:551): same one-shuffle shared numbering as
     // fs_materialize_paged, ordered by the total (entity, label_ts)
     // key since entities repeat across label rows.
-    "fs_training_set_paged" -> ((s, dir) =>
-      FeatureStore
-        .pagedMaterialization(
-          pitTrainingSet(s, dir), pageSize = 400L,
-          orderCols = Seq("entity", "label_ts_us"))
-        .map { case (start, _, page) => page.withColumn("page", lit(start / 400L)) }
-        .reduce(_ unionByName _)),
+    "fs_training_set_paged" -> ((s, dir) => {
+      val (psize, pages) = FeatureStore.pagedMaterializationFixedPages(
+        pitTrainingSet(s, dir), nPages = 32,
+        orderCols = Seq("entity", "label_ts_us"))
+      pages
+        .map { case (start, _, page) => page.withColumn("page", lit(start / psize)) }
+        .reduce(_ unionByName _)
+    }),
     "fs_training_set_lag" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       FeatureStore
@@ -790,12 +796,15 @@ object SparkEntry {
           FROM events) WHERE rn = 1)
       WHERE row_number > 20 AND row_number <= 70""",
     "fs_materialize_paged" -> """
-      SELECT entity, value, ts_us, row_number,
-             CAST((row_number - 1) // 40 AS BIGINT) AS page FROM (
+      WITH mat AS (
         SELECT entity, value, ts_us, row_number() OVER (ORDER BY entity) AS row_number FROM (
           SELECT user_id AS entity, value, epoch_us(ts) AS ts_us,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events) WHERE rn = 1)""",
+          FROM events) WHERE rn = 1),
+      ps AS (SELECT greatest(1, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS p FROM mat)
+      SELECT entity, value, ts_us, row_number,
+             CAST((row_number - 1) // p AS BIGINT) AS page
+      FROM mat CROSS JOIN ps""",
     "fs_training_set_pit" -> """
       WITH u AS (
         SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,
@@ -860,10 +869,13 @@ object SparkEntry {
       ), tset AS (
         SELECT entity, epoch_us(ts) AS label_ts_us, label, f_click, f_view
         FROM f WHERE kind = 1)
-      SELECT entity, label_ts_us, label, f_click, f_view, row_number,
-             CAST((row_number - 1) // 400 AS BIGINT) AS page FROM (
+      , numbered AS (
         SELECT *, row_number() OVER (ORDER BY entity, label_ts_us) AS row_number
-        FROM tset)""",
+        FROM tset),
+      ps AS (SELECT greatest(1, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS p FROM numbered)
+      SELECT entity, label_ts_us, label, f_click, f_view, row_number,
+             CAST((row_number - 1) // p AS BIGINT) AS page
+      FROM numbered CROSS JOIN ps""",
     "fs_training_set_lag" -> """
       WITH u AS (
         SELECT user_id AS entity, ts, 1 AS kind, event_id AS tb, value AS label,

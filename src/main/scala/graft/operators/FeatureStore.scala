@@ -236,6 +236,38 @@ object FeatureStore {
       }
   }
 
+  /** [[pagedMaterialization]] with a FIXED PAGE COUNT instead of a
+    * fixed page size — the scale-stable form for "export the whole
+    * materialization in shards": page size grows with the data so the
+    * number of page reads (and, when a caller unions every page into
+    * one job, the number of plan subtrees) stays CONSTANT at any SF.
+    * A fixed pageSize is right for a serving API's bounded responses;
+    * it is the wrong knob for full exports, where it makes page count
+    * — and therefore driver jobs / plan size — grow linearly with the
+    * corpus (measured: the 40-row-page full export went super-linear,
+    * alpha 1.2, purely from 375 unioned page subtrees at 10x data).
+    * Returns (pageSize, pages); the numbering is computed once and
+    * shared, same as the fixed-size form.
+    */
+  def pagedMaterializationFixedPages(
+      materialized: DataFrame,
+      nPages: Int,
+      orderCols: Seq[String] = Seq("entity")
+  ): (Long, Iterator[(Long, Long, DataFrame)]) = {
+    require(nPages > 0, s"nPages must be positive, got $nPages")
+    val (parted, offsets) = numberedPartitions(materialized, orderCols)
+    val total = offsets.map(_._3).sum
+    val pageSize = math.max(1L, (total + nPages - 1) / nPages)
+    val pages = Iterator
+      .iterate(0L)(_ + pageSize)
+      .takeWhile(_ < total)
+      .map { start =>
+        val end = math.min(start + pageSize, total)
+        (start, end, rangeSlice(parted, offsets, start, end, orderCols))
+      }
+    (pageSize, pages)
+  }
+
   /** Incremental materialization (the reference's UpdateMaterialization,
     * provider/offline.go:544): merge an existing materialization with a
     * delta of new events and keep the per-entity winner. Equivalent to
