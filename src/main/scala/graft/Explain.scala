@@ -124,7 +124,13 @@ object Explain {
       "fs_label_horizon", "emb_knn_ivfpq_rerank",
       // grouped kNN: two bounded windows over the broadcast-scored
       // scan; range search: filter-only, no window/shuffle at all.
-      "emb_knn_grouped", "emb_range_search")
+      "emb_knn_grouped", "emb_range_search",
+      // Round 5 additions: JDBC leg (JDBCRelation scan with pushed
+      // filters and 4 range-predicated partitions), index-mapped
+      // negative sampling (draw join on the dense item index — still
+      // no users x items cross join), fixed-page-count export (the
+      // union is 32 pruned slices at ANY SF).
+      "source_jdbc_roundtrip")
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")
