@@ -112,13 +112,19 @@ object GenData {
     val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
     save(replicate(embeddings) { (i, df) =>
       val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * kVec))
+      // composed isometries so every copy's transform is distinct up
+      // to 4*dims copies: rotation (dims choices) x negation x
+      // reversal — each preserves intra-copy cosine structure exactly
+      // while decorrelating copies from each other
       val r = i % dims
-      if (r == 0) shifted
-      else shifted.withColumn(
-        "embedding",
-        concat(
-          slice(col("embedding"), r + 1, dims - r),
-          slice(col("embedding"), 1, r)))
+      val neg = (i / dims) % 2 == 1
+      val rev = (i / (2 * dims)) % 2 == 1
+      require(i < 4 * dims, s"copy $i exceeds the ${4 * dims} distinct isometries")
+      var e = col("embedding")
+      if (r != 0) e = concat(slice(e, r + 1, dims - r), slice(e, 1, r))
+      if (neg) e = transform(e, x => -x)
+      if (rev) e = reverse(e)
+      if (i == 0) shifted else shifted.withColumn("embedding", e)
     }, "embeddings")
 
     System.err.println(s"[gendata] done: ${copies}x of $src at $out")

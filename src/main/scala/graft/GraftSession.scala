@@ -28,6 +28,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE only ever COALESCES from the initial shuffle count — it
+      // never splits an oversized partition (outside skew-join). With
+      // a static 32, a 1B-row intermediate (4th-decade containment
+      // candidates) shuffles into 31M-row partitions and spills. Start
+      // high and let AQE merge back to the advisory size: small
+      // queries still run few tasks, huge intermediates get real
+      // parallelism. Same contract as the cluster preset's "err high".
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       // 100TB note: parquet scans split at this size; 128MB default is
       // right for the cluster, harmless locally.
       .config("spark.sql.files.maxPartitionBytes", "134217728")

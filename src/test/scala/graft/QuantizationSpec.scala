@@ -450,7 +450,11 @@ class QuantizationSpec extends AnyFunSuite {
     // margin of it.
     assert(rRetrained >= rFrozen + 0.3,
       s"re-trained recall $rRetrained did not recover vs frozen $rFrozen")
-    assert(rRetrained >= 0.4,
+    // 1e-9 slack: mean recall is a double average whose last ulp moves
+    // with shuffle partitioning (observed: 0.39999999999999997 under a
+    // different AQE initialPartitionNum) — the claim is "~0.4", not a
+    // bit pattern
+    assert(rRetrained >= 0.4 - 1e-9,
       s"re-trained recall $rRetrained implausibly low (frozen $rFrozen)")
   }
 
