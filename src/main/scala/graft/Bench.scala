@@ -16,11 +16,38 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(Some(s"local[$cpus]"), shufflePartitions = cpus)
+      // Bench-only: make ContextCleaner removals synchronous. With the
+      // default async cleanup, dead state from PRIOR queries (broadcast
+      // blocks, shuffle files, checkpoint dirs) is reclaimed whenever a
+      // GC happens to fire their weak references — which lands inside
+      // whichever later timed query first allocates hard (measured
+      // twice on the iterative dedup family: 12.9s in-bench vs 3.9s
+      // isolated, same plan). Blocking cleanup + the explicit GC drain
+      // in drain() below confine reclamation to the untimed gaps.
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+
+    /** Pre-rep teardown: drop table-cache entries and localCheckpoint
+      * pins synchronously (blocking — the unpersist completes before we
+      * start the clock), then force a GC so the ContextCleaner's weak
+      * refs for broadcasts/shuffles fire NOW, in the untimed gap, and
+      * give the (blocking) cleaner thread a beat to work its queue
+      * before the clock starts — a GC with no settle just schedules the
+      * reclamation storm at the top of the timed rep. Each rep is a
+      * full cold evaluation.
+      */
+    def drain(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(500)
+    }
 
     // Warmup EVERY query once on the tiny SF: JIT + Janino codegen of
     // each query's generated classes costs seconds per distinct plan
@@ -32,38 +59,23 @@ object Bench {
     for (w <- SparkEntry.queries.keys.toSeq.sorted)
       try force(w, "/root/testdata/sf0.001") catch { case _: Throwable => }
 
-    // The warmup pass leaves ~100 queries of dead state behind —
-    // unreferenced checkpointed RDDs, broadcast blocks, shuffle files —
-    // all reclaimed only when a GC runs and the ContextCleaner's weak
-    // references fire. Without this, the reclamation storm lands inside
-    // whichever timed query first allocates hard (measured: the
-    // multi-job CC loop at 113s vs 5s warm-isolated). Clean up NOW so
-    // the timed pass measures steady-state query cost, which is what a
-    // long-running cluster job sees.
-    spark.catalog.clearCache()
-    System.gc()
-    Thread.sleep(3000) // let ContextCleaner drain its reference queue
+    // The warmup pass leaves ~200 queries of dead state behind —
+    // unreferenced checkpointed RDDs, broadcast blocks, shuffle files.
+    // Drain it all before the timed pass starts.
+    drain()
+    Thread.sleep(3000) // let the cleaner thread finish its queue
 
     // Two independent reps per query, report the MIN. Local-mode runs
     // show rare multi-second stalls that strike queries at random
     // (concurrent broadcast-build/stage materialization jitter, not
     // plan cost — the same query's other rep runs at full speed);
     // min-of-reps reports the plan's actual cost, which is what the
-    // steady state of a long-running cluster job pays. Cache is
-    // cleared before every rep so each one is a full cold evaluation —
-    // no rep inherits the other's persisted intermediates.
+    // steady state of a long-running cluster job pays. drain() runs
+    // before every rep so each one is a full cold evaluation with no
+    // inherited intermediates and no pending async reclamation.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val reps = (1 to 2).map { _ =>
-        spark.catalog.clearCache()
-        // localCheckpoint pins from PRIOR queries are not table-cache
-        // entries: clearCache leaves them resident until a GC lets the
-        // ContextCleaner reap them, and that reclamation lands inside
-        // whichever later query allocates hard (measured: the CC loop
-        // at 13s in-bench vs ~4s isolated under identical
-        // clearCache-per-rep conditions). Unpersist them explicitly —
-        // deterministic, instead of GC-timing-dependent.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        drain()
         val t0 = System.nanoTime()
         val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)

@@ -101,16 +101,22 @@ object ChaosCheck {
     def t(name: String) = Tables.load(spark, sfDir, name)
     var failures = List.empty[String]
 
-    /** Run `op` on the clean source and on the chaos-wrapped source;
-      * fingerprints must match exactly.
+    /** Run `op` twice — once with `wrap = identity` (the clean
+      * baseline) and once with `wrap = chaos` — and require identical
+      * fingerprints. `op` receives the wrapper and applies it at the
+      * stage under test (scan-side: around the source; reduce-side:
+      * after an exchange), so the baseline leg is genuinely fault-free
+      * in both cases. A faulty leg that injects zero failures is a
+      * FAILURE too: a chaos harness that never fires proves nothing.
       */
-    def check(name: String)(src: DataFrame)(op: DataFrame => DataFrame): Unit = {
+    def check(name: String)(op: (DataFrame => DataFrame) => DataFrame): Unit = {
+      val clean = fingerprint(op(identity))
       val before = injected.get()
-      val clean = fingerprint(op(src))
-      val faulty = fingerprint(op(chaos(src)))
+      val faulty = fingerprint(op(chaos))
       val fired = injected.get() - before
-      val ok = clean == faulty
-      if (!ok) failures ::= s"$name: clean[$clean] != chaos[$faulty]"
+      val ok = clean == faulty && fired > 0
+      if (clean != faulty) failures ::= s"$name: clean[$clean] != chaos[$faulty]"
+      if (fired == 0) failures ::= s"$name: chaos leg injected zero failures"
       println(s"[chaos] $name ${if (ok) "PASS" else "FAIL"} " +
         s"(injected $fired failures; $clean)")
     }
@@ -121,45 +127,46 @@ object ChaosCheck {
     val embs = t("embeddings")
 
     // 1. scan-side injection under a map-combined aggregate
-    check("agg_scan_side")(lineitem)(df =>
-      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+    check("agg_scan_side")(wrap =>
+      wrap(lineitem).groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(20,2)")).as("sum_qty"),
           count(lit(1)).as("n")))
 
     // 2. reduce-side injection: the chaos stage sits AFTER an exchange,
     // so retried tasks must re-fetch shuffle output deterministically
-    check("agg_reduce_side")(lineitem)(df =>
-      chaos(df.repartition(8, col("l_returnflag")))
+    // (the clean leg runs the same repartition un-wrapped)
+    check("agg_reduce_side")(wrap =>
+      wrap(lineitem.repartition(8, col("l_returnflag")))
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("sum_qty")))
 
     // 3. md5-of-key sampling: the retry-safety poster child (a rand()
     // sampler is silently wrong under exactly this fault)
-    check("stratified_sample")(events)(df =>
+    check("stratified_sample")(wrap =>
       Sampling.stratifiedSample(
-        df.select(col("event_id"), col("event_type")),
+        wrap(events.select(col("event_id"), col("event_type"))),
         "event_type", "event_id",
         Map("view" -> 0.5, "click" -> 0.25), defaultRate = 0.1, seed = 7))
 
     // 4. prefix-sum numbering over a frozen range partitioning, durable
     // pins on (both the count job and the numbering job see retries)
-    check("global_rownum")(events)(df =>
+    check("global_rownum")(wrap =>
       FeatureStore.globalRowNumbers(
-        df.select(col("event_id"), col("ts")), Seq("ts", "event_id")))
+        wrap(events.select(col("event_id"), col("ts"))), Seq("ts", "event_id")))
 
     // 5. iterative fixpoint: MinHash-LSH candidate pairs into
     // large/small-star connected components, pins checkpointed per round
-    check("minhash_cc")(docs)(df =>
+    check("minhash_cc")(wrap =>
       Dedup.connectedComponents(
-        Dedup.minhashLshNative(df, "doc_id", "text")
+        Dedup.minhashLshNative(wrap(docs), "doc_id", "text")
           .select(col("a"), col("b")),
-        df.select(col("doc_id")), "doc_id", durable = true))
+        docs.select(col("doc_id")), "doc_id", durable = true))
 
     // 6. k-means: seeds-from-smallest-keys determinism through 3 Lloyd
     // rounds of broadcast + re-aggregate under dying tasks
-    check("kmeans_codebook")(embs)(df =>
-      Similarity.kmeansCodebook(df, "vec_id", "embedding", k = 8, iterations = 3))
+    check("kmeans_codebook")(wrap =>
+      Similarity.kmeansCodebook(wrap(embs), "vec_id", "embedding", k = 8, iterations = 3))
 
     // 7. the write path: data files land via retried write tasks, the
     // commit publishes once, the snapshot reads back identical

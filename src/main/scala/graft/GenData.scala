@@ -74,6 +74,23 @@ object GenData {
     val kOrder = stride(orders, "o_orderkey")
     val kEvent = stride(events, "event_id")
 
+    // Foreign keys are offset by their REFERENCED table's stride, so the
+    // "joins never cross copies" invariant holds only while every FK
+    // value fits inside that stride. True for the driver corpus, but a
+    // corpus with e.g. non-customer user_ids would silently collide keys
+    // across copies and skew the scaling curves — fail fast instead.
+    def requireFits(df: DataFrame, fk: String, k: Long, dim: String): Unit =
+      require(
+        stride(df, fk) <= k,
+        s"$fk stride ${stride(df, fk)} exceeds $dim stride $k — " +
+          "FK values outside the referenced key space would collide across copies")
+    val lineitem = load("lineitem")
+    requireFits(orders, "o_custkey", kCust, "customer")
+    requireFits(lineitem, "l_orderkey", kOrder, "orders")
+    requireFits(lineitem, "l_partkey", kPart, "part")
+    requireFits(lineitem, "l_suppkey", kSupp, "supplier")
+    requireFits(events, "user_id", kCust, "customer")
+
     save(replicate(customer)((i, df) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i * kCust))), "customer")
     save(replicate(supplier)((i, df) =>
@@ -83,7 +100,7 @@ object GenData {
     save(replicate(orders)((i, df) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * kOrder))
         .withColumn("o_custkey", col("o_custkey") + lit(i * kCust))), "orders")
-    save(replicate(load("lineitem"))((i, df) =>
+    save(replicate(lineitem)((i, df) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * kOrder))
         .withColumn("l_partkey", col("l_partkey") + lit(i * kPart))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * kSupp))), "lineitem")

@@ -18,9 +18,21 @@ object GraftSession {
 
   def builder(
       master: Option[String] = None,
-      shufflePartitions: Int = 32
+      shufflePartitions: Int = 32,
+      initialPartitionNum: Int = 0
   ): SparkSession.Builder = {
-    val b = SparkSession
+    // Shuffle-width start is a DEPLOYMENT knob. AQE only ever COALESCES
+    // from the initial count — it never splits an oversized partition
+    // (outside skew-join) — so the cluster preset errs high (see
+    // [[cluster]]: a 1B-row intermediate on a static low count spills).
+    // Locally the opposite holds: a wide start costs real overhead per
+    // shuffle even after AQE coalesces (each mapper writes
+    // initialPartitionNum shuffle blocks), measured as a 1.5-2.2x tax
+    // on the sketch/containment dedup family at sf0.1 (paired builder
+    // A/B, SURVEY §7 round-6 notes: initial=32 total 20.3s vs 512's
+    // 28.0s over the 10 affected queries). Default (0) leaves the
+    // start at `shufflePartitions`; pass a positive value to widen.
+    val b0 = SparkSession
       .builder()
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,14 +40,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE only ever COALESCES from the initial shuffle count — it
-      // never splits an oversized partition (outside skew-join). With
-      // a static 32, a 1B-row intermediate (4th-decade containment
-      // candidates) shuffles into 31M-row partitions and spills. Start
-      // high and let AQE merge back to the advisory size: small
-      // queries still run few tasks, huge intermediates get real
-      // parallelism. Same contract as the cluster preset's "err high".
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+    val b = if (initialPartitionNum > 0)
+      b0.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitionNum.toString)
+    else b0
+    b
       // 100TB note: parquet scans split at this size; 128MB default is
       // right for the cluster, harmless locally.
       .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -76,6 +86,14 @@ object GraftSession {
     *
     *  - `shufflePartitions` ≈ 2-3× total executor cores (AQE coalesces
     *    small ones back down, so err high);
+    *  - `initialPartitionNum` = 4× that: AQE only ever coalesces from
+    *    the initial shuffle width, never splits (outside skew-join), so
+    *    a 1B-row intermediate (4th-decade containment candidates)
+    *    starting at a static low count spills before AQE can react.
+    *    Erring high is right HERE because executors are many and the
+    *    per-mapper block overhead amortizes; locally it is a measured
+    *    1.5-2x tax (see [[builder]]), which is why only this preset
+    *    widens the start;
     *  - `checkpointDir` (HDFS/S3) backs `sparkContext.setCheckpointDir`
     *    — pass `durable = true` to Dedup.connectedComponents /
     *    buildIvfPq so their per-round pins survive executor loss;
@@ -91,7 +109,8 @@ object GraftSession {
       warehouseDir: String
   ): SparkSession = {
     require(totalCores >= 1, "totalCores must be >= 1")
-    val s = builder(None, shufflePartitions = totalCores * 3)
+    val s = builder(None, shufflePartitions = totalCores * 3,
+        initialPartitionNum = totalCores * 12)
       .config("spark.sql.warehouse.dir", warehouseDir)
       .getOrCreate()
     s.sparkContext.setCheckpointDir(checkpointDir)

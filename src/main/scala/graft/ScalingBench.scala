@@ -6,8 +6,9 @@ package graft
   * the measured evidence behind SCALING.md's 100-TB extrapolation.
   *
   * Same timing discipline as [[Bench]]: noop sink (full column
-  * evaluation), whole-suite warmup at sf0.001 to amortize JIT/codegen,
-  * cache + pinned-RDD teardown before every rep, min of 2 reps.
+  * evaluation), warmup of every query on the smallest supplied dir to
+  * amortize JIT/codegen, synchronous cleaner + cache/pinned-RDD drain
+  * before every rep, min of 2 reps.
   *
   * Usage: runMain graft.ScalingBench <outJson> <dir1> <dir2> ...
   * (dirs ordered smallest to largest; the exponent uses the last two).
@@ -38,24 +39,48 @@ object ScalingBench {
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").toSeq).getOrElse(DefaultQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.builder(Some(s"local[$cpus]"), shufflePartitions = cpus)
+    val blocking = sys.env.getOrElse("SPARK_GRAFT_CLEANER_BLOCKING", "true")
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "0").toInt
+    val spark = GraftSession.builder(Some(s"local[$cpus]"), shufflePartitions = cpus,
+        initialPartitionNum = initParts)
+      // synchronous cleaner — same rationale as Bench: reclamation of
+      // prior queries' dead state must not land inside a timed query
+      .config("spark.cleaner.referenceTracking.blocking", blocking)
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", blocking)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
 
-    for (w <- queries) // JIT/codegen warmup (see Bench)
-      try force(w, "/root/testdata/sf0.001") catch { case _: Throwable => }
-    spark.catalog.clearCache()
-    System.gc()
+    val drainMode = sys.env.getOrElse("SPARK_GRAFT_DRAIN", "gc_settle")
+    def drain(): Unit = { // see Bench.drain
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      drainMode match {
+        case "gc_settle" => System.gc(); Thread.sleep(500)
+        case "gc"        => System.gc()
+        case _           => // unpersist only
+      }
+    }
+
+    // JIT/codegen warmup (see Bench) on the SMALLEST supplied dir — no
+    // hardcoded sandbox path, so the tool works wherever the data lives.
+    // A query that throws in warmup is loudly reported, not swallowed:
+    // its first timed rep would otherwise silently absorb compile cost.
+    for (w <- queries)
+      try force(w, dirs.head)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[scaling] WARN warmup $w failed: ${e.getMessage}")
+      }
+    drain()
     Thread.sleep(3000)
 
     def timed(name: String, dir: String): Double = {
       val reps = (1 to 2).map { _ =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        drain()
         val t0 = System.nanoTime()
         try { force(name, dir); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }

@@ -298,11 +298,18 @@ object Dedup {
       require(c > 0, s"maxCandidatePairs must be positive, got $c")
       val p = cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = p.count()
-      require(
-        n <= c,
-        s"$what produced $n candidate pairs > maxCandidatePairs=$c — duplication-heavy " +
-          "corpus: raise the similarity threshold, tighten blocking, or pre-collapse " +
-          "exact dups (Dedup.exact) before the pairwise verify.")
+      if (n > c) {
+        // release the cached candidates BEFORE throwing — a tripped
+        // breaker must not leave executor storage pinned for the
+        // session lifetime
+        p.unpersist(blocking = true)
+        throw new IllegalArgumentException(
+          s"$what produced $n candidate pairs > maxCandidatePairs=$c — duplication-heavy " +
+            "corpus: raise the similarity threshold, tighten blocking, or pre-collapse " +
+            "exact dups (Dedup.exact) before the pairwise verify.")
+      }
+      // On success the persisted set is the verify join's input; it is
+      // reaped with the session (or a caller's explicit unpersist).
       p
   }
 
