@@ -33,18 +33,43 @@ object Multimodal {
       n_frames: Long,
       checksum: Long)
 
+  /** Decoded media header: what any codec must extract per payload. */
+  final case class Decoded(width: Long, height: Long, nFrames: Long, checksum: Long)
+
+  /** Codec SPI — the compiler-checked decode contract. The engine's
+    * plumbing (schema, partition-parallel batching in [[decodeMeta]],
+    * downstream resize/frame-sample planning) is written against THIS
+    * trait, so swapping the sandbox stub for a real decoder
+    * (javacpp-ffmpeg, ImageIO, a JNI wrapper) is implementing three
+    * methods — no engine code changes. Implementations must be
+    * Serializable (the instance ships to executors) and deterministic
+    * for a given (bytes, mime): task retries re-decode, and a
+    * nondeterministic decode silently corrupts results under Spark's
+    * recovery contract (see ChaosCheck).
+    */
+  trait MediaCodec extends Serializable {
+    /** Once per partition before any decode — allocate native contexts
+      * (decoder handles, frame buffers) here, not per row.
+      */
+    def init(): Unit = ()
+
+    /** Extract the header/metadata for one payload. */
+    def decode(bytes: Array[Byte], mime: String): Decoded
+
+    /** Once per partition after the last decode — free native state. */
+    def close(): Unit = ()
+  }
+
   /** Deterministic fake codec: "decodes" dimensions from the md5 of the
     * byte content. Stands in for a real image/audio decoder;
     * deterministic AND engine-portable (md5 hex-slice arithmetic is
     * reproducible in plain SQL) so both ScalaTest specs and the external
     * DuckDB oracle can assert exact values. One MessageDigest per call —
-    * in production this object is the codec-instance boundary
-    * (one decoder init per partition in [[decodeMeta]]).
+    * in production [[MediaCodec.init]] is where a real decoder allocates
+    * once per partition.
     */
-  object FakeCodec {
-    final case class Decoded(width: Long, height: Long, nFrames: Long, checksum: Long)
-
-    def decode(bytes: Array[Byte], mime: String): Decoded = {
+  object FakeCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], mime: String): Decoded = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
       val w = 64 + java.lang.Long.parseLong(hex.substring(16, 24), 16) % 1024
@@ -95,20 +120,29 @@ object Multimodal {
       .groupBy(col("digest"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Partition-parallel batched decode: one codec instance per
-    * partition, rows processed in a streaming iterator (never
-    * materializes a partition in memory).
+  /** Partition-parallel batched decode through the [[MediaCodec]] SPI:
+    * one codec init/close per partition, rows processed in a streaming
+    * iterator (never materializes a partition in memory).
     */
-  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+  def decodeMeta(media: DataFrame, codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // codec init per partition would happen here
-      rows.map { r =>
-        val d = FakeCodec.decode(r.content, r.mime)
-        MediaMeta(
-          r.media_id, r.content.length.toLong, r.mime,
-          d.width, d.height, d.nFrames, d.checksum)
+      codec.init()
+      new Iterator[MediaMeta] {
+        private var open = true
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && open) { open = false; codec.close() }
+          h
+        }
+        def next(): MediaMeta = {
+          val r = rows.next()
+          val d = codec.decode(r.content, r.mime)
+          MediaMeta(
+            r.media_id, r.content.length.toLong, r.mime,
+            d.width, d.height, d.nFrames, d.checksum)
+        }
       }
     }
   }

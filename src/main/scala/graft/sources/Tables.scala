@@ -140,13 +140,39 @@ object Tables {
       lowerBound: Long = 0L,
       upperBound: Long = 1L,
       numPartitions: Int = 1,
-      expectedSchema: Option[StructType] = None
+      expectedSchema: Option[StructType] = None,
+      maxSingleConnectionRows: Long = 1000000L
   ): DataFrame = {
     val base = spark.read
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("driver", driver)
+    // ENFORCED fact-table contract (not just documented): registering
+    // without `partitionCol` serializes the whole scan through one
+    // connection, which is silently catastrophic for a fact table. A
+    // cheap remote COUNT (one aggregate, runs server-side) verifies the
+    // table is actually dimension-sized before the single-connection
+    // read is allowed; above the threshold the call fails fast with the
+    // partitioning recipe. Callers that truly want a huge serial read
+    // opt in explicitly with maxSingleConnectionRows = Long.MaxValue.
+    if (partitionCol.isEmpty && maxSingleConnectionRows < Long.MaxValue) {
+      val n = spark.read
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", s"(SELECT COUNT(*) AS n FROM $table) c")
+        .option("driver", driver)
+        .load()
+        .selectExpr("CAST(n AS BIGINT) AS n") // COUNT's type varies by dialect
+        .head()
+        .getLong(0)
+      require(
+        n <= maxSingleConnectionRows,
+        s"$name has $n rows > maxSingleConnectionRows=$maxSingleConnectionRows for a " +
+          "single-connection JDBC scan — pass partitionCol (+ lowerBound/upperBound/" +
+          "numPartitions) to issue range-predicated parallel reads, or raise the " +
+          "threshold explicitly if a serial read is intended.")
+    }
     val reader = partitionCol.fold(base) { c =>
       base
         .option("partitionColumn", c)
@@ -225,5 +251,61 @@ object Tables {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Streaming-source spec for [[registerStream]] — the seam where the
+    * deployment chooses its transport while every downstream transform
+    * (graft.streaming.StreamingFeatures) stays identical.
+    */
+  sealed trait StreamSource
+  object StreamSource {
+
+    /** Directory-watching file stream (json/csv/parquet) — the in-env
+      * implementation; also the replay path for reprocessing a day of
+      * landed files with the same query as the live stream.
+      */
+    final case class Files(path: String, format: String, schema: StructType)
+        extends StreamSource
+
+    /** Kafka topic — the reference's streaming transport
+      * (provider/spark/configs.go accepts Kafka sources; its streamer
+      * service reads commit streams). The reader below is the standard
+      * spark-sql-kafka contract (key/value binary + topic/partition/
+      * offset/timestamp columns); it needs the
+      * `org.apache.spark:spark-sql-kafka-0-10` jar on the classpath,
+      * which this zero-egress sandbox does not ship — so in-env this
+      * case fails at source resolution (spec-asserted), and on a real
+      * deployment it is the documented one-line swap from Files.
+      */
+    final case class Kafka(
+        bootstrapServers: String,
+        topic: String,
+        startingOffsets: String = "earliest")
+        extends StreamSource
+  }
+
+  /** Open a streaming DataFrame for `source` and register it as a temp
+    * view — the streaming twin of [[registerPrimary]]. Downstream:
+    * watermark + transform (StreamingFeatures) + writeStream, unchanged
+    * whichever transport the spec picks.
+    */
+  def registerStream(
+      spark: SparkSession,
+      name: String,
+      source: StreamSource
+  ): DataFrame = {
+    val df = source match {
+      case StreamSource.Files(path, format, schema) =>
+        spark.readStream.schema(schema).format(format).load(path)
+      case StreamSource.Kafka(bootstrap, topic, offsets) =>
+        spark.readStream
+          .format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("subscribe", topic)
+          .option("startingOffsets", offsets)
+          .load()
+    }
+    df.createOrReplaceTempView(name)
+    df
   }
 }

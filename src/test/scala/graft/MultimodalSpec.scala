@@ -54,6 +54,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v.nFrames >= 1L && v.nFrames <= 300L)
   }
 
+  test("MediaCodec SPI: a custom codec drops in with per-partition init/close") {
+    // The stub is one implementation of the trait, not a special case:
+    // a different MediaCodec flows through the same decodeMeta plumbing,
+    // and its lifecycle hooks run once per partition (counted via
+    // accumulators — executor threads share this JVM in local mode).
+    val sc = spark.sparkContext
+    val inits = sc.longAccumulator("codec_inits")
+    val closes = sc.longAccumulator("codec_closes")
+    val fixed = new Multimodal.MediaCodec {
+      override def init(): Unit = inits.add(1)
+      override def decode(bytes: Array[Byte], mime: String): Multimodal.Decoded =
+        Multimodal.Decoded(bytes.length.toLong, 2L, 3L, 4L)
+      override def close(): Unit = closes.add(1)
+    }
+    val docs = Seq((1L, "some payload", "en", "s", 12L), (2L, "other bytes", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocs(docs).repartition(2)
+    val meta = Multimodal.decodeMeta(media, fixed)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).width == 12L && meta(1L).height == 2L)
+    assert(meta(2L).width == 11L && meta(2L).n_frames == 3L && meta(2L).checksum == 4L)
+    assert(inits.value == 2L, s"expected one init per partition, got ${inits.value}")
+    assert(closes.value == inits.value, "every init must be paired with a close")
+  }
+
   test("mixed-modality ingest gives videos multi-frame decodes, images one frame") {
     val docs = Seq(
       (0L, "video doc", "en", "s", 9L),

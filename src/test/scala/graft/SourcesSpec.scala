@@ -262,4 +262,58 @@ class SourcesSpec extends AnyFunSuite {
     Tables.writeJdbc(df.where(col("grp") === 10), url, "t_jdbc")
     assert(Tables.registerJdbc(spark, "t_jdbc_v2", url, "t_jdbc").count() == 2)
   }
+
+  test("jdbc fact-table contract: single-connection reads are capped by a remote COUNT") {
+    val url = s"jdbc:derby:$tmp/derby_contract;create=true"
+    val df = (1L to 50L).map(i => (i, s"row$i")).toDF("id", "payload")
+    Tables.writeJdbc(df, url, "t_facts")
+    // under the threshold: a plain dimension-sized read is allowed
+    assert(Tables.registerJdbc(
+      spark, "t_facts_ok", url, "t_facts",
+      maxSingleConnectionRows = 50L).count() == 50)
+    // over the threshold with no partitionCol: fail fast with the recipe
+    val e = intercept[IllegalArgumentException] {
+      Tables.registerJdbc(
+        spark, "t_facts_serial", url, "t_facts",
+        maxSingleConnectionRows = 49L)
+    }
+    assert(e.getMessage.contains("partitionCol"),
+      s"error must teach the parallel-scan recipe: ${e.getMessage}")
+    // same table over the threshold WITH partitioning: allowed (the
+    // contract is about serialized scans, not table size)
+    assert(Tables.registerJdbc(
+      spark, "t_facts_par", url, "t_facts",
+      partitionCol = Some("id"), lowerBound = 1L, upperBound = 51L,
+      numPartitions = 4, maxSingleConnectionRows = 49L).count() == 50)
+  }
+
+  test("registerStream seam: file transport runs; kafka transport is wired to Spark's loader") {
+    import org.apache.spark.sql.types._
+    val inDir = s"$tmp/stream_seam_in"
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/a.json"),
+      """{"k": 1, "v": "x"}""" + "\n" + """{"k": 2, "v": "y"}""")
+    val stream = Tables.registerStream(spark, "seam_stream",
+      Tables.StreamSource.Files(inDir, "json", schema))
+    assert(stream.isStreaming, "Files source must open a streaming relation")
+    val outTable = "seam_stream_out"
+    val q = stream.groupBy(col("v")).count()
+      .writeStream.format("memory").queryName(outTable)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(outTable).count() == 2)
+    // Kafka: /opt/spark/jars ships no spark-sql-kafka, so resolution
+    // must fail AT SPARK'S SOURCE LOOKUP naming the format — proving
+    // the seam builds the standard kafka reader (the documented
+    // one-line swap on a real deployment), not a silent stub.
+    val e = intercept[Exception] {
+      Tables.registerStream(spark, "seam_kafka",
+        Tables.StreamSource.Kafka("broker:9092", "events"))
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"kafka case must reach Spark's DataSource loader: ${e.getMessage}")
+  }
 }

@@ -387,7 +387,9 @@ class StreamingSpec extends AnyFunSuite {
     def runQuery(): Unit = {
       val q = StreamingFeatures
         .dedupStream(
-          spark.readStream.schema(schema).json(inDir).as[DocArrival])
+          graft.sources.Tables.registerStream(spark, "doc_arrivals",
+            graft.sources.Tables.StreamSource.Files(inDir, "json", schema))
+            .as[DocArrival])
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckDir)
         .outputMode(OutputMode.Append())
