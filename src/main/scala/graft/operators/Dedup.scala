@@ -441,7 +441,9 @@ object Dedup {
     *     `nw - ceil(t*nw) + 1` tokens — any pair with Jaccard >= t
     *     provably does — plus pass the size-ratio filter
     *     (t*|B| <= |A|, t*|A| <= |B|);
-    *  3. only candidates get an exact `array_intersect` verify.
+    *  3. only candidates get an exact intersect-size verify (the
+    *     allocation-free merge walk of [[graft.plans.SortedIntersectSize]]
+    *     over the sorted rank arrays).
     *
     * Shuffles are bounded by prefix-token buckets (rarest-first keeps
     * them small on natural corpora), never the full |block|^2 pair
@@ -456,6 +458,7 @@ object Dedup {
       threshold: Double,
       maxCandidatePairs: Option[Long] = None
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
     val prefix = sorted
       .withColumn("p", (col("nw") - ceil(col("nw") * threshold) + 1).cast("int"))
@@ -481,7 +484,11 @@ object Dedup {
     cands
       .join(attach(ta), "a")
       .join(attach(tb), "b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      // merge-walk intersect size over the sorted rank arrays — see
+      // [[graft.plans.SortedIntersectSize]]: array_intersect builds a
+      // hash set per candidate row; this kernel is allocation-free.
+      .withColumn("inter",
+        call_function(graft.plans.GraftFunctions.SortedInterName, col("ta"), col("tb")))
       .withColumn(
         "jaccard",
         round(col("inter") / (col("nwa") + col("nwb") - col("inter")), 6))
@@ -615,6 +622,7 @@ object Dedup {
       threshold: Double,
       maxCandidatePairs: Option[Long] = None
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
     val prefix = sorted
       .withColumn("p", (col("nw") - ceil(col("nw") * threshold) + 1).cast("int"))
@@ -639,7 +647,10 @@ object Dedup {
     cands
       .join(attach(ta), "a")
       .join(attach(tb), "b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      // merge-walk intersect size — see [[graft.plans.SortedIntersectSize]]
+      .withColumn("inter",
+        call_function(graft.plans.GraftFunctions.SortedInterName, col("ta"), col("tb"))
+          .cast("long"))
       .withColumn("containment", col("inter").cast("double") / col("nwa").cast("double"))
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("inter"), col("containment"))

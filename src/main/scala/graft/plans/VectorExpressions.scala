@@ -375,6 +375,7 @@ object GraftFunctions {
   val RpName = "graft_rp"
   val MatApplyName = "graft_matapply"
   val KmvName = "graft_kmv"
+  val SortedInterName = "graft_sorted_inter"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -480,4 +480,40 @@ class DedupSpec extends AnyFunSuite {
     assert(guarded == unguarded && guarded.size == 870,
       s"30 identical docs -> 870 ordered containment pairs, got ${guarded.size}")
   }
+
+  test("graft_sorted_inter: merge-walk size == size(array_intersect) on random sorted sets") {
+    val spark = GraftTestSession.spark
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(6)
+    def randSet(max: Int): Seq[Int] =
+      (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(max)).distinct.sorted
+    // include empties and full overlaps among the random cases
+    val cases = Seq((Seq.empty[Int], Seq.empty[Int]), (Seq(1, 2, 3), Seq(1, 2, 3))) ++
+      (0 until 200).map(_ => (randSet(40), randSet(40)))
+    // toDF types Seq[Int] as array<int> with containsNull=false — the
+    // exact shape freqSortedTokens produces and the expression requires
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+        call_function(graft.plans.GraftFunctions.SortedInterName, col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // long-element variant (the beyond-Int.MaxValue vocab fallback)
+    val asLong = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("long"))
+    val dfl = cases.toDF("a", "b").select(asLong(col("a")).as("a"), asLong(col("b")).as("b"))
+    dfl.select(
+        call_function(graft.plans.GraftFunctions.SortedInterName, col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // interpreted (non-codegen) path agrees: eval the expression directly
+    val e = graft.plans.SortedIntersectSize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1, 3, 5, 9),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(3, 4, 9),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)))
+    assert(e.eval(null) == 2)
+  }
 }
