@@ -3123,7 +3123,7 @@ object SparkEntry {
     "dedup_edit_verify" -> ((s, dir) =>
       Dedup.editVerifiedPairs(
         t(s, dir, "documents"), "doc_id", "text", 0.2,
-        maxCandidatePairs = Some(1000000000L))),
+        maxCandidatePairs = Some(10000000000L))),
     // Corpus-governance view: exact distinct-shingle Jaccard between
     // sources, side by side with its 16-lane MinHash estimate.
     "dedup_corpus_overlap" -> ((s, dir) =>
@@ -3133,22 +3133,25 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, portableHashes = true)),
-    // The pairwise verifies run with the candidate-count circuit
-    // breaker armed (Dedup.guardCandidates): on a duplication-heavy
-    // corpus the verify OUTPUT, not the blocked candidate generation,
-    // is the 100x-scale cost — the guard converts that into a fail-fast
-    // with sizing guidance instead of a silent quadratic burn.
+    // The pairwise verifies run with the candidate-budget circuit
+    // breaker armed (Dedup.guardBudget): on a duplication-heavy corpus
+    // the verify OUTPUT, not the blocked candidate generation, is the
+    // 100x-scale cost — the guard prices the bucket join from index
+    // statistics (O(buckets), zero pair-stream passes) and fails fast
+    // with sizing guidance instead of a silent quadratic burn. The cap
+    // counts JOIN INSTANCES (>= distinct pairs); 1e10 ~ 28 h of verify
+    // kernel on one box — past that, fail and resize.
     "dedup_jaccard_words" -> ((s, dir) =>
       Dedup.jaccardWordPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang", 0.9,
-        maxCandidatePairs = Some(1000000000L))),
+        maxCandidatePairs = Some(10000000000L))),
     // Asymmetric doc-in-doc containment: ordered (contained, container)
     // pairs at C(a->b) >= 0.8 — catches the small-doc-inside-big-doc
     // class the symmetric Jaccard size-ratio filter excludes.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang", 0.8,
-        maxCandidatePairs = Some(1000000000L))),
+        maxCandidatePairs = Some(10000000000L))),
     // Sequence-level span dedup (Lee et al. 2021 analog): repeated
     // 8-token spans survive only at their first corpus occurrence.
     "dedup_spans" -> ((s, dir) =>

@@ -137,7 +137,9 @@ object Dedup {
       textCol: String,
       shingleWidth: Int = 3,
       bands: Int = 4,
-      rowsPerBand: Int = 4
+      rowsPerBand: Int = 4,
+      maxCandidatePairs: Option[Long] = None,
+      guardName: String = "minhashLshNative"
   ): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     // The sketch kernel is pure per-row CPU; parallelism is whatever
@@ -165,6 +167,10 @@ object Dedup {
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
       idCol, textCol, shingleWidth, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fail-fast candidate budget from the band-bucket sizes (reads the
+    // persisted sketch once, O(buckets)) — see [[guardBudget]]
+    guardBudget(guardName, maxCandidatePairs)(
+      selfBudget(banded, Seq("band", "band_hash")))
     bandPairs(banded)
   }
 
@@ -282,35 +288,98 @@ object Dedup {
     * COUNT: a duplication-heavy crawl (boilerplate, mirrored sites)
     * can push band/prefix buckets to millions of members, and then
     * the verify join's OUTPUT — not the algorithm — is the cost.
-    * When a cap is set, the candidate set is persisted (the verify
-    * reuses it, so the count costs one cheap pass over cached rows)
-    * and the call fails fast with sizing guidance instead of silently
-    * burning a quadratic verify. None (the default) keeps the
-    * plan fully lazy for healthy corpora.
+    * When a cap is set, the breaker prices the bucket join BEFORE it
+    * runs, from per-bucket counts: the budget is the join's exact
+    * output-instance count — Σ_bucket |A_b|·|B_b| (self-join form
+    * Σ C(n_b, 2)) — an upper bound on distinct candidate pairs and the
+    * direct driver of the verify stream's shuffle volume. Counting
+    * buckets is O(|buckets|) work over the already-persisted token /
+    * sketch frame, never O(pairs), so the guard adds NO pass over the
+    * pair stream and the verify stays single-pass. The two rejected
+    * designs are instructive at 100× sf0.1 (483 M candidate
+    * instances): persisting the pair stream to count-then-reuse it
+    * churned the unified memory region (containment 364 s); counting
+    * a lazy plan and letting the verify recompute it paid the pair
+    * shuffle twice (426 s); the bucket budget prices the same blowup
+    * in ~3 s of bucket statistics and leaves the single-pass query at
+    * 118 s (with the budget-sized dedupe exchange, [[distinctPairs]]).
+    * This is how the AllPairs/PPJoin and LSH literature budgets
+    * candidate generation — from index statistics, not from the
+    * candidates themselves. None (the default) skips the check.
     */
-  private def guardCandidates(
-      cands: DataFrame,
-      cap: Option[Long],
-      what: String
-  ): DataFrame = cap match {
-    case None => cands
-    case Some(c) =>
+  private def guardBudget(what: String, cap: Option[Long])(budget: => Long): Option[Long] =
+    cap.map { c =>
       require(c > 0, s"maxCandidatePairs must be positive, got $c")
-      val p = cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = p.count()
+      val n = budget
       if (n > c) {
-        // release the cached candidates BEFORE throwing — a tripped
-        // breaker must not leave executor storage pinned for the
-        // session lifetime
-        p.unpersist(blocking = true)
         throw new IllegalArgumentException(
-          s"$what produced $n candidate pairs > maxCandidatePairs=$c — duplication-heavy " +
-            "corpus: raise the similarity threshold, tighten blocking, or pre-collapse " +
-            "exact dups (Dedup.exact) before the pairwise verify.")
+          s"$what bucket join would emit $n candidate instances > maxCandidatePairs=$c — " +
+            "duplication-heavy corpus: raise the similarity threshold, tighten blocking, " +
+            "or pre-collapse exact dups (Dedup.exact) before the pairwise verify.")
       }
-      // On success the persisted set is the verify join's input; it is
-      // reaped with the session (or a caller's explicit unpersist).
-      p
+      n
+    }
+
+  /** Distinct over the candidate-instance stream, with the exchange
+    * WIDTH derived from the priced budget when one is available.
+    *
+    * Why the width cannot be left to the engine: the instance stream
+    * is the join's OUTPUT — AQE sizes exchanges from input bytes and
+    * the static `spark.sql.shuffle.partitions` from deployment
+    * defaults, both decades under a bucket join that emits orders of
+    * magnitude more than it reads. At 100× sf0.1 the 2.09 B-instance
+    * stream dedupes through a 32-wide hash aggregate at 65 M rows per
+    * task — the per-task map overflows the unified region and the
+    * spill storm puts the distinct at 388 s; at budget-derived width
+    * (≈16 B per pair row, 128 MB post-shuffle target — the same
+    * sizing note as GraftSession's cluster preset) the same dedupe is
+    * 115 s, and the width only ever grows past the session setting, so
+    * driver-SF plans are untouched.
+    *
+    * The wide path trades away the plain distinct's MAP-SIDE partial
+    * aggregation (the explicit repartition exchange carries raw
+    * instances; block is a join key, so same-block duplicate pairs
+    * cluster within map partitions and partials combine them ~4×).
+    * That trade only pays once the final aggregate is in its spill
+    * regime, so it triggers at >16 M instances per session-width task
+    * (≈0.5 GB of per-task hash map) — below that the engine-planned
+    * distinct is strictly better (measured: the borderline sf1 jaccard
+    * budget crossing into the wide path cost 4 s → 13 s). Un-priced
+    * calls (maxCandidatePairs = None) keep the engine-planned distinct.
+    */
+  private def distinctPairs(
+      instances: DataFrame,
+      priced: Option[Long]): DataFrame = {
+    val session = instances.sparkSession.sessionState.conf.numShufflePartitions
+    val spillRegime = priced.exists(_ / session > 16000000L)
+    if (spillRegime) {
+      val width = math.min(
+        math.ceil(priced.get * 16.0 / (128L << 20)).toLong, 4096L).toInt
+      instances.repartition(math.max(width, session), col("a"), col("b"))
+        .dropDuplicates(Seq("a", "b"))
+    } else instances.distinct()
+  }
+
+  /** Exact output-instance count of `a JOIN b ON keys`, from per-key
+    * counts — the [[guardBudget]] price for a two-sided bucket join.
+    */
+  private def crossBudget(a: DataFrame, b: DataFrame, keys: Seq[String]): Long = {
+    val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_na"))
+    val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_nb"))
+    ca.join(cb, keys)
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)))
+      .head.getLong(0)
+  }
+
+  /** Exact unordered-pair instance count of a self-join on `keys`
+    * (Σ C(n_bucket, 2)) — the [[guardBudget]] price for a banded /
+    * prefix self-join with an `a < b` guard.
+    */
+  private def selfBudget(a: DataFrame, keys: Seq[String]): Long = {
+    val s = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(col("_n") * (col("_n") - lit(1L))), lit(0L)))
+      .head.getLong(0)
+    s / 2
   }
 
   def editVerifiedPairs(
@@ -320,9 +389,19 @@ object Dedup {
       maxEditFrac: Double,
       maxCandidatePairs: Option[Long] = None
   ): DataFrame = {
-    val cands = guardCandidates(
-      minhashLshNative(docs, idCol, textCol).select(col("a"), col("b")),
-      maxCandidatePairs, "editVerifiedPairs")
+    // The verify stage's cost is per-PAIR CPU — a full Levenshtein DP
+    // over document BODIES — while its input is a tiny pair stream.
+    // AQE coalesces exchanges by BYTES, blind to downstream per-row
+    // compute: the candidate exchange (≈100 KB of id pairs at 10×
+    // sf0.1) coalesces to ONE partition and the whole DP runs
+    // single-threaded (measured 9.1 s vs 2.1 s). A round-robin
+    // redistribution to session width keeps the DP parallel; it must
+    // be round-robin — a keyed repartition on (a, b) matches the
+    // upstream aggregate's partitioning and is elided by the planner.
+    val cands = minhashLshNative(docs, idCol, textCol,
+      maxCandidatePairs = maxCandidatePairs,
+      guardName = "editVerifiedPairs").select(col("a"), col("b"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     // raw-text payload: ~1B/char UTF-8 with 2x headroom + row overhead
     val sz = docs
       .agg(coalesce(sum(length(col(textCol))), lit(0L)), count(lit(1))).head
@@ -467,15 +546,19 @@ object Dedup {
         explode(slice(col("stoks"), lit(1), col("p"))).as("pw"))
     val pa = prefix.select(col("block"), col("pw"), col("doc_id").as("a"), col("nw").as("nwa"))
     val pb = prefix.select(col("block"), col("pw"), col("doc_id").as("b"), col("nw").as("nwb"))
-    val cands = guardCandidates(
+    // fail-fast candidate budget from prefix-bucket sizes — see
+    // [[guardBudget]]: Σ C(n_bucket, 2), priced before the join runs;
+    // the priced value also sizes the pair-stream dedupe exchange
+    val priced = guardBudget("jaccardWordPairs", maxCandidatePairs)(
+      selfBudget(prefix, Seq("block", "pw")))
+    val cands = distinctPairs(
       pa
         .join(pb, Seq("block", "pw"))
         .where(
           col("a") < col("b") &&
           col("nwa") >= col("nwb") * threshold && col("nwb") >= col("nwa") * threshold)
-        .select(col("a"), col("b"))
-        .distinct(),
-      maxCandidatePairs, "jaccardWordPairs")
+        .select(col("a"), col("b")),
+      priced)
     // adaptive verify attach — see [[verifyAttach]]: broadcast while
     // the rank arrays fit (zero pair-stream shuffle), SHJ beyond
     val attach = verifyAttach(sorted, tokenPayloadBytes(sorted))
@@ -632,13 +715,17 @@ object Dedup {
     val full = sorted.select(
       col("block"), col("doc_id").as("b"), col("nw").as("nwb"),
       explode(col("stoks")).as("pw"))
-    val cands = guardCandidates(
+    // fail-fast candidate budget from the prefix×posting bucket sizes —
+    // see [[guardBudget]]: Σ |prefix_b|·|full_b|, priced before the
+    // join; the priced value also sizes the pair-stream dedupe exchange
+    val priced = guardBudget("containmentPairs", maxCandidatePairs)(
+      crossBudget(prefix, full, Seq("block", "pw")))
+    val cands = distinctPairs(
       prefix
         .join(full, Seq("block", "pw"))
         .where(col("a") =!= col("b") && col("nwb") >= col("nwa") * threshold)
-        .select(col("a"), col("b"))
-        .distinct(),
-      maxCandidatePairs, "containmentPairs")
+        .select(col("a"), col("b")),
+      priced)
     // adaptive verify attach — see [[verifyAttach]]: broadcast while
     // the rank arrays fit (zero pair-stream shuffle), SHJ beyond
     val attach = verifyAttach(sorted, tokenPayloadBytes(sorted))

@@ -449,10 +449,12 @@ class DedupSpec extends AnyFunSuite {
   test("maxCandidatePairs circuit breaker: trips on a duplication-heavy block, transparent when under cap") {
     val spark = GraftTestSession.spark
     import spark.implicits._
-    // 30 identical docs in one block: candidates = 30*29 ordered pairs
-    // (containment) / 435 unordered (jaccard, edit) — the boilerplate
-    // corpus that makes verify OUTPUT the cost even though the blocked
-    // candidate generation is sub-quadratic.
+    // 30 identical docs in one block: every bucket holds all 30 docs,
+    // so the priced budgets are 3 prefix tokens x 30x30 = 2700 join
+    // instances (containment), 2 x C(30,2) = 870 (jaccard), 4 bands x
+    // C(30,2) = 1740 (edit) — the boilerplate corpus that makes verify
+    // OUTPUT the cost even though the blocked candidate generation is
+    // sub-quadratic. All exceed cap=100 and must fail fast.
     val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = (1L to 30L).map(i => (i, txt, "en")).toDF("doc_id", "text", "lang")
 
