@@ -15,31 +15,54 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // A/B'd in round 7 (BENCH_AB_r7.json): round 6 made ContextCleaner
+    // removals synchronous session-wide, reasoning that async cleanup of
+    // PRIOR queries' dead state (broadcast blocks, shuffle files) was
+    // landing inside later timed windows; the same round's bench then
+    // read a diffuse ~x1.2 on small unchanged-plan queries and the confs
+    // were the prime suspect. The A/B (24-query subset spanning the
+    // inflation victims + the dedup family the confs were meant to
+    // protect, same host, back-to-back sessions) reads blocking=off
+    // 26.64s vs blocking=on 26.38s — no measurable difference, and the
+    // ~x1.2 drift vs round 5 persists under BOTH settings, so it is
+    // host/session variance, not the confs. The protection round 6
+    // actually bought came from drain()'s explicit GC + settle (the
+    // cleaner's weak refs only enqueue when a GC collects them —
+    // blocking or not), which this harness keeps: dedup_components
+    // reads 4.3s in-bench either way vs round 5's 12.9s victim value.
+    // Default OFF: matches the cluster default and leaves in-query
+    // cleanup off the task critical path at bigger SFs.
+    val blocking = sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOCKING", "false").toBoolean
     val spark = GraftSession.builder(Some(s"local[$cpus]"), shufflePartitions = cpus)
-      // Bench-only: make ContextCleaner removals synchronous. With the
-      // default async cleanup, dead state from PRIOR queries (broadcast
-      // blocks, shuffle files, checkpoint dirs) is reclaimed whenever a
-      // GC happens to fire their weak references — which lands inside
-      // whichever later timed query first allocates hard (measured
-      // twice on the iterative dedup family: 12.9s in-bench vs 3.9s
-      // isolated, same plan). Blocking cleanup + the explicit GC drain
-      // in drain() below confine reclamation to the untimed gaps.
-      .config("spark.cleaner.referenceTracking.blocking", "true")
-      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .config("spark.cleaner.referenceTracking.blocking", blocking.toString)
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", blocking.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // drain() deliberately unpersists localCheckpoint pins; RDD.unpersist
+    // WARNs that each one's lineage is gone (true, intended — the next
+    // rep re-evaluates from source). ~480 of those per bench pad the
+    // stdout tail the driver parses, so silence that one logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
 
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
 
-    /** Pre-rep teardown: drop table-cache entries and localCheckpoint
-      * pins synchronously (blocking — the unpersist completes before we
-      * start the clock), then force a GC so the ContextCleaner's weak
-      * refs for broadcasts/shuffles fire NOW, in the untimed gap, and
-      * give the (blocking) cleaner thread a beat to work its queue
-      * before the clock starts — a GC with no settle just schedules the
-      * reclamation storm at the top of the timed rep. Each rep is a
-      * full cold evaluation.
+    // Optional subset (comma-separated query names) for local A/B runs;
+    // the driver never sets it, so official benches time the full surface.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
+
+    /** Pre-rep teardown, all in the untimed gap: drop the table cache
+      * (catalog.clearCache() completes ASYNCHRONOUSLY — it is not relied
+      * on for quiescence) and the localCheckpoint pins (the explicit RDD
+      * unpersist loop DOES block until block removal), then force a GC
+      * so the ContextCleaner's weak refs for dead broadcasts/shuffles
+      * enqueue NOW, and settle long enough for the cleaner thread plus
+      * any straggling async uncache to finish before the clock starts.
+      * Each rep is a full cold evaluation.
       */
     def drain(): Unit = {
       spark.catalog.clearCache()
@@ -56,7 +79,7 @@ object Bench {
     // compile). Steady-state per-query cost is what a long-running
     // cluster job sees; the warmup pass makes the timed pass measure
     // exactly that.
-    for (w <- SparkEntry.queries.keys.toSeq.sorted)
+    for (w <- names)
       try force(w, "/root/testdata/sf0.001") catch { case _: Throwable => }
 
     // The warmup pass leaves ~200 queries of dead state behind —
@@ -65,15 +88,17 @@ object Bench {
     drain()
     Thread.sleep(3000) // let the cleaner thread finish its queue
 
-    // Two independent reps per query, report the MIN. Local-mode runs
-    // show rare multi-second stalls that strike queries at random
-    // (concurrent broadcast-build/stage materialization jitter, not
-    // plan cost — the same query's other rep runs at full speed);
-    // min-of-reps reports the plan's actual cost, which is what the
-    // steady state of a long-running cluster job pays. drain() runs
-    // before every rep so each one is a full cold evaluation with no
-    // inherited intermediates and no pending async reclamation.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Two independent reps per query; the MIN is the headline number and
+    // BOTH reps are recorded in BENCH_full.json. Local-mode runs show
+    // rare multi-second stalls that strike queries at random (concurrent
+    // broadcast-build/stage materialization jitter, not plan cost — the
+    // same query's other rep runs at full speed); min-of-reps reports
+    // the plan's actual cost, which is what the steady state of a
+    // long-running cluster job pays, and the recorded spread lets a
+    // reader distinguish environment noise from a real regression.
+    // drain() runs before every rep so each one is a full cold
+    // evaluation with no inherited intermediates.
+    val results = names.map { name =>
       val reps = (1 to 2).map { _ =>
         drain()
         val t0 = System.nanoTime()
@@ -84,7 +109,7 @@ object Bench {
       val dt = reps.map(_._1).min
       System.err.println(f"[bench] $name%-28s ${if (ok) dt else -dt}%8.2f s  " +
         reps.map(r => f"${r._1}%.2f").mkString("(", " ", ")"))
-      (name, dt, ok)
+      (name, dt, ok, reps.map(_._1))
     }
     // Failures are reported distinctly (negative time + errors list) so
     // a hard-failing query never shows up as a suspiciously fast pass.
@@ -94,13 +119,17 @@ object Bench {
     // that window every prior round (BENCH_r{1,2,3}.json all record
     // parsed:null). So the stdout line is COMPACT: total, per-family
     // subtotals, the slowest queries, and the full errors list — always
-    // under the window — while the complete per-query map goes to
-    // BENCH_full.json in the working directory for the plan-level audit.
+    // under the window — while the complete per-query map (min AND both
+    // reps) goes to BENCH_full.json in the working directory for the
+    // plan-level audit.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def qmap(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, ok) => "\"" + k + "\":" + ms(if (ok) v else -v) }
+    def qmap(rs: Seq[(String, Double, Boolean, Seq[Double])]): String =
+      rs.map { case (k, v, ok, _) => "\"" + k + "\":" + ms(if (ok) v else -v) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val repsMap = results
+      .map { case (k, _, _, rs) => "\"" + k + "\":" + rs.map(ms).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     def family(name: String): String = name.takeWhile(_ != '_') match {
@@ -115,7 +144,7 @@ object Bench {
     val slowest = qmap(results.sortBy(-_._2).take(12))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_full.json"),
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"blocking_cleaner":$blocking,"queries":${qmap(results)},"reps":$repsMap,"errors":$errs,"sf":"$sfDir"}""")
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"families":$fams,"slowest":$slowest,"errors":$errs,"sf":"$sfDir","full":"BENCH_full.json"}"""
     // Hard guarantee: never exceed the driver's tail window. If errors

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *    the source corpus, while cross-copy token overlap is zero — pair
   *    outputs grow 10x, not 100x. (The output-explosion regime on
   *    duplication-heavy corpora is governed separately by the
-  *    maxCandidatePairs guards — see Dedup.guardCandidates.)
+  *    maxCandidateInstances guards — see Dedup.guardCandidates.)
   *  - embedding vectors are cyclically rotated per copy: rotation is an
   *    isometry, so intra-copy cosine structure (kNN lists, cluster
   *    shapes) is exactly the source's, while cross-copy similarities

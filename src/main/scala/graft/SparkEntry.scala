@@ -3123,7 +3123,7 @@ object SparkEntry {
     "dedup_edit_verify" -> ((s, dir) =>
       Dedup.editVerifiedPairs(
         t(s, dir, "documents"), "doc_id", "text", 0.2,
-        maxCandidatePairs = Some(10000000000L))),
+        maxCandidateInstances = Some(10000000000L))),
     // Corpus-governance view: exact distinct-shingle Jaccard between
     // sources, side by side with its 16-lane MinHash estimate.
     "dedup_corpus_overlap" -> ((s, dir) =>
@@ -3144,14 +3144,14 @@ object SparkEntry {
     "dedup_jaccard_words" -> ((s, dir) =>
       Dedup.jaccardWordPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang", 0.9,
-        maxCandidatePairs = Some(10000000000L))),
+        maxCandidateInstances = Some(10000000000L))),
     // Asymmetric doc-in-doc containment: ordered (contained, container)
     // pairs at C(a->b) >= 0.8 — catches the small-doc-inside-big-doc
     // class the symmetric Jaccard size-ratio filter excludes.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang", 0.8,
-        maxCandidatePairs = Some(10000000000L))),
+        maxCandidateInstances = Some(10000000000L))),
     // Sequence-level span dedup (Lee et al. 2021 analog): repeated
     // 8-token spans survive only at their first corpus occurrence.
     "dedup_spans" -> ((s, dir) =>

@@ -138,7 +138,7 @@ object Dedup {
       shingleWidth: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      maxCandidatePairs: Option[Long] = None,
+      maxCandidateInstances: Option[Long] = None,
       guardName: String = "minhashLshNative"
   ): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
@@ -169,7 +169,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fail-fast candidate budget from the band-bucket sizes (reads the
     // persisted sketch once, O(buckets)) — see [[guardBudget]]
-    guardBudget(guardName, maxCandidatePairs)(
+    guardBudget(guardName, maxCandidateInstances)(
       selfBudget(banded, Seq("band", "band_hash")))
     bandPairs(banded)
   }
@@ -306,14 +306,21 @@ object Dedup {
     * This is how the AllPairs/PPJoin and LSH literature budgets
     * candidate generation — from index statistics, not from the
     * candidates themselves. None (the default) skips the check.
+    *
+    * The public parameter is named `maxCandidateInstances` precisely
+    * because it caps bucket-join OUTPUT INSTANCES (Σ|A_b|·|B_b|), an
+    * upper bound that can be several times larger than the distinct
+    * candidate-pair count an earlier `maxCandidatePairs` cap measured —
+    * the rename makes callers re-derive their cap against the new
+    * semantics instead of tripping spuriously on an old value.
     */
   private def guardBudget(what: String, cap: Option[Long])(budget: => Long): Option[Long] =
     cap.map { c =>
-      require(c > 0, s"maxCandidatePairs must be positive, got $c")
+      require(c > 0, s"maxCandidateInstances must be positive, got $c")
       val n = budget
       if (n > c) {
         throw new IllegalArgumentException(
-          s"$what bucket join would emit $n candidate instances > maxCandidatePairs=$c — " +
+          s"$what bucket join would emit $n candidate instances > maxCandidateInstances=$c — " +
             "duplication-heavy corpus: raise the similarity threshold, tighten blocking, " +
             "or pre-collapse exact dups (Dedup.exact) before the pairwise verify.")
       }
@@ -345,7 +352,7 @@ object Dedup {
     * (≈0.5 GB of per-task hash map) — below that the engine-planned
     * distinct is strictly better (measured: the borderline sf1 jaccard
     * budget crossing into the wide path cost 4 s → 13 s). Un-priced
-    * calls (maxCandidatePairs = None) keep the engine-planned distinct.
+    * calls (maxCandidateInstances = None) keep the engine-planned distinct.
     */
   private def distinctPairs(
       instances: DataFrame,
@@ -387,7 +394,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxEditFrac: Double,
-      maxCandidatePairs: Option[Long] = None
+      maxCandidateInstances: Option[Long] = None
   ): DataFrame = {
     // The verify stage's cost is per-PAIR CPU — a full Levenshtein DP
     // over document BODIES — while its input is a tiny pair stream.
@@ -399,7 +406,7 @@ object Dedup {
     // be round-robin — a keyed repartition on (a, b) matches the
     // upstream aggregate's partitioning and is elided by the planner.
     val cands = minhashLshNative(docs, idCol, textCol,
-      maxCandidatePairs = maxCandidatePairs,
+      maxCandidateInstances = maxCandidateInstances,
       guardName = "editVerifiedPairs").select(col("a"), col("b"))
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     // raw-text payload: ~1B/char UTF-8 with 2x headroom + row overhead
@@ -535,7 +542,7 @@ object Dedup {
       textCol: String,
       blockCol: String,
       threshold: Double,
-      maxCandidatePairs: Option[Long] = None
+      maxCandidateInstances: Option[Long] = None
   ): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
@@ -549,7 +556,7 @@ object Dedup {
     // fail-fast candidate budget from prefix-bucket sizes — see
     // [[guardBudget]]: Σ C(n_bucket, 2), priced before the join runs;
     // the priced value also sizes the pair-stream dedupe exchange
-    val priced = guardBudget("jaccardWordPairs", maxCandidatePairs)(
+    val priced = guardBudget("jaccardWordPairs", maxCandidateInstances)(
       selfBudget(prefix, Seq("block", "pw")))
     val cands = distinctPairs(
       pa
@@ -615,10 +622,12 @@ object Dedup {
     // web-scale vocabulary is billions of rows). Ranks replace token
     // hashes everywhere downstream: ascending rank == ascending
     // (freq, word), so slice(stoks, 1, p) is still the rarest-first
-    // prefix, and |a∩b| over ranks is EXACTLY |a∩b| over tokens (rank
-    // assignment is a bijection — unlike the 64-bit hashes used before,
-    // which carried a ~2^-64-per-pair collision risk into an
-    // exact-verify contract). The practical win is bytes: a rank is an
+    // prefix, and |a∩b| over ranks equals |a∩b| over the HASHED token
+    // sets (rank assignment is a bijection on hash values). Ranks do
+    // NOT remove the exact-verify caveat: they number xxhash64(token)
+    // values, so two raw tokens colliding in xxhash64 still share one
+    // rank — the ~2^-64-per-pair collision risk sits upstream of the
+    // ranking and is unchanged. The practical win is bytes: a rank is an
     // int (4B vs 8B) with heavy small-value skew, so the arrays the
     // verify join broadcasts/ships compress well, where xxhash64 values
     // are incompressible noise. A vocabulary beyond Int.MaxValue
@@ -703,7 +712,7 @@ object Dedup {
       textCol: String,
       blockCol: String,
       threshold: Double,
-      maxCandidatePairs: Option[Long] = None
+      maxCandidateInstances: Option[Long] = None
   ): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val sorted = freqSortedTokens(docs, idCol, textCol, blockCol)
@@ -718,7 +727,7 @@ object Dedup {
     // fail-fast candidate budget from the prefix×posting bucket sizes —
     // see [[guardBudget]]: Σ |prefix_b|·|full_b|, priced before the
     // join; the priced value also sizes the pair-stream dedupe exchange
-    val priced = guardBudget("containmentPairs", maxCandidatePairs)(
+    val priced = guardBudget("containmentPairs", maxCandidateInstances)(
       crossBudget(prefix, full, Seq("block", "pw")))
     val cands = distinctPairs(
       prefix

@@ -129,11 +129,21 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       codec.init()
+      // close() is bound to task completion, not iterator exhaustion: a
+      // failed task, a cancelled stage, or a downstream operator that
+      // stops early (limit) never drains hasNext, and native decoder
+      // state allocated in init() would leak. The completion listener
+      // fires on success, failure, and cancellation alike; the `open`
+      // flag keeps the eager exhaustion path (normal case) from
+      // double-closing.
+      val closer = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def closeOnce(): Unit = if (closer.getAndSet(false)) codec.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       new Iterator[MediaMeta] {
-        private var open = true
         def hasNext: Boolean = {
           val h = rows.hasNext
-          if (!h && open) { open = false; codec.close() }
+          if (!h) closeOnce()
           h
         }
         def next(): MediaMeta = {

@@ -156,7 +156,18 @@ object Tables {
     // read is allowed; above the threshold the call fails fast with the
     // partitioning recipe. Callers that truly want a huge serial read
     // opt in explicitly with maxSingleConnectionRows = Long.MaxValue.
-    if (partitionCol.isEmpty && maxSingleConnectionRows < Long.MaxValue) {
+    //
+    // The probe interpolates `table` into a derived-table subquery, so
+    // it only runs for PLAIN (optionally schema-qualified, optionally
+    // quoted) table identifiers — Spark's dbtable option also accepts
+    // full `(SELECT ...) alias` expressions, and wrapping those in
+    // another SELECT is dialect-fragile. Subquery registrations skip
+    // the probe (the caller already hand-shaped the remote scan).
+    val plainIdent =
+      "^\\s*(?:[A-Za-z_][A-Za-z0-9_$]*|\"[^\"]+\"|`[^`]+`)" +
+        "(?:\\.(?:[A-Za-z_][A-Za-z0-9_$]*|\"[^\"]+\"|`[^`]+`))?\\s*$"
+    if (partitionCol.isEmpty && maxSingleConnectionRows < Long.MaxValue &&
+        table.matches(plainIdent)) {
       val n = spark.read
         .format("jdbc")
         .option("url", url)

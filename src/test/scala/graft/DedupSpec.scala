@@ -446,7 +446,7 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((0L, 9L, 1L), (20L, 29L, 1L)))
   }
 
-  test("maxCandidatePairs circuit breaker: trips on a duplication-heavy block, transparent when under cap") {
+  test("maxCandidateInstances circuit breaker: trips on a duplication-heavy block, transparent when under cap") {
     val spark = GraftTestSession.spark
     import spark.implicits._
     // 30 identical docs in one block: every bucket holds all 30 docs,
@@ -460,17 +460,17 @@ class DedupSpec extends AnyFunSuite {
 
     val eC = intercept[IllegalArgumentException] {
       Dedup.containmentPairs(docs, "doc_id", "text", "lang", 0.8,
-        maxCandidatePairs = Some(100L)).count()
+        maxCandidateInstances = Some(100L)).count()
     }
-    assert(eC.getMessage.contains("maxCandidatePairs=100"), eC.getMessage)
+    assert(eC.getMessage.contains("maxCandidateInstances=100"), eC.getMessage)
     val eJ = intercept[IllegalArgumentException] {
       Dedup.jaccardWordPairs(docs, "doc_id", "text", "lang", 0.9,
-        maxCandidatePairs = Some(100L)).count()
+        maxCandidateInstances = Some(100L)).count()
     }
     assert(eJ.getMessage.contains("jaccardWordPairs"), eJ.getMessage)
     val eE = intercept[IllegalArgumentException] {
       Dedup.editVerifiedPairs(docs, "doc_id", "text", 0.2,
-        maxCandidatePairs = Some(100L)).count()
+        maxCandidateInstances = Some(100L)).count()
     }
     assert(eE.getMessage.contains("editVerifiedPairs"), eE.getMessage)
 
@@ -478,7 +478,7 @@ class DedupSpec extends AnyFunSuite {
     val unguarded = Dedup.containmentPairs(docs, "doc_id", "text", "lang", 0.8)
       .collect().map(_.toString).toSet
     val guarded = Dedup.containmentPairs(docs, "doc_id", "text", "lang", 0.8,
-      maxCandidatePairs = Some(10000L)).collect().map(_.toString).toSet
+      maxCandidateInstances = Some(10000L)).collect().map(_.toString).toSet
     assert(guarded == unguarded && guarded.size == 870,
       s"30 identical docs -> 870 ordered containment pairs, got ${guarded.size}")
   }
