@@ -47,6 +47,10 @@ object ScalingBench {
       // prior queries' dead state must not land inside a timed query
       .config("spark.cleaner.referenceTracking.blocking", blocking)
       .config("spark.cleaner.referenceTracking.blocking.shuffle", blocking)
+      // shuffle/broadcast codec A/B knob (lz4 = Spark default; zstd
+      // trades CPU for bytes on disk-bound wide exchanges)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

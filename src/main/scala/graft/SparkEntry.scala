@@ -6277,6 +6277,11 @@ object SparkEntry {
     // of the ingest id (the corpus is stored in event-time order, so
     // raw id order would show zero disorder); 7-day allowed delay.
     "stream_late_events" -> ((s, dir) =>
+      // Keep the arrival key as the md5 HEX STRING, not unhex bytes:
+      // the 16-byte binary orders identically at half the size, but
+      // Spark's sort generates radix/prefix comparisons for
+      // UTF8String and not for BinaryType — measured 20-25% SLOWER
+      // with the binary key at every SF (sf100 44.2 s → 54.4 s).
       StreamingFeatures.lateEventsBatch(
         t(s, dir, "events").withColumn("arrival", md5(col("event_id").cast("string"))),
         "event_id", "ts", "arrival", delayMinutes = 7L * 24 * 60)),

@@ -356,14 +356,46 @@ object Dedup {
     */
   private def distinctPairs(
       instances: DataFrame,
-      priced: Option[Long]): DataFrame = {
+      priced: Option[Long],
+      maxId: Long = Long.MaxValue): DataFrame = {
     val session = instances.sparkSession.sessionState.conf.numShufflePartitions
-    val spillRegime = priced.exists(_ / session > 16000000L)
+    // graft.dedup.widePairExchangeRows: instances-per-session-width-task
+    // threshold where the budget-sized wide exchange takes over from the
+    // engine-planned distinct. A deployment knob (bigger executors can
+    // hold bigger per-task hash maps) and the spec hook that lets a
+    // small fixture force the wide/packed path under an oracle.
+    val regimeRows = instances.sparkSession.conf
+      .getOption("graft.dedup.widePairExchangeRows")
+      .map(_.toLong).getOrElse(16000000L)
+    val spillRegime = priced.exists(_ / session > regimeRows)
     if (spillRegime) {
+      // Ship ONE packed long per pair instead of two: the instance
+      // stream is Ω(output) rows of nothing but (a, b), so its shuffle
+      // row IS the exchange — at 100× sf0.1 the 2.09 B-instance
+      // containment exchange is the query's disk working set, and the
+      // sf10 per-pair verify cost drifted 0.24→0.33–0.47 µs purely on
+      // one-box disk pressure over it (SCALING.md round 6). When both
+      // ids fit in 31 bits (corpus under ~2.1 B docs — beyond that the
+      // unpacked path keeps correctness), pack a<<32|b: half the
+      // shuffle bytes, and the dedupe becomes a single-long hash
+      // aggregate instead of a two-column one.
+      val packable = maxId >= 0L && maxId < (1L << 31)
+      val bytesPerRow = if (packable) 8.0 else 16.0
       val width = math.min(
-        math.ceil(priced.get * 16.0 / (128L << 20)).toLong, 4096L).toInt
-      instances.repartition(math.max(width, session), col("a"), col("b"))
-        .dropDuplicates(Seq("a", "b"))
+        math.ceil(priced.get * bytesPerRow / (128L << 20)).toLong, 4096L).toInt
+      if (packable) {
+        instances
+          .select(
+            shiftleft(col("a").cast("long"), 32)
+              .bitwiseOR(col("b").cast("long")).as("pk"))
+          .repartition(math.max(width, session), col("pk"))
+          .dropDuplicates(Seq("pk"))
+          .select(
+            shiftright(col("pk"), 32).as("a"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+      } else
+        instances.repartition(math.max(width, session), col("a"), col("b"))
+          .dropDuplicates(Seq("a", "b"))
     } else instances.distinct()
   }
 
@@ -558,6 +590,7 @@ object Dedup {
     // the priced value also sizes the pair-stream dedupe exchange
     val priced = guardBudget("jaccardWordPairs", maxCandidateInstances)(
       selfBudget(prefix, Seq("block", "pw")))
+    val (payloadBytes, maxDocId) = tokenPayloadStats(sorted)
     val cands = distinctPairs(
       pa
         .join(pb, Seq("block", "pw"))
@@ -565,10 +598,10 @@ object Dedup {
           col("a") < col("b") &&
           col("nwa") >= col("nwb") * threshold && col("nwb") >= col("nwa") * threshold)
         .select(col("a"), col("b")),
-      priced)
+      priced, maxDocId)
     // adaptive verify attach — see [[verifyAttach]]: broadcast while
     // the rank arrays fit (zero pair-stream shuffle), SHJ beyond
-    val attach = verifyAttach(sorted, tokenPayloadBytes(sorted))
+    val attach = verifyAttach(sorted, payloadBytes)
     val ta = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("nw").as("nwa"))
     val tb = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"), col("nw").as("nwb"))
     cands
@@ -681,13 +714,20 @@ object Dedup {
     else df => df.hint("shuffle_hash")
   }
 
-  /** Exact payload bytes of a freqSortedTokens frame: rank elements
-    * (8B conservative — ints halve it) + per-row array/id overhead.
+  /** Exact payload bytes of a freqSortedTokens frame (rank elements,
+    * 8B conservative — ints halve it — plus per-row array/id overhead)
+    * AND the max doc id, read in the same one-pass aggregate: the
+    * bytes pick the verify-join strategy ([[verifyAttach]]) and the
+    * max id decides whether [[distinctPairs]] may pack (a, b) into one
+    * long.
     */
-  private def tokenPayloadBytes(sorted: DataFrame): Long = {
+  private def tokenPayloadStats(sorted: DataFrame): (Long, Long) = {
     val r = sorted
-      .agg(coalesce(sum(col("nw")), lit(0L)), count(lit(1))).head
-    r.getLong(0) * 8L + r.getLong(1) * 48L
+      .agg(
+        coalesce(sum(col("nw")), lit(0L)), count(lit(1)),
+        coalesce(max(col("doc_id").cast("long")), lit(Long.MaxValue)))
+      .head
+    (r.getLong(0) * 8L + r.getLong(1) * 48L, r.getLong(2))
   }
 
   /** Asymmetric CONTAINMENT join — doc-in-doc detection: emit ordered
@@ -729,15 +769,16 @@ object Dedup {
     // join; the priced value also sizes the pair-stream dedupe exchange
     val priced = guardBudget("containmentPairs", maxCandidateInstances)(
       crossBudget(prefix, full, Seq("block", "pw")))
+    val (payloadBytes, maxDocId) = tokenPayloadStats(sorted)
     val cands = distinctPairs(
       prefix
         .join(full, Seq("block", "pw"))
         .where(col("a") =!= col("b") && col("nwb") >= col("nwa") * threshold)
         .select(col("a"), col("b")),
-      priced)
+      priced, maxDocId)
     // adaptive verify attach — see [[verifyAttach]]: broadcast while
     // the rank arrays fit (zero pair-stream shuffle), SHJ beyond
-    val attach = verifyAttach(sorted, tokenPayloadBytes(sorted))
+    val attach = verifyAttach(sorted, payloadBytes)
     val ta = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("nw").as("nwa"))
     val tb = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"))
     cands

@@ -483,6 +483,38 @@ class DedupSpec extends AnyFunSuite {
       s"30 identical docs -> 870 ordered containment pairs, got ${guarded.size}")
   }
 
+  test("wide/packed pair exchange is result-transparent to the engine-planned distinct") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    // The budget-sized wide exchange (and its packed a<<32|b single-long
+    // dedupe) only engages past graft.dedup.widePairExchangeRows
+    // instances per session-width task — never at spec scale. Force it
+    // with threshold=1 on a fixture with real near-dup structure and
+    // assert byte-identical output against the default engine-planned
+    // distinct, for BOTH queries that route through distinctPairs.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 40L).map { i =>
+      val extra = if (i % 4 == 0) s" extra$i uniq${i % 7}" else ""
+      (i, base + extra, if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    def both(): (Set[String], Set[String]) = (
+      Dedup.containmentPairs(docs, "doc_id", "text", "lang", 0.8,
+        maxCandidateInstances = Some(1000000L))
+        .collect().map(_.toString).toSet,
+      Dedup.jaccardWordPairs(docs, "doc_id", "text", "lang", 0.8,
+        maxCandidateInstances = Some(1000000L))
+        .collect().map(_.toString).toSet)
+    val (cDefault, jDefault) = both()
+    spark.conf.set("graft.dedup.widePairExchangeRows", "1")
+    try {
+      val (cWide, jWide) = both()
+      assert(cWide == cDefault && cDefault.nonEmpty,
+        s"packed containment diverged: ${cWide.size} vs ${cDefault.size}")
+      assert(jWide == jDefault && jDefault.nonEmpty,
+        s"packed jaccard diverged: ${jWide.size} vs ${jDefault.size}")
+    } finally spark.conf.unset("graft.dedup.widePairExchangeRows")
+  }
+
   test("graft_sorted_inter: merge-walk size == size(array_intersect) on random sorted sets") {
     val spark = GraftTestSession.spark
     graft.plans.GraftFunctions.register(spark)
