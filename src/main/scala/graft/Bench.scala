@@ -41,9 +41,11 @@ object Bench {
     // drain() deliberately unpersists localCheckpoint pins; RDD.unpersist
     // WARNs that each one's lineage is gone (true, intended — the next
     // rep re-evaluates from source). ~480 of those per bench pad the
-    // stdout tail the driver parses, so silence that one logger.
+    // stdout tail the driver parses, so silence the rdd PACKAGE — each
+    // RDD subclass logs under its own concrete class name
+    // (MapPartitionsRDD etc.), so the base-class logger isn't enough.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
