@@ -1895,69 +1895,12 @@ object SparkEntry {
           SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id)
       SELECT id AS node_id, deg AS core_degree FROM d3 WHERE deg >= 3"""
 
-  /** Per-layer kNN over the level-filtered corpus, with the SAME
-    * pure-integer trailing-base-4-zeros level rule as
-    * Graph.hnswBuild (md5 60-bit hash, divisibility by 4^l).
+  /** The level CTE shared by the two HNSW oracles: the SAME
+    * pure-integer trailing-base-4-zeros rule as Graph.hnswLevels
+    * (md5 60-bit hash, divisibility by 4^l).
     */
-  private lazy val hnswOracleSql: String = {
-    def arm(l: Int) = s"""
-      SELECT CAST($l AS BIGINT) AS level, src, dst FROM (
-        SELECT qid AS src, nvid AS dst,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nvid) AS rank
-        FROM (
-          SELECT qid, nvid,
-                 sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
-            SELECT q.vec_id AS qid, n.vec_id AS nvid,
-                   unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
-            FROM lv q JOIN lv n ON n.vec_id <> q.vec_id
-            WHERE q.level >= $l AND n.level >= $l)
-          GROUP BY qid, nvid))
-      WHERE rank <= 3"""
-    s"""
-      WITH lv AS (
-        SELECT vec_id, embedding,
-               CASE WHEN h % 64 = 0 THEN 3
-                    WHEN h % 16 = 0 THEN 2
-                    WHEN h % 4 = 0 THEN 1
-                    ELSE 0 END AS level
-        FROM (
-          SELECT vec_id, embedding,
-                 ('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
-          FROM embeddings))
-      ${(0 to 3).map(arm).mkString("\n      UNION ALL\n")}"""
-  }
-
-  /** Greedy-descent replay, unrolled: all-pair sims once (escored),
-    * per-layer kNN edges from level filters, the global entry, one
-    * argmax step per upper layer, a two-hop layer-0 frontier, exact
-    * top-3. Mirrors Graph.hnswSearchReplay step for step.
-    */
-  private lazy val hnswSearchOracleSql: String = {
-    def edgesFor(l: Int) = s"""
-      ed$l AS (
-        SELECT src, dst FROM (
-          SELECT qid AS src, nvid AS dst,
-                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nvid) AS rank
-          FROM es
-          JOIN lv a ON a.vec_id = es.qid AND a.level >= $l
-          JOIN lv b ON b.vec_id = es.nvid AND b.level >= $l)
-        WHERE rank <= 3)"""
-    def stepFor(out: String, prev: String, edges: String, width: Int) = s"""
-      cand_$out AS (
-        SELECT DISTINCT query_id, cand FROM (
-          SELECT query_id, cur AS cand FROM $prev
-          UNION ALL
-          SELECT p.query_id, e.dst FROM $prev p JOIN $edges e ON e.src = p.cur)),
-      $out AS (
-        SELECT query_id, cand AS cur FROM (
-          SELECT c.query_id, c.cand,
-                 row_number() OVER (PARTITION BY c.query_id
-                   ORDER BY es.sim DESC, c.cand) AS rn
-          FROM cand_$out c JOIN es ON es.qid = c.query_id AND es.nvid = c.cand
-          WHERE c.cand <> c.query_id)
-        WHERE rn <= $width)"""
-    s"""
-      WITH lv AS (
+  private val hnswLvCte: String = """
+      lv AS MATERIALIZED (
         SELECT vec_id,
                CASE WHEN h % 64 = 0 THEN 3
                     WHEN h % 16 = 0 THEN 2
@@ -1966,14 +1909,122 @@ object SparkEntry {
         FROM (
           SELECT vec_id,
                  ('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
-          FROM embeddings)),
-      es AS (
+          FROM embeddings))"""
+
+  /** All-pair cosine CTE shared by the two HNSW oracles (ordered
+    * unnest sums = the kernel's index-ordered double accumulation).
+    */
+  private val hnswEsCte: String = """
+      es AS MATERIALIZED (
         SELECT qid, nvid,
                sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
           SELECT q.vec_id AS qid, n.vec_id AS nvid,
                  unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
           FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
-        GROUP BY qid, nvid),
+        GROUP BY qid, nvid)"""
+
+  /** Unrolled SQL of the diverse-neighbor heuristic
+    * (Graph.diverseNeighbors — Algorithm 4 of Malkov & Yashunin with
+    * keepPrunedConnections: nearest-first over the top-`candK` pool,
+    * keep c iff ∀ kept j: sim(c, j) <= sim(base, c), cap at `m`, then
+    * backfill discarded candidates in rank order until `m`) for layer
+    * `l`, emitting CTEs ending in `$name(src, dst)`. The sequential
+    * keep decisions unroll into lateral-alias boolean flags
+    * k1..k$candK; backfill unrolls into per-candidate discarded-rank
+    * prefix counts d_j against the total kept count kt.
+    */
+  private def hnswKeptEdgesSql(l: Int, name: String, candK: Int, m: Int): String = {
+    val wide = (1 to candK).map(j =>
+      s"max(CASE WHEN r = $j THEN nvid END) AS i$j, " +
+        s"max(CASE WHEN r = $j THEN sim END) AS s$j").mkString(",\n               ")
+    val pairJoins = (for { t <- 1 until candK; j <- (t + 1) to candK } yield
+      s"LEFT JOIN es p${t}_$j ON p${t}_$j.qid = w.i$t AND p${t}_$j.nvid = w.i$j")
+      .mkString("\n        ")
+    val pairCols = (for { t <- 1 until candK; j <- (t + 1) to candK } yield
+      s"p${t}_$j.sim AS q${t}_$j").mkString(", ")
+    val flags = (1 to candK).map { j =>
+      val parts = scala.collection.mutable.Buffer[String](s"i$j IS NOT NULL")
+      if (j > 1) {
+        val cnt = (1 until j).map(t => s"CAST(k$t AS INT)").mkString(" + ")
+        parts += s"($cnt) < $m"
+        (1 until j).foreach(t => parts += s"(NOT k$t OR q${t}_$j <= s$j)")
+      }
+      s"(${parts.mkString(" AND ")}) AS k$j"
+    }.mkString(",\n               ")
+    // keepPrunedConnections backfill: kt = total kept; d_j = j's rank
+    // among existing-but-discarded candidates; chosen c_j = kept OR
+    // within the first (m - kt) discarded
+    val keptTotal = (1 to candK).map(t => s"CAST(k$t AS INT)").mkString(" + ")
+    val backfill = (1 to candK).map { j =>
+      val dj = (1 to j)
+        .map(t => s"CAST((i$t IS NOT NULL AND NOT k$t) AS INT)").mkString(" + ")
+      s"(k$j OR (i$j IS NOT NULL AND NOT k$j AND ($dj) <= $m - ($keptTotal))) AS c$j"
+    }.mkString(",\n               ")
+    val arms = (1 to candK)
+      .map(j => s"SELECT qid AS src, i$j AS dst FROM fl_$name WHERE c$j")
+      .mkString("\n        UNION ALL ")
+    s"""
+      cn_$name AS MATERIALIZED (
+        SELECT es.qid, es.nvid, es.sim,
+               row_number() OVER (PARTITION BY es.qid ORDER BY es.sim DESC, es.nvid) AS r
+        FROM es
+        JOIN lv a ON a.vec_id = es.qid AND a.level >= $l
+        JOIN lv b ON b.vec_id = es.nvid AND b.level >= $l
+        QUALIFY r <= $candK),
+      wd_$name AS MATERIALIZED (
+        SELECT qid,
+               $wide
+        FROM cn_$name GROUP BY qid),
+      fl_$name AS MATERIALIZED (
+        SELECT w.*, $pairCols,
+               $flags,
+               $backfill
+        FROM wd_$name w
+        $pairJoins),
+      $name AS MATERIALIZED (
+        $arms)"""
+  }
+
+  /** Per-layer heuristic-pruned neighbor graph over the level-filtered
+    * corpus — mirrors Graph.hnswBuild (diverseNeighbors with
+    * candK = 2k, m = k) arm for arm.
+    */
+  private lazy val hnswOracleSql: String = {
+    val kept = (0 to 3).map(l => hnswKeptEdgesSql(l, s"ed$l", candK = 6, m = 3))
+    val arms = (0 to 3)
+      .map(l => s"SELECT CAST($l AS BIGINT) AS level, src, dst FROM ed$l")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH $hnswLvCte,
+      $hnswEsCte,
+      ${kept.mkString(",")}
+      $arms"""
+  }
+
+  /** Greedy-descent replay, unrolled: all-pair sims once (escored),
+    * per-layer kNN edges from level filters, the global entry, one
+    * argmax step per upper layer, a two-hop layer-0 frontier, exact
+    * top-3. Mirrors Graph.hnswSearchReplay step for step.
+    */
+  private lazy val hnswSearchOracleSql: String = {
+    def edgesFor(l: Int) = hnswKeptEdgesSql(l, s"ed$l", candK = 6, m = 3)
+    def stepFor(out: String, prev: String, edges: String, width: Int) = s"""
+      cand_$out AS (
+        SELECT DISTINCT query_id, cand FROM (
+          SELECT query_id, cur AS cand FROM $prev
+          UNION ALL
+          SELECT p.query_id, e.dst FROM $prev p JOIN $edges e ON e.src = p.cur)),
+      $out AS MATERIALIZED (
+        SELECT query_id, cand AS cur FROM (
+          SELECT c.query_id, c.cand,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY es.sim DESC, c.cand) AS rn
+          FROM cand_$out c JOIN es ON es.qid = c.query_id AND es.nvid = c.cand
+          WHERE c.cand <> c.query_id)
+        WHERE rn <= $width)"""
+    s"""
+      WITH $hnswLvCte,
+      $hnswEsCte,
       ${(0 to 3).map(edgesFor).mkString(",")},
       entry AS (SELECT vec_id AS cur FROM lv ORDER BY level DESC, vec_id LIMIT 1),
       c0 AS (
@@ -6192,8 +6243,22 @@ object SparkEntry {
   // ---------------------------------------------------------------- //
 
   private def miscQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full mixed-modality decode through the REAL JDK codec
+    // (javax.imageio PNG/BMP/animated-GIF + javax.sound WAV) over
+    // genuine container bytes: channel means for images, frame counts
+    // for video, sample stats for audio — the oracle recomputes every
+    // stat from the generator's integer formulas, so this gates a true
+    // encode→container→decode round trip. frame_means feeds
+    // mm_scene_cut and is dropped here (scalar meta row).
     "mm_binary_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))).toDF()),
+      Multimodal.decodeStats(MediaGen.mediaFor(t(s, dir, "documents"))).toDF()
+        .drop("frame_means")),
+    // Per-channel mean AND std from real decoded pixels — the
+    // normalization-constants step of vision preprocessing; variance
+    // computed from exact integer sums ((n·Σc² − (Σc)²)/n²) so the
+    // 6dp-rounded std is engine-exact.
+    "mm_image_stats" -> ((s, dir) =>
+      Multimodal.imageChannelStats(MediaGen.imagesFor(t(s, dir, "documents"))).toDF()),
     // LAION-style CLIP-gate pair curation: image vec at doc_id, caption
     // vec at doc_id+1; similarity + caption-length + language gates,
     // per-gate verdicts for curation QA.
@@ -6217,32 +6282,38 @@ object SparkEntry {
       Multimodal.shardPack(
         t(s, dir, "documents"), "doc_id", "source", "n_chars", shardBytes = 4096L)),
     // Video frame extraction end-to-end: mixed-modality ingest ->
-    // batched decode -> stride-30 frame sampling (lazily flat-mapped).
+    // REAL batched decode (frame counts from the GIF container; images
+    // one frame, audio none) -> stride-7 frame sampling (lazily
+    // flat-mapped).
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(t(s, dir, "documents"))),
-        stride = 30)),
-    // Shot-boundary detection over the video payloads: per-frame
-    // checksum-derived intensity, cut where |delta| >= 128. Lag window
-    // per clip; corpus dimension stays embarrassingly parallel.
+        Multimodal.decodeMeta(MediaGen.mediaFor(t(s, dir, "documents"))),
+        stride = 7)),
+    // Shot-boundary detection over REAL decoded video frames: the
+    // per-frame signal is the decoded mean intensity (animated-GIF
+    // pixels via javax.imageio), cut where |delta| >= 64. Pure scan:
+    // a clip's frame means arrive as one array on its row. Runs on
+    // the corpus's video slice (doc_id % 4 = 2 — the same modality
+    // split as mediaFor).
     "mm_scene_cut" -> ((s, dir) =>
       Multimodal.sceneCuts(
-        Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(t(s, dir, "documents"))),
-        threshold = 128)),
-    // Aspect-preserving resize planning: ingest -> batched decode ->
-    // fit-into-256 target shapes (the deterministic half of vision
-    // preprocessing; pixel work stays behind the codec boundary).
+        Multimodal.decodeStats(MediaGen.videosFor(
+          t(s, dir, "documents").where(col("doc_id") % 4 === 2))),
+        threshold = 64.0)),
+    // Aspect-preserving resize planning over REAL decoded dimensions
+    // (PNG/BMP headers + pixels via javax.imageio): fit-into-24 target
+    // shapes — the deterministic half of vision preprocessing.
     "mm_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
-        Multimodal.decodeMeta(Multimodal.mediaFromDocs(t(s, dir, "documents"))),
-        maxDim = 256)),
-    // Audio framing plan: 25ms windows at 10ms hop over 16kHz clips
-    // (sample counts derived deterministically from payload size) —
-    // the windowing-schedule half of audio preprocessing.
+        Multimodal.decodeMeta(MediaGen.imagesFor(t(s, dir, "documents"))),
+        maxDim = 24)),
+    // Audio framing plan over REAL decoded WAV headers (sample count +
+    // rate via javax.sound.sampled): 25ms windows at 10ms hop over the
+    // 8kHz clips — the windowing-schedule half of audio preprocessing.
     "mm_audio_windows" -> ((s, dir) =>
       Multimodal.audioFramePlan(
-        Multimodal.mediaFromDocs(t(s, dir, "documents")),
-        samplesPerByte = 100, sampleRate = 16000, winSamples = 400, hopSamples = 160)),
+        Multimodal.decodeStats(MediaGen.audioFor(t(s, dir, "documents"))).toDF(),
+        winSamples = 200, hopSamples = 80)),
     "stream_latest_value" -> ((s, dir) =>
       StreamingFeatures
         .latestValueBatch(t(s, dir, "events"))
@@ -6326,10 +6397,8 @@ object SparkEntry {
   )
 
   private def miscOracles: Map[String, String] = Map(
-    // FakeCodec is md5-hex-slice arithmetic, so the decode is exactly
-    // reproducible in SQL over the same bytes (content = UTF-8 of text).
     // Integer cumsum window per source; same concatenate-then-cut
-    // shard/offset math.
+    // shard/offset math (codec-free: only payload sizes matter).
     "mm_shard_pack" -> """
       SELECT doc_id, source,
              CAST((cum - n_chars) // 4096 AS BIGINT) AS shard_id,
@@ -6340,17 +6409,82 @@ object SparkEntry {
                sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) AS cum
         FROM documents)""",
+    // REAL-CODEC oracle: Spark decodes genuine PNG/BMP/GIF/WAV bytes;
+    // the oracle recomputes every stat from the MediaGen integer
+    // formulas (m = id%256; image pixel r=(m+3x+7y)%256 g=(2m+5x+y)%256
+    // b=(m+x*y)%256 over w=8+id%24, h=8+(id/5)%24; GIF frame f solid
+    // gray (m+7f²+13f)%256 on 16×12; WAV sample i = (m·131+i·17)%4001
+    // − 2000 at 8 kHz) — brute-forced by unnesting pixel/sample ranges.
     "mm_binary_meta" -> """
-      SELECT doc_id AS media_id,
-             strlen(text) AS n_bytes,
-             'image/' || CASE WHEN doc_id % 3 = 0 THEN 'png'
-                              WHEN doc_id % 3 = 1 THEN 'jpeg'
-                              ELSE 'webp' END AS mime,
-             64 + (('0x' || substr(md5(text), 17, 8))::BIGINT % 1024) AS width,
-             64 + (('0x' || substr(md5(text), 25, 8))::BIGINT % 1024) AS height,
-             CAST(1 AS BIGINT) AS n_frames,
-             ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
-      FROM documents""",
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 256 AS m, doc_id % 4 AS k,
+               8 + doc_id % 24 AS w, 8 + (doc_id // 5) % 24 AS h
+        FROM documents),
+      ix AS (SELECT id, m, h, unnest(range(0, w)) AS x FROM d WHERE k <= 1),
+      ixy AS (SELECT id, m, x, unnest(range(0, h)) AS y FROM ix),
+      img AS (
+        SELECT id, count(*) AS npx,
+               CAST(sum((m + 3*x + 7*y) % 256) AS BIGINT) AS sr,
+               CAST(sum((2*m + 5*x + y) % 256) AS BIGINT) AS sg,
+               CAST(sum((m + x*y) % 256) AS BIGINT) AS sb
+        FROM ixy GROUP BY id),
+      gfr AS (SELECT id, m, unnest(range(0, 2 + id % 59)) AS f FROM d WHERE k = 2),
+      gif AS (
+        SELECT id, count(*) AS nf,
+               CAST(sum(((m + 7*f*f + 13*f) % 256) * 192) AS BIGINT) AS ps
+        FROM gfr GROUP BY id),
+      wi AS (SELECT id, m, unnest(range(0, 400 + id % 400)) AS i FROM d WHERE k = 3),
+      wav AS (
+        SELECT id, count(*) AS ns,
+               CAST(sum(((m*131 + i*17) % 4001 - 2000)
+                        * ((m*131 + i*17) % 4001 - 2000)) AS BIGINT) AS ssq
+        FROM wi GROUP BY id)
+      SELECT d.id AS media_id,
+             CASE d.k WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+                      WHEN 2 THEN 'video/gif' ELSE 'audio/wav' END AS mime,
+             CAST(CASE WHEN d.k <= 1 THEN d.w WHEN d.k = 2 THEN 16 ELSE 0 END AS BIGINT) AS width,
+             CAST(CASE WHEN d.k <= 1 THEN d.h WHEN d.k = 2 THEN 12 ELSE 0 END AS BIGINT) AS height,
+             CAST(CASE WHEN d.k <= 1 THEN 1 WHEN d.k = 2 THEN gif.nf ELSE 0 END AS BIGINT) AS n_frames,
+             CAST(CASE WHEN d.k <= 1 THEN img.sr + img.sg + img.sb
+                       WHEN d.k = 2 THEN gif.ps ELSE wav.ssq END AS BIGINT) AS px_sum,
+             CAST(CASE WHEN d.k <= 1 THEN round(img.sr / img.npx, 6) ELSE 0 END AS DOUBLE) AS mean_r,
+             CAST(CASE WHEN d.k <= 1 THEN round(img.sg / img.npx, 6) ELSE 0 END AS DOUBLE) AS mean_g,
+             CAST(CASE WHEN d.k <= 1 THEN round(img.sb / img.npx, 6) ELSE 0 END AS DOUBLE) AS mean_b,
+             CAST(CASE WHEN d.k = 3 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+             CAST(CASE WHEN d.k = 3 THEN wav.ns ELSE 0 END AS BIGINT) AS n_samples,
+             CAST(CASE WHEN d.k = 3 THEN wav.ns // 8 ELSE 0 END AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN d.k = 3 THEN round(sqrt(wav.ssq / wav.ns), 6) ELSE 0 END AS DOUBLE) AS rms
+      FROM d LEFT JOIN img ON img.id = d.id
+             LEFT JOIN gif ON gif.id = d.id
+             LEFT JOIN wav ON wav.id = d.id""",
+    // Per-channel mean/std vs the same brute-forced pixel formulas;
+    // variance from exact integer sums, one IEEE division, 6dp round.
+    "mm_image_stats" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 256 AS m, doc_id % 2 AS k,
+               8 + doc_id % 24 AS w, 8 + (doc_id // 5) % 24 AS h
+        FROM documents),
+      ix AS (SELECT id, m, h, unnest(range(0, w)) AS x FROM d),
+      ixy AS (SELECT id, m, x, unnest(range(0, h)) AS y FROM ix),
+      agg AS (
+        SELECT id, count(*) AS n,
+               CAST(sum((m + 3*x + 7*y) % 256) AS BIGINT) AS sr,
+               CAST(sum(((m + 3*x + 7*y) % 256) * ((m + 3*x + 7*y) % 256)) AS BIGINT) AS qr,
+               CAST(sum((2*m + 5*x + y) % 256) AS BIGINT) AS sg,
+               CAST(sum(((2*m + 5*x + y) % 256) * ((2*m + 5*x + y) % 256)) AS BIGINT) AS qg,
+               CAST(sum((m + x*y) % 256) AS BIGINT) AS sb,
+               CAST(sum(((m + x*y) % 256) * ((m + x*y) % 256)) AS BIGINT) AS qb
+        FROM ixy GROUP BY id)
+      SELECT d.id AS media_id,
+             'image/' || CASE WHEN d.k = 0 THEN 'png' ELSE 'bmp' END AS mime,
+             CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+             CAST(round(sr / n, 6) AS DOUBLE) AS mean_r,
+             CAST(round(sg / n, 6) AS DOUBLE) AS mean_g,
+             CAST(round(sb / n, 6) AS DOUBLE) AS mean_b,
+             CAST(round(sqrt((n * qr - sr * sr) / (n * n)), 6) AS DOUBLE) AS std_r,
+             CAST(round(sqrt((n * qg - sg * sg) / (n * n)), 6) AS DOUBLE) AS std_g,
+             CAST(round(sqrt((n * qb - sb * sb) / (n * n)), 6) AS DOUBLE) AS std_b
+      FROM d JOIN agg ON agg.id = d.id""",
     "mm_pair_curation" -> """
       WITH cos AS (
         SELECT a AS doc_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim FROM (
@@ -6377,58 +6511,56 @@ object SparkEntry {
       SELECT md5(text) AS digest, CAST(min(media_id) AS BIGINT) AS keep_id,
              count(*) AS n_copies
       FROM media GROUP BY md5(text)""",
+    // n_samples/rate now come from the REAL WAV header decode; the
+    // oracle recomputes them from the generator's clip-length formula.
     "mm_audio_windows" -> """
-      WITH a AS (SELECT doc_id AS media_id, strlen(text) * 100 AS n_samples FROM documents)
-      SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
-             CAST(n_samples * 1000 // 16000 AS BIGINT) AS duration_ms,
-             CAST(CASE WHEN n_samples >= 400 THEN (n_samples - 400) // 160 + 1
-                       ELSE 0 END AS BIGINT) AS n_frames
+      WITH a AS (SELECT doc_id AS media_id, 400 + doc_id % 400 AS ns FROM documents)
+      SELECT media_id, CAST(ns AS BIGINT) AS n_samples,
+             CAST(ns // 8 AS BIGINT) AS duration_ms,
+             CAST((ns - 200) // 80 + 1 AS BIGINT) AS n_frames
       FROM a""",
+    // Dimensions now come from the REAL image decode; the oracle
+    // recomputes them from the generator's dim formulas.
     "mm_resize_plan" -> """
       WITH m AS (
         SELECT doc_id AS media_id,
-               'image/' || CASE WHEN doc_id % 3 = 0 THEN 'png'
-                                WHEN doc_id % 3 = 1 THEN 'jpeg'
-                                ELSE 'webp' END AS mime,
-               64 + (('0x' || substr(md5(text), 17, 8))::BIGINT % 1024) AS width,
-               64 + (('0x' || substr(md5(text), 25, 8))::BIGINT % 1024) AS height
+               'image/' || CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS mime,
+               8 + doc_id % 24 AS width, 8 + (doc_id // 5) % 24 AS height
         FROM documents),
       l AS (SELECT *, greatest(width, height) AS longest FROM m)
-      SELECT media_id, mime, width, height,
-             longest > 256 AS needs_resize,
-             CAST(CASE WHEN longest <= 256 THEN width
-                       ELSE greatest(floor(width * 256 / longest), 1) END AS BIGINT) AS out_w,
-             CAST(CASE WHEN longest <= 256 THEN height
-                       ELSE greatest(floor(height * 256 / longest), 1) END AS BIGINT) AS out_h
+      SELECT media_id, mime,
+             CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+             longest > 24 AS needs_resize,
+             CAST(CASE WHEN longest <= 24 THEN width
+                       ELSE greatest(floor(width * 24 / longest), 1) END AS BIGINT) AS out_w,
+             CAST(CASE WHEN longest <= 24 THEN height
+                       ELSE greatest(floor(height * 24 / longest), 1) END AS BIGINT) AS out_h
       FROM l""",
+    // Frame counts now come from the REAL GIF container decode (images
+    // one frame, audio zero); formula: n = 2 + id%59 for id%4 = 2.
     "mm_frame_sample" -> """
       WITH m AS (
         SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 3 = 0
-                    THEN 1 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 300)
-                    ELSE CAST(1 AS BIGINT) END AS n_frames
+               CASE WHEN doc_id % 4 <= 1 THEN 1
+                    WHEN doc_id % 4 = 2 THEN 2 + doc_id % 59
+                    ELSE 0 END AS n_frames
         FROM documents)
-      SELECT media_id, unnest(range(0, n_frames, 30)) AS frame_idx FROM m""",
+      SELECT media_id, unnest(range(0, n_frames, 7)) AS frame_idx FROM m""",
+    // The per-frame signal is now the REAL decoded mean frame intensity
+    // (solid GIF frames, so the mean IS the generator's gray level
+    // (m + 7f² + 13f) % 256 exactly); delta of consecutive levels.
     "mm_scene_cut" -> """
       WITH m AS (
-        SELECT doc_id AS media_id,
-               1 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 300) AS n_frames,
-               ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
-        FROM documents WHERE doc_id % 3 = 0),
-      f AS (
-        SELECT media_id, checksum, unnest(range(0, n_frames)) AS frame_idx
-        FROM m WHERE n_frames > 1),
+        SELECT doc_id AS media_id, doc_id % 256 AS mm, 2 + doc_id % 59 AS nf
+        FROM documents WHERE doc_id % 4 = 2),
+      f AS (SELECT media_id, mm, unnest(range(1, nf)) AS i FROM m),
       s AS (
-        SELECT media_id, frame_idx,
-               ('0x' || substr(md5(CAST(checksum AS VARCHAR) || ':'
-                                   || CAST(frame_idx AS VARCHAR)), 1, 2))::INT AS signal
-        FROM f),
-      d AS (
-        SELECT media_id, frame_idx, signal,
-               lag(signal) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
-        FROM s)
-      SELECT media_id, frame_idx, CAST(signal - prev AS INT) AS delta
-      FROM d WHERE prev IS NOT NULL AND abs(signal - prev) >= 128""",
+        SELECT media_id, i AS frame_idx,
+               ((mm + 7*i*i + 13*i) % 256)
+                 - ((mm + 7*(i-1)*(i-1) + 13*(i-1)) % 256) AS delta
+        FROM f)
+      SELECT media_id, frame_idx, CAST(delta AS DOUBLE) AS delta
+      FROM s WHERE abs(delta) >= 64""",
     "stream_latest_value" -> """
       SELECT user_id AS entity, value, epoch_us(ts) AS ts_us FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -357,7 +357,8 @@ object Dedup {
   private def distinctPairs(
       instances: DataFrame,
       priced: Option[Long],
-      maxId: Long = Long.MaxValue): DataFrame = {
+      idRange: (Long, Long) = (0L, Long.MaxValue)): DataFrame = {
+    val (minId, maxId) = idRange
     val session = instances.sparkSession.sessionState.conf.numShufflePartitions
     // graft.dedup.widePairExchangeRows: instances-per-session-width-task
     // threshold where the budget-sized wide exchange takes over from the
@@ -379,11 +380,18 @@ object Dedup {
       // unpacked path keeps correctness), pack a<<32|b: half the
       // shuffle bytes, and the dedupe becomes a single-long hash
       // aggregate instead of a two-column one.
-      val packable = maxId >= 0L && maxId < (1L << 31)
+      // BOTH bounds gate packing: a negative id sign-extends in the
+      // cast-to-long and its high bits bleed into a's slot under
+      // bitwiseOR, colliding distinct pairs onto one pk — so min >= 0
+      // is as load-bearing as max < 2^31.
+      val packable = minId >= 0L && maxId < (1L << 31)
       val bytesPerRow = if (packable) 8.0 else 16.0
       val width = math.min(
         math.ceil(priced.get * bytesPerRow / (128L << 20)).toLong, 4096L).toInt
       if (packable) {
+        // unpack casts back to the source id type so the packed regime
+        // is schema-invisible (int ids stay int downstream)
+        val idType = instances.schema("a").dataType
         instances
           .select(
             shiftleft(col("a").cast("long"), 32)
@@ -391,8 +399,8 @@ object Dedup {
           .repartition(math.max(width, session), col("pk"))
           .dropDuplicates(Seq("pk"))
           .select(
-            shiftright(col("pk"), 32).as("a"),
-            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+            shiftright(col("pk"), 32).cast(idType).as("a"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idType).as("b"))
       } else
         instances.repartition(math.max(width, session), col("a"), col("b"))
           .dropDuplicates(Seq("a", "b"))
@@ -590,7 +598,7 @@ object Dedup {
     // the priced value also sizes the pair-stream dedupe exchange
     val priced = guardBudget("jaccardWordPairs", maxCandidateInstances)(
       selfBudget(prefix, Seq("block", "pw")))
-    val (payloadBytes, maxDocId) = tokenPayloadStats(sorted)
+    val (payloadBytes, docIdRange) = tokenPayloadStats(sorted)
     val cands = distinctPairs(
       pa
         .join(pb, Seq("block", "pw"))
@@ -598,7 +606,7 @@ object Dedup {
           col("a") < col("b") &&
           col("nwa") >= col("nwb") * threshold && col("nwb") >= col("nwa") * threshold)
         .select(col("a"), col("b")),
-      priced, maxDocId)
+      priced, docIdRange)
     // adaptive verify attach — see [[verifyAttach]]: broadcast while
     // the rank arrays fit (zero pair-stream shuffle), SHJ beyond
     val attach = verifyAttach(sorted, payloadBytes)
@@ -718,16 +726,19 @@ object Dedup {
     * 8B conservative — ints halve it — plus per-row array/id overhead)
     * AND the max doc id, read in the same one-pass aggregate: the
     * bytes pick the verify-join strategy ([[verifyAttach]]) and the
-    * max id decides whether [[distinctPairs]] may pack (a, b) into one
-    * long.
+    * (min, max) id range decides whether [[distinctPairs]] may pack
+    * (a, b) into one long — both bounds, because a negative id
+    * sign-extends under the pack and corrupts the key even when the
+    * max is small.
     */
-  private def tokenPayloadStats(sorted: DataFrame): (Long, Long) = {
+  private def tokenPayloadStats(sorted: DataFrame): (Long, (Long, Long)) = {
     val r = sorted
       .agg(
         coalesce(sum(col("nw")), lit(0L)), count(lit(1)),
+        coalesce(min(col("doc_id").cast("long")), lit(-1L)),
         coalesce(max(col("doc_id").cast("long")), lit(Long.MaxValue)))
       .head
-    (r.getLong(0) * 8L + r.getLong(1) * 48L, r.getLong(2))
+    (r.getLong(0) * 8L + r.getLong(1) * 48L, (r.getLong(2), r.getLong(3)))
   }
 
   /** Asymmetric CONTAINMENT join — doc-in-doc detection: emit ordered
@@ -769,13 +780,13 @@ object Dedup {
     // join; the priced value also sizes the pair-stream dedupe exchange
     val priced = guardBudget("containmentPairs", maxCandidateInstances)(
       crossBudget(prefix, full, Seq("block", "pw")))
-    val (payloadBytes, maxDocId) = tokenPayloadStats(sorted)
+    val (payloadBytes, docIdRange) = tokenPayloadStats(sorted)
     val cands = distinctPairs(
       prefix
         .join(full, Seq("block", "pw"))
         .where(col("a") =!= col("b") && col("nwb") >= col("nwa") * threshold)
         .select(col("a"), col("b")),
-      priced, maxDocId)
+      priced, docIdRange)
     // adaptive verify attach — see [[verifyAttach]]: broadcast while
     // the rank arrays fit (zero pair-stream shuffle), SHJ beyond
     val attach = verifyAttach(sorted, payloadBytes)

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * batch per partition.
   *
   * The Spark-side plumbing — schema, partition-parallel batched
-  * processing, stable output shape — is real. The codec itself is a
-  * deterministic STUB (`FakeCodec`): this container has no image/audio
-  * libraries, and in production the stub body is the only thing that
-  * changes (swap in javacpp-ffmpeg / ImageIO / a JNI decoder). The
-  * batch shape mirrors Arrow-batched UDF execution: `mapPartitions`
-  * processes rows in partition-sized batches with one codec init per
-  * partition, which is the JVM analog of pandas_udf/mapInPandas in the
-  * reference's python runners (provider/scripts/spark/
+  * processing, stable output shape — is written against the
+  * [[MediaCodec]] SPI. The shipped implementation is a REAL decoder,
+  * [[Codecs.JdkCodec]] (javax.imageio for PNG/BMP/animated GIF,
+  * javax.sound.sampled for WAV), paired with [[MediaGen]]'s genuine
+  * container bytes; formats beyond the JDK (MP4, WebM, MP3) slot in
+  * behind the same three-method trait via JNI/ffmpeg. The batch shape
+  * mirrors Arrow-batched UDF execution: `mapPartitions` processes rows
+  * in partition-sized batches with one codec init per partition, which
+  * is the JVM analog of pandas_udf/mapInPandas in the reference's
+  * python runners (provider/scripts/spark/
   * offline_store_spark_runner.py uses batched pandas transforms).
   */
 object Multimodal {
@@ -33,8 +35,23 @@ object Multimodal {
       n_frames: Long,
       checksum: Long)
 
-  /** Decoded media header: what any codec must extract per payload. */
-  final case class Decoded(width: Long, height: Long, nFrames: Long, checksum: Long)
+  /** Decoded media result: header plus the exact per-modality stats a
+    * batch decode emits. Inapplicable fields are zero/empty (images
+    * carry channel sums; multi-frame media carry per-frame means; audio
+    * carries sample stats) — one wide shape so a mixed-modality corpus
+    * decodes through one SPI call.
+    */
+  final case class Decoded(
+      width: Long,
+      height: Long,
+      nFrames: Long,
+      checksum: Long,
+      chanSums: Array[Long] = Array.empty,
+      chanSumSqs: Array[Long] = Array.empty,
+      frameMeans: Array[Double] = Array.empty,
+      sampleRate: Long = 0L,
+      nSamples: Long = 0L,
+      sampleSumSq: Long = 0L)
 
   /** Codec SPI — the compiler-checked decode contract. The engine's
     * plumbing (schema, partition-parallel batching in [[decodeMeta]],
@@ -60,30 +77,12 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** Deterministic fake codec: "decodes" dimensions from the md5 of the
-    * byte content. Stands in for a real image/audio decoder;
-    * deterministic AND engine-portable (md5 hex-slice arithmetic is
-    * reproducible in plain SQL) so both ScalaTest specs and the external
-    * DuckDB oracle can assert exact values. One MessageDigest per call —
-    * in production [[MediaCodec.init]] is where a real decoder allocates
-    * once per partition.
-    */
-  object FakeCodec extends MediaCodec {
-    override def decode(bytes: Array[Byte], mime: String): Decoded = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
-      val w = 64 + java.lang.Long.parseLong(hex.substring(16, 24), 16) % 1024
-      val h = 64 + java.lang.Long.parseLong(hex.substring(24, 32), 16) % 1024
-      val frames =
-        if (mime.startsWith("video")) 1 + java.lang.Long.parseLong(hex.substring(8, 16), 16) % 300
-        else 1L
-      val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      Decoded(w, h, frames, checksum)
-    }
-  }
-
-  /** Build a media table from the documents corpus: text bytes stand in
-    * for media payloads (binary column + mime metadata).
+  /** Build a media table from the documents corpus with text bytes as
+    * payloads — the input for codec-FREE stages (exact-bytes dedup,
+    * shard packing), where only the bytes themselves matter and an
+    * external SQL oracle must be able to reproduce them (content =
+    * UTF-8 of text). Stages that DECODE use [[MediaGen]]'s genuine
+    * container bytes instead.
     */
   def mediaFromDocs(docs: DataFrame): DataFrame =
     docs.select(
@@ -94,18 +93,6 @@ object Multimodal {
         when(col("doc_id") % 3 === 0, "png")
           .when(col("doc_id") % 3 === 1, "jpeg")
           .otherwise("webp")).as("mime"))
-
-  /** Mixed-modality variant: every third doc carries a video payload, so
-    * the frame-extraction path (n_frames > 1, stride sampling) is
-    * exercised end-to-end.
-    */
-  def mediaFromDocsMixed(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("content"),
-      when(col("doc_id") % 3 === 0, "video/mp4")
-        .when(col("doc_id") % 3 === 1, "image/jpeg")
-        .otherwise("image/webp").as("mime"))
 
   /** Exact-bytes media dedup — the honest no-codec FIRST pass of any
     * multimodal pipeline (the same crawl image appears under thousands
@@ -124,7 +111,7 @@ object Multimodal {
     * one codec init/close per partition, rows processed in a streaming
     * iterator (never materializes a partition in memory).
     */
-  def decodeMeta(media: DataFrame, codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
+  def decodeMeta(media: DataFrame, codec: MediaCodec = Codecs.JdkCodec): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -152,6 +139,148 @@ object Multimodal {
           MediaMeta(
             r.media_id, r.content.length.toLong, r.mime,
             d.width, d.height, d.nFrames, d.checksum)
+        }
+      }
+    }
+  }
+
+  /** One decoded media row, wide across modalities: images fill
+    * dims + channel stats, multi-frame media fill n_frames +
+    * frame_means, audio fills sample stats; inapplicable fields are
+    * zero/empty. px_sum is the modality's exact integer checksum
+    * (images: Σ(r+g+b); video: Σ frame intensities; audio: Σ s²).
+    */
+  final case class MediaStats(
+      media_id: Long,
+      mime: String,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      px_sum: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      frame_means: Array[Double],
+      sample_rate: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      rms: Double)
+
+  /** Partition-parallel batched FULL decode through the [[MediaCodec]]
+    * SPI — same task shape as [[decodeMeta]] (one init/close per
+    * partition, streaming iterator) but emitting the complete
+    * per-modality stat row: channel means for images (the
+    * normalization-constants inputs), per-frame intensity means for
+    * video (the shot-boundary signal), RMS + duration for audio.
+    * Ratios are 6dp-rounded so downstream threshold decisions are
+    * engine-exact; the underlying sums stay exact integers.
+    *
+    * Scale shape: a pure scan — decode cost is per-row CPU,
+    * embarrassingly parallel, no shuffle introduced; the binary
+    * payload never leaves its scan partition.
+    */
+  def decodeStats(media: DataFrame, codec: MediaCodec = Codecs.JdkCodec): Dataset[MediaStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    // exactly Spark's Round-expression double path (BigDecimal.valueOf
+    // = shortest decimal repr, HALF_UP) so Scala-side rounding here and
+    // functions.round(...) in sibling queries agree bit-for-bit
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    media.as[MediaRow].mapPartitions { rows =>
+      codec.init()
+      val closer = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def closeOnce(): Unit = if (closer.getAndSet(false)) codec.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      new Iterator[MediaStats] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h) closeOnce()
+          h
+        }
+        def next(): MediaStats = {
+          val row = rows.next()
+          val d = codec.decode(row.content, row.mime)
+          val nPx = d.width * d.height
+          MediaStats(
+            media_id = row.media_id,
+            mime = row.mime,
+            width = d.width,
+            height = d.height,
+            n_frames = d.nFrames,
+            px_sum = d.checksum,
+            mean_r = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(0).toDouble / nPx) else 0d,
+            mean_g = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(1).toDouble / nPx) else 0d,
+            mean_b = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(2).toDouble / nPx) else 0d,
+            frame_means = d.frameMeans,
+            sample_rate = d.sampleRate,
+            n_samples = d.nSamples,
+            duration_ms = if (d.sampleRate > 0) d.nSamples * 1000L / d.sampleRate else 0L,
+            rms =
+              if (d.nSamples > 0) r6(math.sqrt(d.sampleSumSq.toDouble / d.nSamples)) else 0d)
+        }
+      }
+    }
+  }
+
+  /** Per-channel image statistics row: mean and std from real decoded
+    * pixels (the dataset-normalization constants a vision pipeline
+    * computes before training).
+    */
+  final case class ImageChannelStats(
+      media_id: Long,
+      mime: String,
+      width: Long,
+      height: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      std_r: Double,
+      std_g: Double,
+      std_b: Double)
+
+  /** Per-channel mean/std over real decoded pixels. Variance is
+    * computed from the exact integer sums as (n·Σc² − (Σc)²)/n² —
+    * one IEEE division of two exact longs, then sqrt, then 6dp
+    * rounding — so the result is bit-identical in any engine that
+    * reproduces the integer sums (the DuckDB oracle brute-forces them
+    * from the generator formulas). Same pure-scan task shape as
+    * [[decodeStats]].
+    */
+  def imageChannelStats(
+      media: DataFrame,
+      codec: MediaCodec = Codecs.JdkCodec): Dataset[ImageChannelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    media.as[MediaRow].mapPartitions { rows =>
+      codec.init()
+      val closer = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def closeOnce(): Unit = if (closer.getAndSet(false)) codec.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      new Iterator[ImageChannelStats] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h) closeOnce()
+          h
+        }
+        def next(): ImageChannelStats = {
+          val row = rows.next()
+          val d = codec.decode(row.content, row.mime)
+          require(d.chanSums.length == 3 && d.chanSumSqs.length == 3,
+            s"imageChannelStats needs an image decode, got mime '${row.mime}'")
+          val n = d.width * d.height
+          def mean(c: Int) = r6(d.chanSums(c).toDouble / n)
+          def std(c: Int) =
+            r6(math.sqrt((n * d.chanSumSqs(c) - d.chanSums(c) * d.chanSums(c)).toDouble / (n * n)))
+          ImageChannelStats(
+            row.media_id, row.mime, d.width, d.height,
+            mean(0), mean(1), mean(2), std(0), std(1), std(2))
         }
       }
     }
@@ -186,29 +315,26 @@ object Multimodal {
 
   /** Audio framing plan — the deterministic half of audio
     * preprocessing (the spectrogram/encoder windowing schedule): given
-    * payload size as a sample count, compute clip duration and how
-    * many fixed-width hop-strided analysis frames the decoder will
-    * emit. Like [[resizePlan]], the sample math is exact integer
-    * arithmetic at scan speed; the waveform decode itself stays behind
-    * the codec boundary. Clips shorter than one window plan zero
-    * frames (callers pad or drop).
+    * the DECODED sample count and rate (from [[decodeStats]] over real
+    * WAV headers), compute clip duration and how many fixed-width
+    * hop-strided analysis frames the encoder will emit. Like
+    * [[resizePlan]], the sample math is exact integer arithmetic at
+    * scan speed; the waveform itself stays behind the codec boundary.
+    * Clips shorter than one window plan zero frames (callers pad or
+    * drop).
     */
   def audioFramePlan(
-      media: DataFrame,
-      samplesPerByte: Int,
-      sampleRate: Int,
+      stats: DataFrame,
       winSamples: Int,
       hopSamples: Int
   ): DataFrame = {
-    require(sampleRate > 0 && winSamples > 0 && hopSamples > 0, "positive framing params")
-    media
-      .select(
-        col("media_id"),
-        (length(col("content")).cast("long") * samplesPerByte).as("n_samples"))
+    require(winSamples > 0 && hopSamples > 0, "positive framing params")
+    stats
+      .where(col("sample_rate") > 0)
       .select(
         col("media_id"),
         col("n_samples"),
-        expr(s"n_samples * 1000 div $sampleRate").as("duration_ms"),
+        col("duration_ms"),
         when(
           col("n_samples") >= winSamples,
           expr(s"(n_samples - $winSamples) div $hopSamples") + 1L)
@@ -266,51 +392,35 @@ object Multimodal {
       .toDF("media_id", "frame_idx")
   }
 
-  /** Scene-cut detection plan for video payloads — the shot-boundary
-    * step of a video curation pipeline (split clips at cuts before
-    * captioning/sampling). Per frame a scalar intensity signal stands
-    * in for the decoded frame (derived deterministically from the
-    * media checksum + frame index — md5 hex-slice, engine-portable
-    * like the rest of [[FakeCodec]]; in production this column is the
-    * per-frame luma/histogram statistic the decoder emits); a cut is
-    * any frame whose |signal - lag(signal)| clears `threshold`.
+  /** Scene-cut detection for video payloads — the shot-boundary step
+    * of a video curation pipeline (split clips at cuts before
+    * captioning/sampling). The per-frame signal is the DECODED mean
+    * frame intensity (`frame_means` from [[decodeStats]], real pixels
+    * via [[Codecs.decodeFrames]]); a cut is any frame whose
+    * |signal − lag(signal)| clears `threshold`.
     *
-    * Scale shape: a PURE SCAN — no shuffle anywhere. The consecutive-
-    * frame delta needs no corpus-wide lag window because a clip's
-    * frames live together (here: the signal is a function of
-    * (checksum, index); in production: the decoder emits a clip's
-    * per-frame statistics as one array), so the delta is computed
-    * inside the row's frame sequence and non-cut frames are filtered
-    * BEFORE exploding. The earlier formulation exploded every frame
-    * and ran lag() over a Window.partitionBy(media_id) — semantically
+    * Scale shape: a PURE SCAN — no shuffle anywhere. A clip's frames
+    * arrive as ONE array on the clip's row (the decoder emits the
+    * whole clip's statistics together), so the consecutive-frame delta
+    * is computed inside the row and non-cut frames are filtered BEFORE
+    * exploding. An earlier formulation exploded every frame and ran
+    * lag() over a Window.partitionBy(media_id) — semantically
     * identical, but it shuffled and sorted Ω(total frames) rows
-    * (250 M at 1000× sf0.1, 7.5 GB exchange), and read α = 1.15 at
-    * the third decade as the sort hit its spill regime; the scan form
-    * pays two short md5s per frame instead and keeps the corpus
-    * dimension embarrassingly parallel at any scale.
+    * (250 M at 1000× sf0.1, 7.5 GB exchange) and read α = 1.15 at the
+    * third scaling decade as the sort hit its spill regime; the
+    * array-local form keeps the corpus dimension embarrassingly
+    * parallel at any scale.
     */
-  def sceneCuts(meta: Dataset[MediaMeta], threshold: Int): DataFrame = {
-    def sig(i: org.apache.spark.sql.Column) =
-      conv(
-        substring(
-          md5(concat(col("checksum").cast("string"), lit(":"), i.cast("string"))),
-          1, 2),
-        16, 10).cast("int")
-    // bindArray: the signals array must be a BOUND lambda value — a
-    // projected column would be re-inlined by CollapseProject into
-    // every element_at and the whole array would recompute per access
-    // (the spanDedup lesson). One md5 per frame, not two.
-    val cuts = graft.functions.TextFunctions.bindArray(
-      transform(sequence(lit(0L), col("n_frames") - 1L), i => sig(i))) { sigs =>
-      filter(
-        transform(
-          sequence(lit(1), (col("n_frames") - 1L).cast("int")),
-          i => struct(
-            i.cast("long").as("frame_idx"),
-            (element_at(sigs, i + 1) - element_at(sigs, i)).as("delta"))),
-        s => abs(s("delta")) >= threshold)
-    }
-    meta.toDF()
+  def sceneCuts(stats: Dataset[MediaStats], threshold: Double): DataFrame = {
+    val cuts = filter(
+      transform(
+        sequence(lit(1), (col("n_frames") - 1L).cast("int")),
+        i => struct(
+          i.cast("long").as("frame_idx"),
+          (element_at(col("frame_means"), i + 1) -
+            element_at(col("frame_means"), i)).as("delta"))),
+      s => abs(s("delta")) >= threshold)
+    stats.toDF()
       .where(col("n_frames") > 1)
       .select(col("media_id"), explode(cuts).as("cut"))
       .select(col("media_id"), col("cut.frame_idx"), col("cut.delta"))

@@ -165,9 +165,17 @@ object Tables {
     // the probe (the caller already hand-shaped the remote scan).
     val plainIdent =
       "^\\s*(?:[A-Za-z_][A-Za-z0-9_$]*|\"[^\"]+\"|`[^`]+`)" +
-        "(?:\\.(?:[A-Za-z_][A-Za-z0-9_$]*|\"[^\"]+\"|`[^`]+`))?\\s*$"
+        "(?:\\.(?:[A-Za-z_][A-Za-z0-9_$]*|\"[^\"]+\"|`[^`]+`))*\\s*$"
+    val probeEligible = table.matches(plainIdent)
     if (partitionCol.isEmpty && maxSingleConnectionRows < Long.MaxValue &&
-        table.matches(plainIdent)) {
+        !probeEligible)
+      // a subquery dbtable skips the row-count guard by design — say so
+      // rather than silently bypassing it
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"$name: dbtable is a subquery expression; skipping the " +
+          "single-connection row-count guard (caller-shaped remote scan)")
+    if (partitionCol.isEmpty && maxSingleConnectionRows < Long.MaxValue &&
+        probeEligible) {
       val n = spark.read
         .format("jdbc")
         .option("url", url)

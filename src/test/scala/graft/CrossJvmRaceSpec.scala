@@ -52,11 +52,20 @@ class CrossJvmRaceSpec extends AnyFunSpec {
       pb.directory(Files.createTempDirectory(s"graft_xjvm_w$w").toFile)
       (w, pb.start())
     }
+    // Drain each child's stdout on its own thread: a synchronous
+    // fromInputStream(...).mkString blocks until the child closes
+    // stdout, which would make the 300s waitFor below unreachable for
+    // a hung writer (the suite would hang instead of failing).
     val outs = procs.map { case (w, p) =>
-      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      val buf = new _root_.java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => p.getInputStream.transferTo(buf))
+      drain.setDaemon(true)
+      drain.start()
       val finished = p.waitFor(300, TimeUnit.SECONDS)
       if (!finished) p.destroyForcibly()
       assert(finished, s"writer $w timed out after 300s")
+      drain.join(10000)
+      val out = buf.toString("UTF-8")
       assert(p.exitValue() == 0,
         s"writer $w exited ${p.exitValue()}:\n${out.takeRight(3000)}")
       (w, out)

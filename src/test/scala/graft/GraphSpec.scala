@@ -144,7 +144,7 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == Set(1L, 2L, 3L, 4L))
   }
 
-  test("hnswBuild: integer-geometric levels, shrinking layers, full kNN per layer") {
+  test("hnswBuild: integer-geometric levels, shrinking layers, heuristic-pruned edges") {
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val out = Graph.hnswBuild(emb, "vec_id", "embedding", k = 3, maxLevel = 3)
     val layers = out.groupBy(col("level"))
@@ -156,8 +156,20 @@ class GraphSpec extends AnyFunSuite {
     // level rule: P(level >= 1) = 1/4 — with 200 vectors the level-1
     // layer must be a real subset, nonempty, and ~4x smaller
     assert(layers.contains(1L) && layers(1L)._1 < n0 / 2 && layers(1L)._1 > 0)
-    // every node with >= 3 peers in its layer emits exactly 3 edges
-    assert(layers(0L)._2 == 3 * n0)
+    // with keepPrunedConnections the degree stays exactly k wherever
+    // the pool allows (pool = 2k here), but the EDGE SET differs from
+    // plain kNN — the dominance rule must replace at least one
+    // nearest-first pick with a diverse one somewhere in the corpus
+    val degs = out.where(col("level") === 0)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(min(col("d")), max(col("d"))).head()
+    assert(degs.getLong(0) >= 1L && degs.getLong(1) <= 3L)
+    assert(layers(0L)._2 == 3 * n0, "backfill keeps degree k when the pool allows")
+    val knn0 = Graph.knnGraph(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    val div0 = out.where(col("level") === 0)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(div0 != knn0, "heuristic must swap in at least one diverse edge")
     // the level rule matches the local md5 computation exactly
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest("hnsw:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -201,9 +213,54 @@ class GraphSpec extends AnyFunSuite {
     assert(hits >= 15, s"recall too low on a navigable corpus: $hits/18")
   }
 
-  test("hnswSearchReplay: deterministic structure on the clustered test corpus") {
-    // the clustered corpus documents the kNN-layer navigability caveat
-    // (see scaladoc): results are still full, deterministic, self-free
+  test("hnswSearchReplay: diverse-neighbor heuristic repairs navigation on a clustered corpus") {
+    // The previously documented caveat: plain kNN layers keep every
+    // edge cluster-internal on a strongly clustered corpus, so a walk
+    // cannot leave the entry's cluster. hnswlib's diverse-neighbor
+    // heuristic (Algorithm 4 with keepPrunedConnections, applied per
+    // layer in hnswBuild/hnswSearchReplay) is the repair — the
+    // clustered fixture must now reach the same ≥15/18 recall floor
+    // the smooth-manifold fixture is held to (plain-kNN layers
+    // measured 9/18 on this fixture before the heuristic landed).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(7) // fixed-seed: the fixture is deterministic
+    val centers = Array.fill(10)(Array.fill(4)(rng.nextGaussian()))
+      .map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(x => x / n) }
+    val pts = for {
+      c <- 0 until 10
+      j <- 0 until 20
+    } yield {
+      val v = centers(c).map(x => x + 0.08 * rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = pts.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+    val space = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val queries = space.where(col("vec_id") % 37 === 0) // 6 queries across clusters
+    val got = Graph.hnswSearchReplay(
+      space, "vec_id", "embedding", queries, k = 3, kBuild = 3, maxLevel = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(got.length == 18, "3 results for each query")
+    val exact = graft.operators.Similarity
+      .knnBruteForce(space, queries, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val hits = got.count(exact.contains)
+    assert(hits >= 15, s"clustered-corpus recall below the manifold floor: $hits/18")
+  }
+
+  test("hnswSearchReplay: deterministic, layout-independent on the random test corpus") {
+    // sf0.001 embeddings are near-random high-dim vectors (measured:
+    // same-label and cross-label cosine are both ~0) — NOT a navigable
+    // geometry for ANY bounded-degree graph walk, so no recall floor
+    // is asserted here; what must hold is full, self-free,
+    // layout-independent deterministic output.
     val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
     val queries = emb.where(col("vec_id") < 10)
     val a = Graph.hnswSearchReplay(

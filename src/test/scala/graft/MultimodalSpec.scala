@@ -9,21 +9,21 @@ class MultimodalSpec extends AnyFunSuite {
   test("audioFramePlan: exact frame schedule; sub-window clips plan zero frames") {
     val spark = GraftTestSession.spark
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // 8 bytes * 100 = 800 samples -> (800-400) div 160 + 1 = 3 frames;
-    // 3 bytes * 100 = 300 samples < 400 -> 0 frames.
-    val media = Seq((1L, "12345678"), (2L, "123"))
-      .toDF("media_id", "payload")
-      .select(col("media_id"), encode(col("payload"), "UTF-8").as("content"))
+    // decoded-stats input (media_id, n_samples, duration_ms, sample_rate):
+    // 800 samples -> (800-400) div 160 + 1 = 3 frames; 300 < 400 -> 0;
+    // sample_rate = 0 rows (non-audio in a mixed frame) are excluded.
+    val stats = Seq(
+      (1L, 800L, 50L, 16000L),
+      (2L, 300L, 18L, 16000L),
+      (3L, 0L, 0L, 0L))
+      .toDF("media_id", "n_samples", "duration_ms", "sample_rate")
     val out = graft.operators.Multimodal
-      .audioFramePlan(media, samplesPerByte = 100, sampleRate = 16000,
-        winSamples = 400, hopSamples = 160)
+      .audioFramePlan(stats, winSamples = 400, hopSamples = 160)
       .collect()
       .map(r => r.getAs[Long]("media_id") ->
         ((r.getAs[Long]("n_samples"), r.getAs[Long]("duration_ms"), r.getAs[Long]("n_frames"))))
       .toMap
-    assert(out(1L) == ((800L, 50L, 3L)))
-    assert(out(2L) == ((300L, 18L, 0L))) // 300*1000 div 16000 = 18
+    assert(out == Map(1L -> ((800L, 50L, 3L)), 2L -> ((300L, 18L, 0L))))
   }
   private lazy val spark = GraftTestSession.spark
   import spark.implicits._
@@ -31,26 +31,25 @@ class MultimodalSpec extends AnyFunSuite {
   test("binary decode plumbing is deterministic and schema-stable") {
     val docs = Seq((1L, "some payload", "en", "s", 12L), (2L, "other bytes", "en", "s", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocs(docs))
+    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocs(docs), FakeCodec)
     val rows = meta.collect().map(m => m.media_id -> m).toMap
     assert(rows(1L).n_bytes == 12)
     assert(rows(1L).mime == "image/jpeg") // doc_id 1 % 3 == 1
     assert(rows(2L).mime == "image/webp")
-    // determinism: same input -> same fake-decoded dims + checksum
-    val again = Multimodal.decodeMeta(Multimodal.mediaFromDocs(docs))
+    // determinism: same input -> same decoded dims + checksum
+    val again = Multimodal.decodeMeta(Multimodal.mediaFromDocs(docs), FakeCodec)
       .collect().map(m => m.media_id -> m).toMap
     assert(rows(1L) == again(1L) && rows(2L) == again(2L))
     assert(rows(1L).width >= 64 && rows(1L).height >= 64)
   }
 
-  test("FakeCodec md5 slices are pinned to externally computed values") {
+  test("FakeCodec test double: md5 slices pinned to externally computed values") {
     // Pins from an independent md5("some payload") computation: the
-    // codec must stay reproducible by any engine with md5 (the SQL
-    // oracle depends on this exact hex-slice arithmetic).
-    val d = Multimodal.FakeCodec.decode("some payload".getBytes("UTF-8"), "image/png")
+    // double must stay reproducible (plumbing specs rely on it).
+    val d = FakeCodec.decode("some payload".getBytes("UTF-8"), "image/png")
     assert(d.checksum == 361300346020269704L)
     assert(d.width == 1008L && d.height == 381L && d.nFrames == 1L)
-    val v = Multimodal.FakeCodec.decode("some payload".getBytes("UTF-8"), "video/mp4")
+    val v = FakeCodec.decode("some payload".getBytes("UTF-8"), "video/mp4")
     assert(v.nFrames >= 1L && v.nFrames <= 300L)
   }
 
@@ -79,15 +78,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(closes.value == inits.value, "every init must be paired with a close")
   }
 
-  test("mixed-modality ingest gives videos multi-frame decodes, images one frame") {
-    val docs = Seq(
-      (0L, "video doc", "en", "s", 9L),
-      (1L, "image doc", "en", "s", 9L)
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocsMixed(docs))
+  test("mixed-modality ingest: real decode gives videos container frame counts") {
+    // doc ids 0..3 cover all four modalities of MediaGen.mediaFor
+    // (png, bmp, gif video, wav); frame counts come from the REAL
+    // container parse (GIF: 2 + id%59 frames; images 1; audio 0).
+    val docs = Seq(0L, 1L, 2L, 3L)
+      .map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val meta = Multimodal.decodeMeta(graft.operators.MediaGen.mediaFor(docs))
       .collect().map(m => m.media_id -> m).toMap
-    assert(meta(0L).mime == "video/mp4" && meta(0L).n_frames >= 1L)
-    assert(meta(1L).mime == "image/jpeg" && meta(1L).n_frames == 1L)
+    assert(meta(0L).mime == "image/png" && meta(0L).n_frames == 1L)
+    assert(meta(1L).mime == "image/bmp" && meta(1L).n_frames == 1L)
+    assert(meta(2L).mime == "video/gif" && meta(2L).n_frames == 4L) // 2 + 2%59
+    assert(meta(3L).mime == "audio/wav" && meta(3L).n_frames == 0L)
+    // image dims come from the real header, not a formula re-derivation
+    assert(meta(0L).width == 8L && meta(0L).height == 8L)
+    assert(meta(1L).width == 9L && meta(1L).height == 8L)
   }
 
   test("frame sampling emits stride-spaced frame indices") {
@@ -176,34 +182,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 1, 1, 0))) // missing embedding: attributable, not dropped
   }
 
-  test("sceneCuts: exact boundaries vs a naive recomputation; stills skipped") {
+  test("sceneCuts: real GIF decode end-to-end vs a naive recomputation; stills skipped") {
     val spark = GraftTestSession.spark
     import spark.implicits._
-    import graft.operators.Multimodal.MediaMeta
-    // two clips + one still image (n_frames=1 must emit nothing)
-    val meta = Seq(
-      MediaMeta(1L, 10L, "video/mp4", 64L, 64L, 40L, 123456789L),
-      MediaMeta(2L, 10L, "video/mp4", 64L, 64L, 25L, 987654321L),
-      MediaMeta(3L, 10L, "image/png", 64L, 64L, 1L, 555L))
-      .toDS()
-    val out = Multimodal.sceneCuts(meta, threshold = 128)
+    import graft.operators.MediaGen
+    // real pipeline: generate animated GIFs, decode frame means through
+    // javax.imageio, detect cuts — plus one still image (1 frame, must
+    // emit nothing)
+    val docs = Seq(10L, 11L, 57L)
+      .map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stats = Multimodal.decodeStats(MediaGen.videosFor(docs))
+    val still = Multimodal.decodeStats(MediaGen.imagesFor(
+      Seq((3L, "img", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val out = Multimodal.sceneCuts(stats.unionByName(still), threshold = 64.0)
       .collect()
       .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx")) ->
-        r.getAs[Int]("delta"))
+        r.getAs[Double]("delta"))
       .toMap
-    // naive reference: same md5-derived signal, per clip
-    def signal(checksum: Long, f: Long): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$checksum:$f".getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString
-      Integer.parseInt(hex.substring(0, 2), 16)
-    }
+    // naive reference straight from the generator's frame-level formula
     val expected = (for {
-      (id, cks, n) <- Seq((1L, 123456789L, 40L), (2L, 987654321L, 25L))
-      f <- 1L until n
-      d = signal(cks, f) - signal(cks, f - 1)
-      if math.abs(d) >= 128
-    } yield (id, f) -> d).toMap
+      id <- Seq(10L, 11L, 57L)
+      f <- 1 until MediaGen.videoFrames(id)
+      d = (MediaGen.frameLevel(id, f) - MediaGen.frameLevel(id, f - 1)).toDouble
+      if math.abs(d) >= 64.0
+    } yield (id, f.toLong) -> d).toMap
     assert(expected.nonEmpty) // the fixture genuinely exercises cuts
     assert(out == expected)
     assert(!out.keySet.exists(_._1 == 3L))
