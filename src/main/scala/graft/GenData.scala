@@ -43,10 +43,18 @@ object GenData {
     spark.sparkContext.setLogLevel("WARN")
 
     def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def save(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      System.err.println(s"[gendata] wrote $name")
-    }
+    // SPARK_GRAFT_GEN_TABLES=csv limits which tables are WRITTEN —
+    // the disk-budget knob for single-family scale probes (an sf300
+    // lineitem fits where the full sf300 corpus would not). Strides
+    // and FK checks still read every source table, so a filtered run
+    // can never produce keys that would collide with a later full run.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_GEN_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def save(df: DataFrame, name: String): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        System.err.println(s"[gendata] wrote $name")
+      } else System.err.println(s"[gendata] skipped $name (SPARK_GRAFT_GEN_TABLES)")
     // key-space STRIDE per copy: max+1, because the driver corpus keys
     // are 0-based — offsetting by max(key) alone collides one id per
     // copy boundary (found at 2x: a duplicated doc_id broke CC node

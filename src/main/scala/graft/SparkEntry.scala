@@ -32,6 +32,52 @@ object SparkEntry {
   private def decSumD(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
   private def decSum6D(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Deterministic 1/256 keyed sample of a verified-pair stream (a, b,
+    * ...): keep pairs whose md5(a:b) 16-bit prefix ≡ 0 (mod 256).
+    * Engine-portable (md5 + integer mod), scale-invariant, and keyed
+    * on the pair itself so both engines slice identically — the gate
+    * form for generated corpora where the full pair dump is
+    * impractical (sf10 containment is ~360 M rows).
+    */
+  private def pairSample(pairs: DataFrame): DataFrame =
+    pairs.where(
+      conv(
+        substring(
+          md5(concat(col("a").cast("string"), lit(":"), col("b").cast("string"))),
+          1, 4),
+        16, 10).cast("int") % 256 === 0)
+
+  private val jaccardWordsOracleSql: String = """
+      WITH w AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
+               len(list_distinct(string_split(text, ' '))) AS nw
+        FROM documents),
+      i AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
+               any_value(a.nw) AS nwa, any_value(b.nw) AS nwb
+        FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a, b, round(inter / (nwa + nwb - inter), 6) AS jaccard
+      FROM i WHERE round(inter / (nwa + nwb - inter), 6) >= 0.9"""
+
+  private val containmentOracleSql: String = """
+      WITH w AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
+               len(list_distinct(string_split(text, ' '))) AS nw
+        FROM documents),
+      i AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter,
+               any_value(a.nw) AS nwa
+        FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a, b, inter, CAST(inter AS DOUBLE) / nwa AS containment
+      FROM i WHERE CAST(inter AS DOUBLE) / nwa >= 0.8"""
+
+  /** The DuckDB transcription of [[pairSample]]'s filter. */
+  private def pairSampleSql(sql: String): String =
+    s"""SELECT * FROM ($sql)
+      WHERE ('0x' || substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 4))::INT % 256 = 0"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1PricingSummary(
@@ -3203,6 +3249,21 @@ object SparkEntry {
       Dedup.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang", 0.8,
         maxCandidateInstances = Some(10000000000L))),
+    // Keyed 1/256 samples of the two heavy verified-pair streams — the
+    // sf10-and-beyond gate form: the FULL pair set at sf10 is ~360 M
+    // rows (impractical to single-file hash-compare), but a
+    // deterministic md5(a:b)-keyed slice hashes the same verified
+    // pairs in both engines at any scale. The full queries stay gated
+    // at the driver SFs; these run everywhere and keep the generated-
+    // corpus gate honest where the full dump can't go.
+    "dedup_jaccard_sampled" -> ((s, dir) =>
+      pairSample(Dedup.jaccardWordPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 0.9,
+        maxCandidateInstances = Some(10000000000L)))),
+    "dedup_containment_sampled" -> ((s, dir) =>
+      pairSample(Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 0.8,
+        maxCandidateInstances = Some(10000000000L)))),
     // Sequence-level span dedup (Lee et al. 2021 analog): repeated
     // 8-token spans survive only at their first corpus occurrence.
     "dedup_spans" -> ((s, dir) =>
@@ -3481,18 +3542,7 @@ object SparkEntry {
         SELECT s.dst, cc.lbl FROM cc JOIN sym s ON s.src = cc.node AND cc.lbl < s.dst)
       SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node""",
     "dedup_corpus_overlap" -> corpusOverlapOracleSql,
-    "dedup_containment" -> """
-      WITH w AS (
-        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
-               len(list_distinct(string_split(text, ' '))) AS nw
-        FROM documents),
-      i AS (
-        SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter,
-               any_value(a.nw) AS nwa
-        FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id <> b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-      SELECT a, b, inter, CAST(inter AS DOUBLE) / nwa AS containment
-      FROM i WHERE CAST(inter AS DOUBLE) / nwa >= 0.8""",
+    "dedup_containment" -> containmentOracleSql,
     "dedup_edit_verify" -> s"""
       WITH $minhashChainCtes,
       cands AS (
@@ -3554,18 +3604,11 @@ object SparkEntry {
              CAST(max(pos) + 9 AS BIGINT) AS span_end,
              count(*) AS n_grams
       FROM runs GROUP BY doc_id, island""",
-    "dedup_jaccard_words" -> """
-      WITH w AS (
-        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word,
-               len(list_distinct(string_split(text, ' '))) AS nw
-        FROM documents),
-      i AS (
-        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
-               any_value(a.nw) AS nwa, any_value(b.nw) AS nwb
-        FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-      SELECT a, b, round(inter / (nwa + nwb - inter), 6) AS jaccard
-      FROM i WHERE round(inter / (nwa + nwb - inter), 6) >= 0.9""",
+    "dedup_jaccard_words" -> jaccardWordsOracleSql,
+    // md5(a:b)-keyed 1/256 slices of the verified pair streams — the
+    // scale-invariant gate form (see pairSample)
+    "dedup_jaccard_sampled" -> pairSampleSql(jaccardWordsOracleSql),
+    "dedup_containment_sampled" -> pairSampleSql(containmentOracleSql),
     // Same md5-signed hyperplanes as emb_random_projection; sign bits
     // summed as disjoint powers of two (== the OR fold), band bits by
     // shift/mask, exact cosine verify on the originals.

@@ -288,10 +288,11 @@ object Graph {
     * Scale shape: one exact top-candK search (swap in the IVF-PQ
     * probe at corpus scale), one vector re-attach join, then ONE
     * aggregate per node over its bounded candidate pool (candK
-    * entries; the sequential dominance scan touches ≤ m·candK
-    * pairwise sims per node, computed locally with the same
-    * double-accumulation kernel as graft_cosine so the oracle's SQL
-    * sums reproduce every comparison bit-for-bit).
+    * entries; the sequential dominance scan is an `aggregate` HOF
+    * fold touching ≤ m·candK pairwise sims per node, every one
+    * computed by the graft_cosine kernel itself so the oracle's SQL
+    * sums reproduce each comparison bit-for-bit, and no ScalaUDF
+    * enters the plan).
     */
   def diverseNeighbors(
       space: DataFrame,
@@ -304,37 +305,36 @@ object Graph {
     val cands = Similarity.knnBruteForce(space, space, keyCol, vecCol, candK)
     val vq = space.select(col(keyCol).as("query_id"), col(vecCol).as("_qv"))
     val vn = space.select(col(keyCol).as("neighbor_id"), col(vecCol).as("_nv"))
-    // the same index-ordered double accumulation as the native
-    // graft_cosine kernel — comparisons must be bit-identical to the
-    // oracle's ordered SQL sums
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; nx += x * x; ny += y * y
-        i += 1
-      }
-      dot / (math.sqrt(nx) * math.sqrt(ny))
+    // the native graft_cosine kernel everywhere a similarity is
+    // compared — comparisons are bit-identical to the oracle's
+    // index-ordered SQL sums, and NO ScalaUDF enters the plan (the
+    // sequential scan is an `aggregate` HOF fold over the ≤candK pool;
+    // PlanLintSpec holds every query to the no-UDF bar)
+    def cos(a: Column, b: Column) = graft.functions.VectorFunctions.cosine(a, b)
+    // fold state: kept ids + their vectors (parallel arrays, ≤ m) and
+    // discarded ids in scan order (for the keepPrunedConnections
+    // backfill); scan order is the sort_array rank order
+    val zero = struct(
+      typedlit(Array.empty[Long]).as("kid"),
+      typedlit(Array.empty[Array[Float]]).as("kvec"),
+      typedlit(Array.empty[Long]).as("did"))
+    def step(acc: Column, cand: Column): Column = {
+      val sBase = cos(col("_qv"), cand("v"))
+      val dominated = exists(acc("kvec"), kv => cos(cand("v"), kv) > sBase)
+      when(size(acc("kid")) >= m, acc)
+        .when(
+          dominated,
+          struct(
+            acc("kid").as("kid"), acc("kvec").as("kvec"),
+            array_append(acc("did"), cand("id")).as("did")))
+        .otherwise(struct(
+          array_append(acc("kid"), cand("id")).as("kid"),
+          array_append(acc("kvec"), cand("v")).as("kvec"),
+          acc("did").as("did")))
     }
-    val mm = m
-    val pick = udf { (qv: Seq[Float], pool: Seq[org.apache.spark.sql.Row]) =>
-      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
-      val discarded = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val it = pool.iterator
-      while (it.hasNext && kept.size < mm) {
-        val r = it.next()
-        val id = r.getLong(1)
-        val v = r.getSeq[Float](2)
-        val sBase = cos(qv, v)
-        if (kept.forall { case (_, kv) => cos(v, kv) <= sBase })
-          kept += ((id, v))
-        else discarded += id
-      }
-      // keepPrunedConnections: backfill discarded candidates in
-      // distance order until m — degree-m preserved, diversity first
-      (kept.map(_._1) ++ discarded).take(mm).toSeq
-    }
+    val chosen = aggregate(
+      col("pool"), zero, step,
+      acc => slice(concat(acc("kid"), acc("did")), 1, m))
     cands
       .join(vn, "neighbor_id")
       .groupBy(col("query_id"))
@@ -343,9 +343,7 @@ object Graph {
       .agg(sort_array(collect_list(struct(
         col("rank"), col("neighbor_id").cast("long").as("id"), col("_nv").as("v")))).as("pool"))
       .join(vq, "query_id")
-      .select(
-        col("query_id").as("src"),
-        explode(pick(col("_qv"), col("pool"))).as("dst"))
+      .select(col("query_id").as("src"), explode(chosen).as("dst"))
   }
 
   def hnswBuild(

@@ -376,6 +376,19 @@ object StreamingFeatures {
     * (range-partition on the arrival key, per-partition maxima to the
     * driver, broadcast running prefixes + per-partition window) — the
     * skyline frontier pattern, never a single-task global window.
+    *
+    * Width is BUDGET-DERIVED, not session-derived: the per-partition
+    * window sorts a whole range run, so a session-width exchange makes
+    * the per-task working set grow linearly with the corpus — measured
+    * as per-row drift at the third scaling decade (SCALING.md, sf100
+    * disk regime). Deriving width from rows / target-partition-rows
+    * (`graft.stream.lateTargetPartitionRows`, default 4 M — ~100 MB of
+    * (id, ts, key) rows per task) keeps the per-task run constant by
+    * construction; the prefix-max table needs no change because it is
+    * computed FROM the realized partition ids, whatever the width. The
+    * width only ever grows past the session setting, so driver-SF
+    * plans are untouched; the row count itself is a parquet
+    * metadata-only count.
     */
   def lateEventsBatch(
       events: DataFrame,
@@ -390,8 +403,14 @@ object StreamingFeatures {
       col(idCol).as("event_id"),
       unix_micros(col(tsCol)).as("ts_us"),
       col(arrivalCol).as("_ak"))
+    val session = events.sparkSession.sessionState.conf.numShufflePartitions
+    val targetRows = events.sparkSession.conf
+      .getOption("graft.stream.lateTargetPartitionRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val width = math.max(
+      session, math.min(math.ceil(events.count().toDouble / targetRows), 4096d).toInt)
     val parted = pts
-      .repartitionByRange(col("_ak"))
+      .repartitionByRange(width, col("_ak"))
       .select(col("*"), spark_partition_id().as("_pid"))
       .pinned() // pin the partition assignment the prefixes describe
     val pidMax = parted.groupBy(col("_pid")).agg(max(col("ts_us")).as("m"))
