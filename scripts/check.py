@@ -10,6 +10,12 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
+# bound DuckDB's memory and give it a spill dir: the generated-corpus
+# oracles (sf10 containment's full word join) otherwise grow past RAM
+# and get OOM-killed instead of spilling
+mem = os.environ.get("GRAFT_DUCKDB_MEM", "48GB")
+con.sql(f"SET memory_limit='{mem}'")
+con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     # driver corpora are single files; GenData scale-ups are Spark
