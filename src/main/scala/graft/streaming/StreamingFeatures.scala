@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.operators.Pins.PinOps
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -372,23 +371,37 @@ object StreamingFeatures {
     * under X%?") is THE question before turning a watermark on in
     * production, and it can only be answered by this batch replay.
     *
-    * The running max over arrival order is the distributed prefix-max
-    * (range-partition on the arrival key, per-partition maxima to the
-    * driver, broadcast running prefixes + per-partition window) — the
-    * skyline frontier pattern, never a single-task global window.
+    * The running max over arrival order is the distributed prefix-max,
+    * bucketed EXPLICITLY: a deterministic, monotone-in-arrival-order
+    * bucket id is computed per row (a pure function of the key, no
+    * sampling), so the per-bucket maxima come from a map-side-combined
+    * aggregate over the raw scan — no full-row exchange, no pinned
+    * materialization. The window pass (broadcast the running prefixes,
+    * per-bucket running max) is then the ONLY full exchange in the
+    * plan. The previous form range-partitioned first and derived
+    * bucket ids from realized partition ids, which forced a pin (the
+    * sampled assignment is nondeterministic) and a second full read;
+    * at the fourth scaling decade that pin's write+re-read WAS the
+    * query (SCALING.md sf300: 0.45 → 0.90 µs/row).
     *
-    * Width is BUDGET-DERIVED, not session-derived: the per-partition
-    * window sorts a whole range run, so a session-width exchange makes
-    * the per-task working set grow linearly with the corpus — measured
-    * as per-row drift at the third scaling decade (SCALING.md, sf100
-    * disk regime). Deriving width from rows / target-partition-rows
-    * (`graft.stream.lateTargetPartitionRows`, default 4 M — ~100 MB of
-    * (id, ts, key) rows per task) keeps the per-task run constant by
-    * construction; the prefix-max table needs no change because it is
-    * computed FROM the realized partition ids, whatever the width. The
-    * width only ever grows past the session setting, so driver-SF
-    * plans are untouched; the row count itself is a parquet
-    * metadata-only count.
+    * Bucketing by key type:
+    *  - string keys must be fixed-width lowercase hex (e.g. an md5):
+    *    equi-depth by construction, bucket = top 32 bits of the first
+    *    8 hex chars scaled to width. No pre-scan needed.
+    *  - numeric/timestamp keys: uniform buckets over the collected
+    *    [min, max] (one column-pruned agg scan); exact long math, with
+    *    a decimal(20,0) fallback when the span overflows a long.
+    * Either way the per-bucket aggregate also collects min/max keys
+    * and the driver VERIFIES contiguity (bucket b's max key ≤ bucket
+    * b+1's min key) before trusting the prefixes — a bucketer that
+    * breaks the monotone contract fails loudly, never silently.
+    *
+    * Width is BUDGET-DERIVED, not session-derived: rows /
+    * `graft.stream.lateTargetPartitionRows` (default 4 M — ~100 MB of
+    * (id, ts, key) rows per task) keeps the per-task sort run constant
+    * by construction; the width only ever grows past the session
+    * setting, so driver-SF plans are untouched. The row count itself
+    * is a parquet metadata-only count.
     */
   def lateEventsBatch(
       events: DataFrame,
@@ -398,6 +411,7 @@ object StreamingFeatures {
       delayMinutes: Long
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{StringType, LongType}
     val delayUs = delayMinutes * 60L * 1000000L
     val pts = events.select(
       col(idCol).as("event_id"),
@@ -407,23 +421,65 @@ object StreamingFeatures {
     val targetRows = events.sparkSession.conf
       .getOption("graft.stream.lateTargetPartitionRows")
       .map(_.toLong).getOrElse(4000000L)
+    val cnt = events.count()
+    if (cnt == 0L)
+      return pts.select(
+        col("event_id"), col("ts_us"),
+        lit(null).cast(LongType).as("wm_us"), lit(0).as("is_late"))
     val width = math.max(
-      session, math.min(math.ceil(events.count().toDouble / targetRows), 4096d).toInt)
-    val parted = pts
-      .repartitionByRange(width, col("_ak"))
-      .select(col("*"), spark_partition_id().as("_pid"))
-      .pinned() // pin the partition assignment the prefixes describe
-    val pidMax = parted.groupBy(col("_pid")).agg(max(col("ts_us")).as("m"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      session, math.min(math.ceil(cnt.toDouble / targetRows), 4096d).toInt)
+    val bucketExpr: org.apache.spark.sql.Column = pts.schema("_ak").dataType match {
+      case StringType =>
+        // fixed-width lowercase hex contract: first 8 hex chars are a
+        // uniform 32-bit value; v*width < 2^44, shiftright 32 = DIV 2^32
+        shiftright(conv(substring(col("_ak"), 1, 8), 16, 10).cast(LongType) * width, 32)
+          .cast("int")
+      case _ =>
+        val mm = pts.agg(
+          min(col("_ak").cast(LongType)), max(col("_ak").cast(LongType))).head()
+        val lo = BigInt(mm.getLong(0))
+        val span = BigInt(mm.getLong(1)) - lo + 1
+        val per = ((span + width - 1) / width).max(1) // fits a long: span/width <= 2^64/32
+        if (span <= BigInt(Long.MaxValue))
+          expr(s"CAST((CAST(_ak AS BIGINT) - ${lo}L) DIV ${per}L AS INT)")
+        else // span overflows long subtraction: exact decimal(20,0) math
+          expr(s"CAST((CAST(_ak AS DECIMAL(20,0)) - CAST('$lo' AS DECIMAL(20,0)))" +
+            s" DIV CAST('$per' AS DECIMAL(20,0)) AS INT)")
+    }
+    val bucketed = pts.withColumn("_b", bucketExpr)
+    // pass 1: map-side-combined per-bucket (max ts, min/max key) — the
+    // ONLY exchange is <= width pre-aggregated rows
+    val bstats = bucketed.groupBy(col("_b"))
+      .agg(max(col("ts_us")).as("m"), min(col("_ak")).as("lo"), max(col("_ak")).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
+      .sortBy(_._1)
+    // contiguity guard: monotone bucketer => bucket ranges don't overlap
+    bstats.sliding(2).foreach {
+      case Array((pb, _, _, phi), (b, _, blo, _)) =>
+        val ok = phi.asInstanceOf[Comparable[Any]].compareTo(blo) <= 0
+        require(ok, s"lateEventsBatch bucketer broke arrival order: bucket $pb max key " +
+          s"$phi > bucket $b min key $blo — string arrival keys must be fixed-width " +
+          "lowercase hex")
+      case _ => ()
+    }
     var acc = Long.MinValue
-    val prefixes = pidMax.map { case (pid, m) => val p = acc; acc = math.max(acc, m); (pid, p) }
+    val prefixes = bstats.map { case (b, m, _, _) =>
+      val p = acc; acc = math.max(acc, m); (b, p)
+    }
     val spark = events.sparkSession
     import spark.implicits._
-    val prefDf = broadcast(prefixes.toSeq.toDF("_pid", "_prefix"))
-    val w = Window.partitionBy(col("_pid")).orderBy(col("_ak"))
+    val prefDf = broadcast(prefixes.toSeq.toDF("_b", "_prefix"))
+    val w = Window.partitionBy(col("_b")).orderBy(col("_ak"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    parted
-      .join(prefDf, Seq("_pid"))
+    // pass 2: the single full exchange; RangePartitioning(_b) satisfies
+    // the window's clustering, so only a local sort follows. LEFT join:
+    // every bucket has a prefix row by construction, and inner would
+    // inject an isnotnull(_b) null-filter that recomputes the bucket
+    // hash a second time in the scan stage.
+    bucketed
+      .repartitionByRange(width, col("_b"))
+      .join(prefDf, Seq("_b"), "left")
       .withColumn(
         "_hi",
         greatest(coalesce(max(col("ts_us")).over(w), lit(Long.MinValue)), col("_prefix")))

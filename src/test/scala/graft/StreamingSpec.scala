@@ -786,4 +786,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(4L)._2 == 1)
     assert(out(5L)._2 == 0) // boundary: ts == wm is NOT late
   }
+
+  test("lateEventsBatch hex-key path: many explicit buckets reproduce the naive replay") {
+    import org.apache.spark.sql.functions._
+    // the registered query's shape: arrival = md5 hex of the id. Force
+    // one row per bucket so every prefix hand-off is exercised.
+    spark.conf.set("graft.stream.lateTargetPartitionRows", "1")
+    try {
+      val n = 40
+      val rnd = new scala.util.Random(8271)
+      val rows = (1L to n).map(i => (i, rnd.nextInt(100000).toLong))
+      val df = rows.toDF("event_id", "secs")
+        .select(col("event_id"), col("secs").cast("timestamp").as("ts"),
+          md5(col("event_id").cast("string")).as("arrival"))
+        .repartition(3)
+      val out = StreamingFeatures
+        .lateEventsBatch(df, "event_id", "ts", "arrival", delayMinutes = 5L)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("is_late")).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(i: Long) =
+        md.digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      var hi = Long.MinValue
+      val naive = rows.sortBy(r => hex(r._1)).map { case (id, s) =>
+        val tsUs = s * 1000000L
+        val late = if (hi != Long.MinValue && tsUs < hi - 300000000L) 1 else 0
+        hi = math.max(hi, tsUs)
+        id -> late
+      }.toMap
+      assert(out == naive)
+    } finally spark.conf.unset("graft.stream.lateTargetPartitionRows")
+  }
+
+  test("lateEventsBatch guard: a string key set that breaks bucket order fails loudly") {
+    import org.apache.spark.sql.functions._
+    // variable-width hex violates the fixed-width contract: "a" > "4f000000"
+    // as strings but buckets by numeric prefix value put "a" first
+    val df = Seq((1L, 0L, "a"), (2L, 10L, "4f000000"))
+      .toDF("event_id", "secs", "arrival")
+      .select(col("event_id"), col("secs").cast("timestamp").as("ts"), col("arrival"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingFeatures.lateEventsBatch(df, "event_id", "ts", "arrival", 1L).collect()
+    }
+    assert(e.getMessage.contains("bucketer broke arrival order"))
+  }
 }
