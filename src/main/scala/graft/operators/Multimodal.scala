@@ -107,39 +107,57 @@ object Multimodal {
       .groupBy(col("digest"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Partition-parallel batched decode through the [[MediaCodec]] SPI:
-    * one codec init/close per partition, rows processed in a streaming
-    * iterator (never materializes a partition in memory).
+  /** The one partition scaffold every codec-SPI decode op shares: one
+    * codec init/close per partition, rows processed in a streaming
+    * iterator (never materializes a partition in memory), each row
+    * mapped through `f` after decode.
+    *
+    * close() is bound to task completion, not iterator exhaustion: a
+    * failed task, a cancelled stage, or a downstream operator that
+    * stops early (limit) never drains hasNext, and native decoder
+    * state allocated in init() would leak. The completion listener
+    * fires on success, failure, and cancellation alike; the flag keeps
+    * the eager exhaustion path (normal case) from double-closing.
+    */
+  private def decodePartition[T](rows: Iterator[MediaRow], codec: MediaCodec)(
+      f: (MediaRow, Decoded) => T): Iterator[T] = {
+    codec.init()
+    val closer = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def closeOnce(): Unit = if (closer.getAndSet(false)) codec.close()
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      def next(): T = {
+        val r = rows.next()
+        f(r, codec.decode(r.content, r.mime))
+      }
+    }
+  }
+
+  /** Exactly Spark's Round-expression double path (BigDecimal.valueOf
+    * = shortest decimal repr, HALF_UP) so Scala-side rounding here and
+    * functions.round(...) in sibling queries agree bit-for-bit.
+    */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Partition-parallel batched decode through the [[MediaCodec]] SPI
+    * ([[decodePartition]] task shape) emitting header metadata only.
     */
   def decodeMeta(media: DataFrame, codec: MediaCodec = Codecs.JdkCodec): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      codec.init()
-      // close() is bound to task completion, not iterator exhaustion: a
-      // failed task, a cancelled stage, or a downstream operator that
-      // stops early (limit) never drains hasNext, and native decoder
-      // state allocated in init() would leak. The completion listener
-      // fires on success, failure, and cancellation alike; the `open`
-      // flag keeps the eager exhaustion path (normal case) from
-      // double-closing.
-      val closer = new java.util.concurrent.atomic.AtomicBoolean(true)
-      def closeOnce(): Unit = if (closer.getAndSet(false)) codec.close()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      new Iterator[MediaMeta] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h) closeOnce()
-          h
-        }
-        def next(): MediaMeta = {
-          val r = rows.next()
-          val d = codec.decode(r.content, r.mime)
-          MediaMeta(
-            r.media_id, r.content.length.toLong, r.mime,
-            d.width, d.height, d.nFrames, d.checksum)
-        }
+      decodePartition(rows, codec) { (r, d) =>
+        MediaMeta(
+          r.media_id, r.content.length.toLong, r.mime,
+          d.width, d.height, d.nFrames, d.checksum)
       }
     }
   }
@@ -182,45 +200,25 @@ object Multimodal {
   def decodeStats(media: DataFrame, codec: MediaCodec = Codecs.JdkCodec): Dataset[MediaStats] = {
     val spark = media.sparkSession
     import spark.implicits._
-    // exactly Spark's Round-expression double path (BigDecimal.valueOf
-    // = shortest decimal repr, HALF_UP) so Scala-side rounding here and
-    // functions.round(...) in sibling queries agree bit-for-bit
-    def r6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     media.as[MediaRow].mapPartitions { rows =>
-      codec.init()
-      val closer = new java.util.concurrent.atomic.AtomicBoolean(true)
-      def closeOnce(): Unit = if (closer.getAndSet(false)) codec.close()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      new Iterator[MediaStats] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h) closeOnce()
-          h
-        }
-        def next(): MediaStats = {
-          val row = rows.next()
-          val d = codec.decode(row.content, row.mime)
-          val nPx = d.width * d.height
-          MediaStats(
-            media_id = row.media_id,
-            mime = row.mime,
-            width = d.width,
-            height = d.height,
-            n_frames = d.nFrames,
-            px_sum = d.checksum,
-            mean_r = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(0).toDouble / nPx) else 0d,
-            mean_g = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(1).toDouble / nPx) else 0d,
-            mean_b = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(2).toDouble / nPx) else 0d,
-            frame_means = d.frameMeans,
-            sample_rate = d.sampleRate,
-            n_samples = d.nSamples,
-            duration_ms = if (d.sampleRate > 0) d.nSamples * 1000L / d.sampleRate else 0L,
-            rms =
-              if (d.nSamples > 0) r6(math.sqrt(d.sampleSumSq.toDouble / d.nSamples)) else 0d)
-        }
+      decodePartition(rows, codec) { (row, d) =>
+        val nPx = d.width * d.height
+        MediaStats(
+          media_id = row.media_id,
+          mime = row.mime,
+          width = d.width,
+          height = d.height,
+          n_frames = d.nFrames,
+          px_sum = d.checksum,
+          mean_r = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(0).toDouble / nPx) else 0d,
+          mean_g = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(1).toDouble / nPx) else 0d,
+          mean_b = if (d.chanSums.nonEmpty && nPx > 0) r6(d.chanSums(2).toDouble / nPx) else 0d,
+          frame_means = d.frameMeans,
+          sample_rate = d.sampleRate,
+          n_samples = d.nSamples,
+          duration_ms = if (d.sampleRate > 0) d.nSamples * 1000L / d.sampleRate else 0L,
+          rms =
+            if (d.nSamples > 0) r6(math.sqrt(d.sampleSumSq.toDouble / d.nSamples)) else 0d)
       }
     }
   }
@@ -254,34 +252,17 @@ object Multimodal {
       codec: MediaCodec = Codecs.JdkCodec): Dataset[ImageChannelStats] = {
     val spark = media.sparkSession
     import spark.implicits._
-    def r6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     media.as[MediaRow].mapPartitions { rows =>
-      codec.init()
-      val closer = new java.util.concurrent.atomic.AtomicBoolean(true)
-      def closeOnce(): Unit = if (closer.getAndSet(false)) codec.close()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-      new Iterator[ImageChannelStats] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h) closeOnce()
-          h
-        }
-        def next(): ImageChannelStats = {
-          val row = rows.next()
-          val d = codec.decode(row.content, row.mime)
-          require(d.chanSums.length == 3 && d.chanSumSqs.length == 3,
-            s"imageChannelStats needs an image decode, got mime '${row.mime}'")
-          val n = d.width * d.height
-          def mean(c: Int) = r6(d.chanSums(c).toDouble / n)
-          def std(c: Int) =
-            r6(math.sqrt((n * d.chanSumSqs(c) - d.chanSums(c) * d.chanSums(c)).toDouble / (n * n)))
-          ImageChannelStats(
-            row.media_id, row.mime, d.width, d.height,
-            mean(0), mean(1), mean(2), std(0), std(1), std(2))
-        }
+      decodePartition(rows, codec) { (row, d) =>
+        require(d.chanSums.length == 3 && d.chanSumSqs.length == 3,
+          s"imageChannelStats needs an image decode, got mime '${row.mime}'")
+        val n = d.width * d.height
+        def mean(c: Int) = r6(d.chanSums(c).toDouble / n)
+        def std(c: Int) =
+          r6(math.sqrt((n * d.chanSumSqs(c) - d.chanSums(c) * d.chanSums(c)).toDouble / (n * n)))
+        ImageChannelStats(
+          row.media_id, row.mime, d.width, d.height,
+          mean(0), mean(1), mean(2), std(0), std(1), std(2))
       }
     }
   }
@@ -290,10 +271,12 @@ object Multimodal {
     * that fit each image into a `maxDim` bounding box preserving aspect
     * ratio (the standard vision-model preprocessing step). This is the
     * deterministic half of a resize: the pixel transform itself lives
-    * in the codec (stubbed here, see [[FakeCodec]]); the plan — which
-    * rows need work and their exact target shapes — is plain integer
-    * arithmetic, runs at scan speed, and is what a scheduler uses to
-    * skip no-op rows and size the decode batches.
+    * behind the [[MediaCodec]] SPI (the shipped [[Codecs.JdkCodec]]
+    * decodes real PNG/BMP/GIF/WAV; the resample kernel is the one step
+    * still external); the plan — which rows need work and their exact
+    * target shapes — is plain integer arithmetic, runs at scan speed,
+    * and is what a scheduler uses to skip no-op rows and size the
+    * decode batches.
     *
     * All arithmetic stays in exact-in-double range (dims are bounded),
     * so floor(w * maxDim / longest-side) is engine-portable.

@@ -441,7 +441,10 @@ object StreamingFeatures {
         val span = BigInt(mm.getLong(1)) - lo + 1
         val per = ((span + width - 1) / width).max(1) // fits a long: span/width <= 2^64/32
         if (span <= BigInt(Long.MaxValue))
-          expr(s"CAST((CAST(_ak AS BIGINT) - ${lo}L) DIV ${per}L AS INT)")
+          // lo rendered via a string cast, not a bare literal: a bare
+          // -9223372036854775808L parses as unary minus over an
+          // out-of-range positive literal and fails
+          expr(s"CAST((CAST(_ak AS BIGINT) - CAST('$lo' AS BIGINT)) DIV ${per}L AS INT)")
         else // span overflows long subtraction: exact decimal(20,0) math
           expr(s"CAST((CAST(_ak AS DECIMAL(20,0)) - CAST('$lo' AS DECIMAL(20,0)))" +
             s" DIV CAST('$per' AS DECIMAL(20,0)) AS INT)")
@@ -452,15 +455,25 @@ object StreamingFeatures {
     val bstats = bucketed.groupBy(col("_b"))
       .agg(max(col("ts_us")).as("m"), min(col("_ak")).as("lo"), max(col("_ak")).as("hi"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
+      .map { r =>
+        // a NULL bucket means a null arrival key or a string key conv()
+        // couldn't parse — a contract violation; fail with the reason,
+        // not an NPE
+        require(!r.isNullAt(0), "lateEventsBatch: null bucket id — arrival keys must " +
+          "be non-null, and string keys must be fixed-width lowercase hex")
+        (r.getInt(0), r.getLong(1), r.get(2), r.get(3))
+      }
       .sortBy(_._1)
+    val akType = pts.schema("_ak").dataType
     // contiguity guard: monotone bucketer => bucket ranges don't overlap
     bstats.sliding(2).foreach {
       case Array((pb, _, _, phi), (b, _, blo, _)) =>
         val ok = phi.asInstanceOf[Comparable[Any]].compareTo(blo) <= 0
+        val hint =
+          if (akType == StringType) "string arrival keys must be fixed-width lowercase hex"
+          else s"the $akType uniform bucketer violated monotonicity (engine bug)"
         require(ok, s"lateEventsBatch bucketer broke arrival order: bucket $pb max key " +
-          s"$phi > bucket $b min key $blo — string arrival keys must be fixed-width " +
-          "lowercase hex")
+          s"$phi > bucket $b min key $blo — $hint")
       case _ => ()
     }
     var acc = Long.MinValue

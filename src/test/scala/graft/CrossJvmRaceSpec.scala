@@ -47,20 +47,22 @@ class CrossJvmRaceSpec extends AnyFunSpec {
     // genuinely overlap; each child needs a distinct Derby/metastore
     // scratch dir (derby.system.home defaults to CWD) — point them at
     // their own temp dirs to keep the forked sessions independent.
+    // Drains start in the SAME loop that launches: a child emitting
+    // >64 KB with no reader blocks on a full pipe mid-race, which
+    // would distort the commit overlap the test exists to create (and
+    // a synchronous fromInputStream(...).mkString after the fact
+    // would make the 300s waitFor unreachable for a hung writer).
     val procs = (1 to 3).map { w =>
       val pb = new ProcessBuilder(cmd(w).asJava).redirectErrorStream(true)
       pb.directory(Files.createTempDirectory(s"graft_xjvm_w$w").toFile)
-      (w, pb.start())
-    }
-    // Drain each child's stdout on its own thread: a synchronous
-    // fromInputStream(...).mkString blocks until the child closes
-    // stdout, which would make the 300s waitFor below unreachable for
-    // a hung writer (the suite would hang instead of failing).
-    val outs = procs.map { case (w, p) =>
+      val p = pb.start()
       val buf = new _root_.java.io.ByteArrayOutputStream()
       val drain = new Thread(() => p.getInputStream.transferTo(buf))
       drain.setDaemon(true)
       drain.start()
+      (w, p, buf, drain)
+    }
+    val outs = procs.map { case (w, p, buf, drain) =>
       val finished = p.waitFor(300, TimeUnit.SECONDS)
       if (!finished) p.destroyForcibly()
       assert(finished, s"writer $w timed out after 300s")
