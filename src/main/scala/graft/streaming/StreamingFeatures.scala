@@ -384,24 +384,36 @@ object StreamingFeatures {
     * at the fourth scaling decade that pin's write+re-read WAS the
     * query (SCALING.md sf300: 0.45 → 0.90 µs/row).
     *
-    * Bucketing by key type:
-    *  - string keys must be fixed-width lowercase hex (e.g. an md5):
-    *    equi-depth by construction, bucket = top 32 bits of the first
-    *    8 hex chars scaled to width. No pre-scan needed.
-    *  - numeric/timestamp keys: uniform buckets over the collected
-    *    [min, max] (one column-pruned agg scan); exact long math, with
-    *    a decimal(20,0) fallback when the span overflows a long.
+    * Bucket ids are drawn at a FIXED fine granularity (`FineBuckets` =
+    * 4096, the prior width cap) independent of the row count; the row
+    * count only sizes the number of RANGE PARTITIONS the window pass
+    * uses, and it is read off the same per-bucket aggregate that
+    * computes the maxima. Decoupling bucket identity from sizing is
+    * what gets the hex path to ZERO driver actions before the
+    * bucket-stats pass — no count() scan, no min/max scan:
+    *  - string keys must be fixed-width lowercase hex of at least 8
+    *    chars (e.g. an md5): equi-depth by construction, bucket = top
+    *    32 bits of the first 8 hex chars scaled to 4096. The contract
+    *    is VALIDATED per row (length + a hex-alphabet translate check
+    *    — cheap codegen'd string ops, no regex in a 10^9-row scan):
+    *    violating keys get a NULL bucket, which the stats pass turns
+    *    into the contract error below. (Spark's conv() alone cannot
+    *    catch this — it parses garbage to "0", which would silently
+    *    fold short or non-hex keys into bucket 0 and collapse the
+    *    window pass to one task.)
+    *  - numeric/timestamp keys: uniform buckets over [min, max]. One
+    *    column-pruned pre-aggregate computes count+min+max TOGETHER
+    *    (the count rides the scan the bucketer needs anyway).
     * Either way the per-bucket aggregate also collects min/max keys
     * and the driver VERIFIES contiguity (bucket b's max key ≤ bucket
     * b+1's min key) before trusting the prefixes — a bucketer that
     * breaks the monotone contract fails loudly, never silently.
     *
-    * Width is BUDGET-DERIVED, not session-derived: rows /
-    * `graft.stream.lateTargetPartitionRows` (default 4 M — ~100 MB of
-    * (id, ts, key) rows per task) keeps the per-task sort run constant
-    * by construction; the width only ever grows past the session
-    * setting, so driver-SF plans are untouched. The row count itself
-    * is a parquet metadata-only count.
+    * Range-partition width is BUDGET-DERIVED, not session-derived:
+    * rows / `graft.stream.lateTargetPartitionRows` (default 4 M —
+    * ~100 MB of (id, ts, key) rows per task) keeps the per-task sort
+    * run constant by construction; the width only ever grows past the
+    * session setting, so driver-SF plans are untouched.
     */
   def lateEventsBatch(
       events: DataFrame,
@@ -421,25 +433,42 @@ object StreamingFeatures {
     val targetRows = events.sparkSession.conf
       .getOption("graft.stream.lateTargetPartitionRows")
       .map(_.toLong).getOrElse(4000000L)
-    val cnt = events.count()
-    if (cnt == 0L)
-      return pts.select(
-        col("event_id"), col("ts_us"),
-        lit(null).cast(LongType).as("wm_us"), lit(0).as("is_late"))
-    val width = math.max(
-      session, math.min(math.ceil(cnt.toDouble / targetRows), 4096d).toInt)
+    // fixed fine-bucket granularity: bucket identity never depends on
+    // the row count, so the hex path needs NO pre-scan at all
+    val FineBuckets = 4096
     val bucketExpr: org.apache.spark.sql.Column = pts.schema("_ak").dataType match {
       case StringType =>
-        // fixed-width lowercase hex contract: first 8 hex chars are a
-        // uniform 32-bit value; v*width < 2^44, shiftright 32 = DIV 2^32
-        shiftright(conv(substring(col("_ak"), 1, 8), 16, 10).cast(LongType) * width, 32)
-          .cast("int")
+        // fixed-width lowercase-hex contract, validated per row with
+        // codegen'd string ops (length + alphabet translate — conv()
+        // alone parses garbage to "0" and would silently bucket it):
+        // violations yield a NULL bucket that the stats pass rejects
+        // with the contract message
+        val prefix8 = substring(col("_ak"), 1, 8)
+        val validHex =
+          (length(col("_ak")) >= 8) && (translate(prefix8, "0123456789abcdef", "") === "")
+        // first 8 hex chars are a uniform 32-bit value; v*4096 < 2^44,
+        // shiftright 32 = DIV 2^32 — equi-depth by construction
+        when(
+          validHex,
+          shiftright(conv(prefix8, 16, 10).cast(LongType) * FineBuckets, 32).cast("int"))
       case _ =>
+        // ONE column-pruned pre-aggregate: the count the sizing needs
+        // rides the min/max scan the bucketer needs
         val mm = pts.agg(
+          count(lit(1)),
           min(col("_ak").cast(LongType)), max(col("_ak").cast(LongType))).head()
-        val lo = BigInt(mm.getLong(0))
-        val span = BigInt(mm.getLong(1)) - lo + 1
-        val per = ((span + width - 1) / width).max(1) // fits a long: span/width <= 2^64/32
+        if (mm.getLong(0) == 0L)
+          return pts.select(
+            col("event_id"), col("ts_us"),
+            lit(null).cast(LongType).as("wm_us"), lit(0).as("is_late"))
+        // all-null keys leave the min/max agg NULL: raise the key
+        // contract, not a bare NPE from getLong
+        require(!mm.isNullAt(1) && !mm.isNullAt(2),
+          "lateEventsBatch: arrival keys must be non-null (min/max of the numeric " +
+            "arrival key aggregated to NULL — every key in the frame is NULL)")
+        val lo = BigInt(mm.getLong(1))
+        val span = BigInt(mm.getLong(2)) - lo + 1
+        val per = ((span + FineBuckets - 1) / FineBuckets).max(1) // span/4096 fits a long
         if (span <= BigInt(Long.MaxValue))
           // lo rendered via a string cast, not a bare literal: a bare
           // -9223372036854775808L parses as unary minus over an
@@ -450,20 +479,33 @@ object StreamingFeatures {
             s" DIV CAST('$per' AS DECIMAL(20,0)) AS INT)")
     }
     val bucketed = pts.withColumn("_b", bucketExpr)
-    // pass 1: map-side-combined per-bucket (max ts, min/max key) — the
-    // ONLY exchange is <= width pre-aggregated rows
-    val bstats = bucketed.groupBy(col("_b"))
-      .agg(max(col("ts_us")).as("m"), min(col("_ak")).as("lo"), max(col("_ak")).as("hi"))
+    // pass 1: map-side-combined per-bucket (count, max ts, min/max key)
+    // — the ONLY exchange is <= 4096 pre-aggregated rows, and for the
+    // hex path this is the ONLY driver action before the window pass
+    // (the per-bucket counts replace the former count() scan)
+    val bstatsRows = bucketed.groupBy(col("_b"))
+      .agg(
+        count(lit(1)).as("n"), max(col("ts_us")).as("m"),
+        min(col("_ak")).as("lo"), max(col("_ak")).as("hi"))
       .collect()
+    if (bstatsRows.isEmpty)
+      return pts.select(
+        col("event_id"), col("ts_us"),
+        lit(null).cast(LongType).as("wm_us"), lit(0).as("is_late"))
+    val bstats = bstatsRows
       .map { r =>
-        // a NULL bucket means a null arrival key or a string key conv()
-        // couldn't parse — a contract violation; fail with the reason,
-        // not an NPE
+        // a NULL bucket means a null arrival key or a string key that
+        // failed the fixed-width lowercase-hex validation — a contract
+        // violation; fail with the reason, not an NPE
         require(!r.isNullAt(0), "lateEventsBatch: null bucket id — arrival keys must " +
-          "be non-null, and string keys must be fixed-width lowercase hex")
-        (r.getInt(0), r.getLong(1), r.get(2), r.get(3))
+          "be non-null, and string keys must be fixed-width lowercase hex of at " +
+          "least 8 chars")
+        (r.getInt(0), r.getLong(2), r.get(3), r.get(4))
       }
       .sortBy(_._1)
+    val total = bstatsRows.map(_.getLong(1)).sum
+    val width = math.max(
+      session, math.min(math.ceil(total.toDouble / targetRows), FineBuckets.toDouble).toInt)
     val akType = pts.schema("_ak").dataType
     // contiguity guard: monotone bucketer => bucket ranges don't overlap
     bstats.sliding(2).foreach {

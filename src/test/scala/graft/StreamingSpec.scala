@@ -818,16 +818,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.stream.lateTargetPartitionRows")
   }
 
-  test("lateEventsBatch guard: a string key set that breaks bucket order fails loudly") {
+  test("lateEventsBatch guard: hex-contract violations fail with the contract message") {
     import org.apache.spark.sql.functions._
-    // variable-width hex violates the fixed-width contract: "a" > "4f000000"
-    // as strings but buckets by numeric prefix value put "a" first
-    val df = Seq((1L, 0L, "a"), (2L, 10L, "4f000000"))
-      .toDF("event_id", "secs", "arrival")
-      .select(col("event_id"), col("secs").cast("timestamp").as("ts"), col("arrival"))
+    // The per-row validation (length >= 8 + lowercase-hex alphabet)
+    // NULLs the bucket for violating keys, so the stats pass raises the
+    // contract error — conv() alone would parse these to "0" and
+    // silently fold them into bucket 0 (collapsing the window pass to
+    // one task for short fixed-width keys, or corrupting order for
+    // mixed-width ones).
+    def expectContractError(keys: Seq[String]): Unit = {
+      val df = keys.zipWithIndex
+        .map { case (k, i) => (i.toLong, i.toLong, k) }
+        .toDF("event_id", "secs", "arrival")
+        .select(col("event_id"), col("secs").cast("timestamp").as("ts"), col("arrival"))
+      val e = intercept[IllegalArgumentException] {
+        StreamingFeatures.lateEventsBatch(df, "event_id", "ts", "arrival", 1L).collect()
+      }
+      assert(e.getMessage.contains("fixed-width lowercase hex"), s"keys=$keys: $e")
+    }
+    expectContractError(Seq("a", "4f000000"))      // width-1 hex: short keys
+    expectContractError(Seq("beef", "4f00"))       // width-4 hex: would all bucket to 0
+    expectContractError(Seq("4F00000000", "aa00000000")) // uppercase
+    expectContractError(Seq("not-hex-at-all", "4f000000ff")) // garbage
+    expectContractError(Seq(null, "4f000000ff"))   // null key
+  }
+
+  test("lateEventsBatch guard: all-null numeric keys raise the key contract, not an NPE") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 0L), (2L, 10L))
+      .toDF("event_id", "secs")
+      .select(col("event_id"), col("secs").cast("timestamp").as("ts"),
+        lit(null).cast("long").as("arrival"))
     val e = intercept[IllegalArgumentException] {
       StreamingFeatures.lateEventsBatch(df, "event_id", "ts", "arrival", 1L).collect()
     }
-    assert(e.getMessage.contains("bucketer broke arrival order"))
+    assert(e.getMessage.contains("arrival keys must be non-null"), e.getMessage)
   }
 }
