@@ -1826,6 +1826,44 @@ object SparkEntry {
         emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 10), k = 3, kBuild = 3, maxLevel = 3)
     }),
+    // hnswlib saveIndex serialization (the reference's deployable
+    // serving artifact): build the hierarchy, WRITE the binary file,
+    // re-parse it with the independent reader, and emit per-level
+    // stats computed FROM THE PARSED BYTES. The oracle re-derives the
+    // same numbers from first principles — node/edge counts from the
+    // level + diverse-neighbor CTEs, and the exact file byte count
+    // from hnswlib's layout arithmetic — so a drifting serializer
+    // (wrong field width, missing pad, dropped edge) hash-mismatches.
+    "emb_hnsw_export" -> ((s, dir) => {
+      import s.implicits._
+      val p = System.getProperty("java.io.tmpdir") +
+        s"/graft_hnsw_export_${ProcessHandle.current().pid()}/index.hnsw"
+      HnswExport.exportIndex(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 3, maxLevel = 3, efConstruction = 100, p)
+      val idx = HnswExport.readIndex(p)
+      // payload check rides the gate: labels dense-ascending in key
+      // order and vector bytes bit-equal to the source column (an
+      // artifact-sized driver loop — the file is serving-RAM-sized by
+      // the format's own contract)
+      val src = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy(col("vec_id")).collect()
+      val payloadOk =
+        idx.labels.toSeq == src.map(_.getLong(0)).toSeq &&
+          src.indices.forall { i =>
+            val v = src(i).getSeq[Float](1)
+            v.length == idx.dim && v.indices.forall(j =>
+              java.lang.Float.floatToRawIntBits(v(j)) ==
+                java.lang.Float.floatToRawIntBits(idx.vectors(i)(j)))
+          }
+      val fileBytes = java.nio.file.Files.size(java.nio.file.Paths.get(p))
+      (0 to 3).map(l => (
+        l.toLong, idx.nodesAtLevelGte(l), idx.edgesAtLevel(l),
+        idx.nElements.toLong, idx.labels(idx.header.enterPoint), fileBytes, payloadOk))
+        .toDF("level", "n_nodes", "n_edges", "n_elements", "entry_label",
+          "file_bytes", "payload_ok")
+    }),
     // Dense-core extraction: 3 synchronized peeling rounds at k=3 over
     // the undirected 3-NN graph; survivors + residual degree.
     "graph_kcore" -> ((s, dir) => {
@@ -2091,6 +2129,42 @@ object SparkEntry {
                  ORDER BY es.sim DESC, b.cur) AS rank
         FROM b3 b JOIN es ON es.qid = b.query_id AND es.nvid = b.cur)
       WHERE rank <= 3"""
+  }
+
+  /** The hnswlib-serialization gate: per-level node/edge counts from
+    * the SAME level + diverse-neighbor CTEs as the build oracle, plus
+    * the EXACT artifact byte count from hnswlib's saveIndex layout
+    * arithmetic — header 96 bytes; per element a level-0 block of
+    * (maxM0*4+4) link bytes + dim*4 vector bytes + 8 label bytes
+    * (maxM0 = 2m = 6); then per element 4 size bytes + level_i
+    * segments of (maxM*4+4) = 16 bytes. The Spark side reads these
+    * numbers back out of the parsed binary, so the two derivations
+    * meet only at the file format.
+    */
+  private lazy val hnswExportOracleSql: String = {
+    val kept = (0 to 3).map(l => hnswKeptEdgesSql(l, s"ed$l", candK = 6, m = 3))
+    val arms = (0 to 3).map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS level,
+             (SELECT count(*) FROM lv WHERE level >= $l) AS n_nodes,
+             (SELECT count(*) FROM ed$l) AS n_edges"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH $hnswLvCte,
+      $hnswEsCte,
+      ${kept.mkString(",")},
+      geom AS MATERIALIZED (
+        SELECT count(*) AS n, max(len(embedding)) AS dim FROM embeddings),
+      lvsum AS (SELECT sum(level) AS suml FROM lv),
+      perlevel AS ($arms)
+      SELECT p.level,
+             CAST(p.n_nodes AS BIGINT) AS n_nodes,
+             CAST(p.n_edges AS BIGINT) AS n_edges,
+             CAST(g.n AS BIGINT) AS n_elements,
+             (SELECT vec_id FROM lv ORDER BY level DESC, vec_id LIMIT 1) AS entry_label,
+             CAST(96 + g.n * (6*4+4 + g.dim*4 + 8) + 4*g.n + (3*4+4) * s.suml AS BIGINT)
+               AS file_bytes,
+             TRUE AS payload_ok
+      FROM perlevel p, geom g, lvsum s"""
   }
 
   /** All-points 10-NN label consistency: integer match counts, one
@@ -3018,6 +3092,7 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql,
     "emb_hnsw_build" -> hnswOracleSql,
     "emb_hnsw_search" -> hnswSearchOracleSql,
+    "emb_hnsw_export" -> hnswExportOracleSql,
     "emb_label_consistency" -> labelConsistencyOracleSql,
     "emb_centroid_drift" -> """
       WITH b AS (

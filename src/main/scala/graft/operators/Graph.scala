@@ -300,6 +300,25 @@ object Graph {
       vecCol: String,
       m: Int,
       candK: Int
+  ): DataFrame =
+    diverseNeighborLists(space, keyCol, vecCol, m, candK)
+      .select(col("query_id").as("src"), explode(col("dsts")).as("dst"))
+
+  /** [[diverseNeighbors]] with the per-node link list kept as an ORDERED
+    * array (kept-first in scan order, then the keepPrunedConnections
+    * backfill in rank order) instead of exploded edge rows — the shape
+    * the hnswlib serializer ([[HnswExport]]) needs, because the on-disk
+    * link list is order-significant. Exploding this is exactly
+    * [[diverseNeighbors]]: the fold never emits an empty list for a
+    * node that has candidates, and nodes without candidates produce no
+    * row either way.
+    */
+  def diverseNeighborLists(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      candK: Int
   ): DataFrame = {
     require(m >= 1 && candK >= m, s"need candK >= m >= 1, got m=$m candK=$candK")
     val cands = Similarity.knnBruteForce(space, space, keyCol, vecCol, candK)
@@ -343,7 +362,7 @@ object Graph {
       .agg(sort_array(collect_list(struct(
         col("rank"), col("neighbor_id").cast("long").as("id"), col("_nv").as("v")))).as("pool"))
       .join(vq, "query_id")
-      .select(col("query_id").as("src"), explode(chosen).as("dst"))
+      .select(col("query_id"), chosen.as("dsts"))
   }
 
   def hnswBuild(
