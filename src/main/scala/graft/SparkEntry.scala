@@ -1780,6 +1780,37 @@ object SparkEntry {
       Graph.pageRank(edges, dampingPct = 85, iterations = 3)
         .select(col("id").as("node_id"), col("pr_units"), col("pagerank"))
     }),
+    // Full-scale iterative gate: the SAME fixed-point PageRank over a
+    // LINEARLY-built graph — the order↔part incidence edges of
+    // lineitem (both directions, multi-edges kept as weights) — so the
+    // 3-round join+aggregate machinery is oracle-checkable at sf10's
+    // 60 M lineitem rows where the kNN edge demo (quadratic by
+    // construction) cannot be. Part ids offset into a disjoint space.
+    "graph_pagerank_bipartite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select(
+        col("l_orderkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000000000L).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, dampingPct = 85, iterations = 3)
+        .select(col("id").as("node_id"), col("pr_units"), col("pagerank"))
+    }),
+    // Same linear edge source for the label-prop iterative machinery:
+    // every 7th part seeds its `p_partkey % 5` class; two clamped
+    // majority-vote rounds spread labels across orders and back.
+    "graph_label_prop_bipartite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select(
+        col("l_orderkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000000000L).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "part").where(col("p_partkey") % 7 === 0)
+        .select(
+          (col("p_partkey").cast("long") + 1000000000000L).as("id"),
+          (col("p_partkey") % 5).cast("long").as("label"))
+      Graph.labelPropagation(edges, seeds, iterations = 2)
+        .select(col("id").as("node_id"), col("label"))
+    }),
     // Similarity-graph quality audit: per-node triangles + local
     // clustering coefficient over the undirected 3-NN graph.
     "graph_triangles" -> ((s, dir) => {
@@ -1817,6 +1848,36 @@ object SparkEntry {
     "emb_hnsw_build" -> ((s, dir) =>
       Graph.hnswBuild(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 3, maxLevel = 3)),
+    // The declared 100 TB candidate swap, realized and gated: IVF
+    // probes feed the SAME diverse prune, and probing every cell
+    // (nProbe >= the 10 label cells) must reproduce the brute-built
+    // hierarchy EXACTLY — held to the brute oracle, exactly as
+    // emb_knn_ivf is held to knnBruteForce. Partial-probe structure
+    // and probed-cell containment are spec territory (GraphSpec).
+    "emb_hnsw_ivf_build" -> ((s, dir) =>
+      Graph.hnswBuildIvf(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        k = 3, maxLevel = 3, nProbe = 1000)),
+    // Deterministically capped twins: the 4-layer build/search
+    // machinery over `vec_id % ((n+1999) div 2000) == 0` — the full
+    // space at driver SFs (modulus 1), a bounded 2000-vector slice of
+    // generated scale-ups, so the quadratic all-pairs oracle stays
+    // tractable at sf10 while the machinery runs on genuine sf10 rows.
+    "emb_hnsw_build_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kmod = (emb.count() + 1999L) / 2000L
+      Graph.hnswBuild(
+        emb.where(col("vec_id") % kmod === 0), "vec_id", "embedding",
+        k = 3, maxLevel = 3)
+    }),
+    "emb_hnsw_search_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kmod = (emb.count() + 1999L) / 2000L
+      val sp = emb.where(col("vec_id") % kmod === 0)
+      Graph.hnswSearchReplay(
+        sp, "vec_id", "embedding",
+        sp.where(col("vec_id") < 10L * kmod), k = 3, kBuild = 3, maxLevel = 3)
+    }),
     // Greedy-descent replay over the built hierarchy: global entry,
     // one step per upper layer, two-hop layer-0 frontier, exact top-3
     // among candidates — validates the artifact navigates.
@@ -1979,11 +2040,13 @@ object SparkEntry {
           SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id)
       SELECT id AS node_id, deg AS core_degree FROM d3 WHERE deg >= 3"""
 
-  /** The level CTE shared by the two HNSW oracles: the SAME
-    * pure-integer trailing-base-4-zeros rule as Graph.hnswLevels
-    * (md5 60-bit hash, divisibility by 4^l).
+  /** The level CTE shared by the HNSW oracles: the SAME pure-integer
+    * trailing-base-4-zeros rule as Graph.hnswLevels (md5 60-bit hash,
+    * divisibility by 4^l). `src` parameterizes the vector source so
+    * the deterministically SAMPLED twins (the sf10 gates) reuse the
+    * identical rule over their capped subspace.
     */
-  private val hnswLvCte: String = """
+  private def hnswLvCteFrom(src: String): String = s"""
       lv AS MATERIALIZED (
         SELECT vec_id,
                CASE WHEN h % 64 = 0 THEN 3
@@ -1993,19 +2056,35 @@ object SparkEntry {
         FROM (
           SELECT vec_id,
                  ('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
-          FROM embeddings))"""
+          FROM $src))"""
 
-  /** All-pair cosine CTE shared by the two HNSW oracles (ordered
-    * unnest sums = the kernel's index-ordered double accumulation).
+  private val hnswLvCte: String = hnswLvCteFrom("embeddings")
+
+  /** All-pair cosine CTE shared by the HNSW oracles (ordered unnest
+    * sums = the kernel's index-ordered double accumulation), over a
+    * parameterized vector source.
     */
-  private val hnswEsCte: String = """
+  private def hnswEsCteFrom(src: String): String = s"""
       es AS MATERIALIZED (
         SELECT qid, nvid,
                sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
           SELECT q.vec_id AS qid, n.vec_id AS nvid,
                  unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
-          FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
+          FROM $src q JOIN $src n ON n.vec_id <> q.vec_id)
         GROUP BY qid, nvid)"""
+
+  private val hnswEsCte: String = hnswEsCteFrom("embeddings")
+
+  /** The deterministic sampled HNSW subspace: cap the corpus at ~2000
+    * vectors by a count-derived modulus (the SAME `(n+1999) div 2000`
+    * both engines compute), so the driver SFs run the FULL space
+    * (modulus 1) and generated scale-ups (sf10's 200k vectors) gate the
+    * identical 4-layer machinery on a bounded slice — the all-pairs
+    * oracle stays tractable while the inputs are genuine sf10 rows.
+    */
+  private val hnswSampledSrc: String =
+    "(SELECT * FROM embeddings WHERE vec_id % " +
+      "(SELECT (count(*) + 1999) // 2000 FROM embeddings) = 0)"
 
   /** Unrolled SQL of the diverse-neighbor heuristic
     * (Graph.diverseNeighbors — Algorithm 4 of Malkov & Yashunin with
@@ -2073,24 +2152,28 @@ object SparkEntry {
     * corpus — mirrors Graph.hnswBuild (diverseNeighbors with
     * candK = 2k, m = k) arm for arm.
     */
-  private lazy val hnswOracleSql: String = {
+  private def hnswBuildOracleFrom(src: String): String = {
     val kept = (0 to 3).map(l => hnswKeptEdgesSql(l, s"ed$l", candK = 6, m = 3))
     val arms = (0 to 3)
       .map(l => s"SELECT CAST($l AS BIGINT) AS level, src, dst FROM ed$l")
       .mkString("\n      UNION ALL\n      ")
     s"""
-      WITH $hnswLvCte,
-      $hnswEsCte,
+      WITH ${hnswLvCteFrom(src)},
+      ${hnswEsCteFrom(src)},
       ${kept.mkString(",")}
       $arms"""
   }
+
+  private lazy val hnswOracleSql: String = hnswBuildOracleFrom("embeddings")
+
+  private lazy val hnswSampledOracleSql: String = hnswBuildOracleFrom(hnswSampledSrc)
 
   /** Greedy-descent replay, unrolled: all-pair sims once (escored),
     * per-layer kNN edges from level filters, the global entry, one
     * argmax step per upper layer, a two-hop layer-0 frontier, exact
     * top-3. Mirrors Graph.hnswSearchReplay step for step.
     */
-  private lazy val hnswSearchOracleSql: String = {
+  private def hnswSearchOracleFrom(src: String, queryBound: String): String = {
     def edgesFor(l: Int) = hnswKeptEdgesSql(l, s"ed$l", candK = 6, m = 3)
     def stepFor(out: String, prev: String, edges: String, width: Int) = s"""
       cand_$out AS (
@@ -2107,13 +2190,13 @@ object SparkEntry {
           WHERE c.cand <> c.query_id)
         WHERE rn <= $width)"""
     s"""
-      WITH $hnswLvCte,
-      $hnswEsCte,
+      WITH ${hnswLvCteFrom(src)},
+      ${hnswEsCteFrom(src)},
       ${(0 to 3).map(edgesFor).mkString(",")},
       entry AS (SELECT vec_id AS cur FROM lv ORDER BY level DESC, vec_id LIMIT 1),
       c0 AS (
         SELECT q.vec_id AS query_id, e.cur
-        FROM embeddings q CROSS JOIN entry e WHERE q.vec_id < 10),
+        FROM $src q CROSS JOIN entry e WHERE q.vec_id < $queryBound),
       ${stepFor("s3a", "c0", "ed3", 3)},
       ${stepFor("s3b", "s3a", "ed3", 3)},
       ${stepFor("s2a", "s3b", "ed2", 3)},
@@ -2129,6 +2212,14 @@ object SparkEntry {
                  ORDER BY es.sim DESC, b.cur) AS rank
         FROM b3 b JOIN es ON es.qid = b.query_id AND es.nvid = b.cur)
       WHERE rank <= 3"""
+  }
+
+  private lazy val hnswSearchOracleSql: String =
+    hnswSearchOracleFrom("embeddings", "10")
+
+  private lazy val hnswSearchSampledOracleSql: String = {
+    val kmod = "(SELECT (count(*) + 1999) // 2000 FROM embeddings)"
+    hnswSearchOracleFrom(hnswSampledSrc, s"10 * $kmod")
   }
 
   /** The hnswlib-serialization gate: per-level node/edge counts from
@@ -2193,8 +2284,7 @@ object SparkEntry {
     * the same 3-NN cosine graph as PageRank: integer votes,
     * smaller-label tiebreak, seeds (vec_id < 50) clamped.
     */
-  private lazy val labelPropOracleSql: String = {
-    def iter(prev: String, n: Int): String = s"""
+  private def lpIterSql(prev: String, n: Int): String = s"""
       v$n AS (
         SELECT e.dst AS id, p.label AS nl, count(*) AS votes
         FROM edges e JOIN $prev p ON p.id = e.src
@@ -2211,19 +2301,32 @@ object SparkEntry {
         LEFT JOIN seeds ON seeds.id = nodes.id
         LEFT JOIN w$n ON w$n.id = nodes.id
         LEFT JOIN $prev ON $prev.id = nodes.id)"""
-    s"""
-      WITH $knnGraphCtes,
+
+  /** The 2-iteration clamped-majority-vote body shared by the
+    * kNN-graph and bipartite label-prop oracles — only the edge and
+    * seed CTEs differ.
+    */
+  private def labelPropBodySql(edgeCtes: String, seedsCte: String): String = s"""
+      WITH $edgeCtes,
       nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-      seeds AS (
-        SELECT vec_id AS id, CAST(label AS BIGINT) AS sl
-        FROM embeddings WHERE vec_id < 50),
+      seeds AS ($seedsCte),
       l0 AS (
         SELECT nodes.id, seeds.sl AS label
         FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id),
-      ${iter("l0", 1)},
-      ${iter("l1", 2)}
+      ${lpIterSql("l0", 1)},
+      ${lpIterSql("l1", 2)}
       SELECT id AS node_id, CAST(label AS BIGINT) AS label FROM l2"""
-  }
+
+  private lazy val labelPropOracleSql: String = labelPropBodySql(
+    knnGraphCtes,
+    """SELECT vec_id AS id, CAST(label AS BIGINT) AS sl
+        FROM embeddings WHERE vec_id < 50""")
+
+  private lazy val labelPropBipartiteOracleSql: String = labelPropBodySql(
+    bipartiteEdgeCtes,
+    """SELECT p_partkey + 1000000000000 AS id,
+               CAST(p_partkey % 5 AS BIGINT) AS sl
+        FROM part WHERE p_partkey % 7 = 0""")
 
   /** Unrolled 3-iteration PageRank (dampingPct 85) over the directed
     * 3-NN cosine graph — the same FIXED-POINT INTEGER schedule as
@@ -2231,8 +2334,7 @@ object SparkEntry {
     * truncating integer division, so no float enters the iteration in
     * either engine. DuckDB's sum(BIGINT) widens to HUGEINT — cast back.
     */
-  private lazy val pageRankOracleSql: String = {
-    def iter(prev: String, name: String): String = s"""
+  private def prIterSql(prev: String, name: String): String = s"""
       $name AS (
         SELECT nodes.id,
                (15 * 1000000000000 // 100 // nn) + (85 * coalesce(sm.s, 0) // 100) AS pr
@@ -2244,20 +2346,39 @@ object SparkEntry {
           JOIN od ON od.src = e.src
           GROUP BY e.dst) sm ON sm.id = nodes.id
         CROSS JOIN n)"""
-    s"""
-      WITH $knnGraphCtes,
+
+  /** The 3-iteration fixed-point body shared by the kNN-graph and
+    * bipartite PageRank oracles — only the `edges` CTE differs.
+    */
+  private def pageRankBodySql(edgeCtes: String): String = s"""
+      WITH $edgeCtes,
       nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
       n AS (SELECT count(*) AS nn FROM nodes),
       od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
       pr0 AS (
         SELECT id, 1000000000000 // nn AS pr FROM nodes CROSS JOIN n),
-      ${iter("pr0", "pr1")},
-      ${iter("pr1", "pr2")},
-      ${iter("pr2", "pr3")}
+      ${prIterSql("pr0", "pr1")},
+      ${prIterSql("pr1", "pr2")},
+      ${prIterSql("pr2", "pr3")}
       SELECT id AS node_id, CAST(pr AS BIGINT) AS pr_units,
              CAST(pr AS BIGINT) / 1000000000000.0 AS pagerank
       FROM pr3"""
-  }
+
+  private lazy val pageRankOracleSql: String = pageRankBodySql(knnGraphCtes)
+
+  /** The LINEAR full-scale edge source for the iterative-family scale
+    * gates: the order↔part incidence graph of lineitem, both
+    * directions, multi-edges kept (both engines see the identical edge
+    * multiset; multiplicity just weights the vote/transfer). Part ids
+    * are offset into a disjoint node-id space.
+    */
+  private val bipartiteEdgeCtes: String = """fwd AS (
+        SELECT l_orderkey AS src, l_partkey + 1000000000000 AS dst FROM lineitem),
+      edges AS (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)"""
+
+  private lazy val pageRankBipartiteOracleSql: String =
+    pageRankBodySql(bipartiteEdgeCtes)
 
   private val centroidCte = """
       cd AS (
@@ -3091,8 +3212,15 @@ object SparkEntry {
     "graph_link_predict" -> linkPredictOracleSql,
     "graph_kcore" -> kcoreOracleSql,
     "emb_hnsw_build" -> hnswOracleSql,
+    // full probe == brute candidates => the IVF-built hierarchy must
+    // hash-equal the brute oracle (same discipline as emb_knn_ivf)
+    "emb_hnsw_ivf_build" -> hnswOracleSql,
+    "emb_hnsw_build_sampled" -> hnswSampledOracleSql,
     "emb_hnsw_search" -> hnswSearchOracleSql,
+    "emb_hnsw_search_sampled" -> hnswSearchSampledOracleSql,
     "emb_hnsw_export" -> hnswExportOracleSql,
+    "graph_pagerank_bipartite" -> pageRankBipartiteOracleSql,
+    "graph_label_prop_bipartite" -> labelPropBipartiteOracleSql,
     "emb_label_consistency" -> labelConsistencyOracleSql,
     "emb_centroid_drift" -> """
       WITH b AS (

@@ -246,7 +246,8 @@ object Graph {
       space: DataFrame,
       keyCol: String,
       vecCol: String,
-      maxLevel: Int
+      maxLevel: Int,
+      extraCols: Seq[String] = Nil
   ): DataFrame = {
     require(maxLevel >= 1 && maxLevel <= 8, s"maxLevel out of range: $maxLevel")
     val h = graft.functions.TextFunctions.md5Long60(
@@ -255,7 +256,7 @@ object Graph {
     for (l <- 1 to maxLevel)
       level = when(pmod(h, lit(math.pow(4, l).toLong)) === 0, l.toLong).otherwise(level)
     space
-      .select(col(keyCol), col(vecCol), level.as("level"))
+      .select(col(keyCol) +: col(vecCol) +: extraCols.map(col) :+ level.as("level"): _*)
       .pinned()
   }
 
@@ -321,7 +322,24 @@ object Graph {
       candK: Int
   ): DataFrame = {
     require(m >= 1 && candK >= m, s"need candK >= m >= 1, got m=$m candK=$candK")
-    val cands = Similarity.knnBruteForce(space, space, keyCol, vecCol, candK)
+    diverseFromCandidates(
+      space, keyCol, vecCol, m,
+      Similarity.knnBruteForce(space, space, keyCol, vecCol, candK))
+  }
+
+  /** The diverse-neighbor prune over an EXPLICIT candidate frame
+    * (`cands`: query_id, neighbor_id, rank — any top-candK source).
+    * This is the seam the 100 TB story turns on: [[diverseNeighborLists]]
+    * plugs in brute force (the recall oracle), [[hnswBuildIvf]] plugs in
+    * the IVF probe — the prune itself never changes.
+    */
+  private[operators] def diverseFromCandidates(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      m: Int,
+      cands: DataFrame
+  ): DataFrame = {
     val vq = space.select(col(keyCol).as("query_id"), col(vecCol).as("_qv"))
     val vn = space.select(col(keyCol).as("neighbor_id"), col(vecCol).as("_nv"))
     // the native graft_cosine kernel everywhere a similarity is
@@ -376,6 +394,83 @@ object Graph {
     (0 to maxLevel)
       .map { l =>
         diverseNeighbors(leveled.where(col("level") >= l), keyCol, vecCol, k, 2 * k)
+          .select(lit(l.toLong).as("level"), col("src"), col("dst"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** [[hnswBuild]] with the candidate stage every docstring in this
+    * family promises at corpus scale: per-node top-candidates come from
+    * an IVF PROBE instead of the all-pairs brute search, so layer 0
+    * costs ~(nProbe / nCells) of the pairwise work and NOTHING in the
+    * plan is quadratic in the corpus. The diverse-neighbor prune, the
+    * level rule, and the layer structure are IDENTICAL to the brute
+    * build ([[diverseFromCandidates]] is shared); with nProbe >= the
+    * cell count the probe degenerates to exact brute candidates and
+    * the built hierarchy must EQUAL [[hnswBuild]]'s edge for edge —
+    * that equality is the driver gate (emb_hnsw_ivf_build reuses the
+    * brute oracle), mirroring how emb_knn_ivf is held to brute
+    * equality; the lossy partial-probe trade-off is spec territory.
+    *
+    * Self-join probe shape — the part that matters at 100 TB: the
+    * query side IS the corpus, so nothing query-sized is ever
+    * broadcast. Centroids (bounded: one per cell) broadcast once;
+    * per-node probe cells come from the bounded-heap TopK aggregate
+    * (map-side combined — the exchange carries <= nProbe rows per node
+    * per partition, never the n×nCells scored frame); candidates come
+    * from ONE shuffle hash join of probes against cell-keyed corpus
+    * rows; the per-node top-candK is again the bounded heap. Work:
+    * Σ_cells |probes into cell| × |cell| — the IVF contract, tunable
+    * by nProbe/nCells, priced by cell statistics before running.
+    *
+    * `cellCol` supplies the coarse cells (a data column here; swap in
+    * [[Similarity.kmeansCodebook]] assignment for learned cells — the
+    * probe below only sees (centroid_id, centroid) either way).
+    */
+  def hnswBuildIvf(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      cellCol: String,
+      k: Int,
+      maxLevel: Int,
+      nProbe: Int
+  ): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    def cos(a: Column, b: Column) = graft.functions.VectorFunctions.cosine(a, b)
+    // coarse quantizer trained ONCE over the full space (layer 0);
+    // bounded rows, pinned, broadcast at every use
+    val cents = Similarity.centroids(space, cellCol, vecCol).pinned()
+    val leveled = hnswLevels(space, keyCol, vecCol, maxLevel)
+    def ivfCandidates(sub: DataFrame, candK: Int): DataFrame = {
+      val assigned = Similarity.nearestCentroid(sub, keyCol, vecCol, cents)
+        .select(col("vec_id").as("neighbor_id"), col("assigned").as("cell"))
+      val corpusCells = sub
+        .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+        .join(assigned, "neighbor_id")
+      // per-node nProbe nearest cells via the bounded heap (NOT a
+      // per-node window over the n×nCells scored frame)
+      val cellScores = sub
+        .select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", cos(col("q_vec"), col("centroid")))
+      val probes = Similarity
+        .topKPerGroup(cellScores, "query_id", "csim", "centroid_id", nProbe)
+        .select(col("query_id"), col("neighbor_id").as("cell"))
+        .join(
+          sub.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec")), "query_id")
+      val scored = probes
+        .join(corpusCells, Seq("cell")) // the ONE corpus-sized shuffle join
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cos(col("q_vec"), col("n_vec")))
+      Similarity.topKPerGroup(scored, "query_id", "sim", "neighbor_id", candK)
+    }
+    (0 to maxLevel)
+      .map { l =>
+        val sub = leveled.where(col("level") >= l)
+        diverseFromCandidates(sub, keyCol, vecCol, k, ivfCandidates(sub, 2 * k))
+          .select(col("query_id").as("src"), explode(col("dsts")).as("dst"))
           .select(lit(l.toLong).as("level"), col("src"), col("dst"))
       }
       .reduce(_ unionAll _)

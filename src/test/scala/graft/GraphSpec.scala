@@ -182,6 +182,72 @@ class GraphSpec extends AnyFunSuite {
       s"node 0 must appear in layers 0..$expected0")
   }
 
+  test("hnswBuildIvf: full probe reproduces the brute-built hierarchy edge for edge") {
+    // nProbe >= nCells makes the IVF candidate set exactly the brute
+    // candidate set, so the whole probe machinery (centroid build,
+    // assignment, heap-ranked probe cells, cell join, top-candK,
+    // shared prune) is held to edge-set EQUALITY with hnswBuild —
+    // the same discipline emb_knn_ivf applies to knnBruteForce.
+    val emb = Tables.load(spark, GraftTestSession.Sf0001, "embeddings")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .toSet
+    val brute = edgeSet(Graph.hnswBuild(emb, "vec_id", "embedding", k = 3, maxLevel = 3))
+    val ivf = edgeSet(Graph.hnswBuildIvf(
+      emb, "vec_id", "embedding", "label", k = 3, maxLevel = 3, nProbe = 1000))
+    assert(ivf == brute, "full-probe IVF build must equal the brute build")
+  }
+
+  test("hnswBuildIvf: partial probe keeps structure and candidates stay in probed cells") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 10 well-separated clusters; the cluster index is the cell column
+    val rng = new scala.util.Random(19)
+    val centers = Array.fill(10)(Array.fill(4)(rng.nextGaussian()))
+      .map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(x => x / n) }
+    val pts = for { c <- 0 until 10; _ <- 0 until 20 } yield {
+      val v = centers(c).map(x => x + 0.08 * rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (c, v.map(x => (x / n).toFloat))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", LongType)))
+    val rows = pts.zipWithIndex.map { case ((c, v), i) => Row(i.toLong, v, c.toLong) }
+    val space = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val nProbe = 2
+    val out = Graph.hnswBuildIvf(
+      space, "vec_id", "embedding", "cell", k = 3, maxLevel = 3, nProbe = nProbe)
+      .collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, s, d) => s != d }, "no self edges")
+    val deg = out.groupBy(e => (e._1, e._2)).values.map(_.size)
+    assert(deg.max <= 3, "degree cap m holds under partial probe")
+    // local replication of the probe rule (same double math as the
+    // kernel: index-ordered dot / norms): every layer-0 edge's target
+    // must live in one of the source's nProbe nearest cells
+    val vecs = pts.map(_._2.map(_.toDouble)).toArray
+    val cellOf = pts.map(_._1).toArray
+    val cents = (0 until 10).map { c =>
+      val members = vecs.indices.filter(cellOf(_) == c)
+      val dim = vecs(0).length
+      Array.tabulate(dim)(j => members.map(vecs(_)(j)).sum / members.size)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val violations = out.filter(_._1 == 0L).filterNot { case (_, s, d) =>
+      val probed = (0 until 10)
+        .sortBy(c => -cos(vecs(s.toInt), cents(c))).take(nProbe).toSet
+      probed.contains(cellOf(d.toInt))
+    }
+    assert(violations.isEmpty, s"edges outside probed cells: ${violations.take(5).toSeq}")
+  }
+
   test("hnswSearchReplay: high recall on a navigable (smooth-manifold) corpus") {
     // 200 points on a slow 2-D circle: kNN edges follow the manifold,
     // so the layered walk must navigate from the global entry to any
