@@ -1937,14 +1937,14 @@ object SparkEntry {
   /** Shared CTE text: the directed 3-NN cosine graph over embeddings —
     * used by the PageRank, label-propagation and triangle oracles.
     */
-  private val knnGraphCtes: String = """escored AS (
+  private val knnGraphCtes: String = """escored AS MATERIALIZED (
         SELECT qid AS src, nvid AS dst,
                sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM (
           SELECT q.vec_id AS qid, n.vec_id AS nvid,
                  unnest(q.embedding)::DOUBLE AS x, unnest(n.embedding)::DOUBLE AS y
           FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id)
         GROUP BY qid, nvid),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT src, dst FROM (
           SELECT src, dst,
                  row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
@@ -2285,17 +2285,17 @@ object SparkEntry {
     * smaller-label tiebreak, seeds (vec_id < 50) clamped.
     */
   private def lpIterSql(prev: String, n: Int): String = s"""
-      v$n AS (
+      v$n AS MATERIALIZED (
         SELECT e.dst AS id, p.label AS nl, count(*) AS votes
         FROM edges e JOIN $prev p ON p.id = e.src
         WHERE p.label IS NOT NULL GROUP BY e.dst, p.label),
-      w$n AS (
+      w$n AS MATERIALIZED (
         SELECT id, nl AS win FROM (
           SELECT id, nl,
                  row_number() OVER (PARTITION BY id ORDER BY votes DESC, nl) AS rn
           FROM v$n)
         WHERE rn = 1),
-      l$n AS (
+      l$n AS MATERIALIZED (
         SELECT nodes.id, coalesce(seeds.sl, w$n.win, $prev.label) AS label
         FROM nodes
         LEFT JOIN seeds ON seeds.id = nodes.id
@@ -2308,9 +2308,9 @@ object SparkEntry {
     */
   private def labelPropBodySql(edgeCtes: String, seedsCte: String): String = s"""
       WITH $edgeCtes,
-      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-      seeds AS ($seedsCte),
-      l0 AS (
+      nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      seeds AS MATERIALIZED ($seedsCte),
+      l0 AS MATERIALIZED (
         SELECT nodes.id, seeds.sl AS label
         FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id),
       ${lpIterSql("l0", 1)},
@@ -2334,8 +2334,15 @@ object SparkEntry {
     * truncating integer division, so no float enters the iteration in
     * either engine. DuckDB's sum(BIGINT) widens to HUGEINT — cast back.
     */
+  // MATERIALIZED on every multiply-referenced / chain-referenced CTE:
+  // DuckDB otherwise inlines CTE references, and a 3-deep iteration
+  // chain whose body references the previous iteration plus
+  // nodes/edges/od re-evaluates the whole upstream tree per reference
+  // — measured at sf10 (240 M edge rows): materialized 120 s, inlined
+  // still running past 15 min and spilling the disk full. (The HNSW
+  // oracles learned this earlier; same rule here.)
   private def prIterSql(prev: String, name: String): String = s"""
-      $name AS (
+      $name AS MATERIALIZED (
         SELECT nodes.id,
                (15 * 1000000000000 // 100 // nn) + (85 * coalesce(sm.s, 0) // 100) AS pr
         FROM nodes
@@ -2352,10 +2359,10 @@ object SparkEntry {
     */
   private def pageRankBodySql(edgeCtes: String): String = s"""
       WITH $edgeCtes,
-      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-      n AS (SELECT count(*) AS nn FROM nodes),
-      od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-      pr0 AS (
+      nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      n AS MATERIALIZED (SELECT count(*) AS nn FROM nodes),
+      od AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      pr0 AS MATERIALIZED (
         SELECT id, 1000000000000 // nn AS pr FROM nodes CROSS JOIN n),
       ${prIterSql("pr0", "pr1")},
       ${prIterSql("pr1", "pr2")},
@@ -2372,9 +2379,9 @@ object SparkEntry {
     * multiset; multiplicity just weights the vote/transfer). Part ids
     * are offset into a disjoint node-id space.
     */
-  private val bipartiteEdgeCtes: String = """fwd AS (
+  private val bipartiteEdgeCtes: String = """fwd AS MATERIALIZED (
         SELECT l_orderkey AS src, l_partkey + 1000000000000 AS dst FROM lineitem),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)"""
 
   private lazy val pageRankBipartiteOracleSql: String =

@@ -14,10 +14,13 @@ import graft.operators.Multimodal.{Decoded, MediaCodec}
   *
   * These retire the md5 stub that previously filled this seam: decode
   * results now come from actual pixels and samples in actual container
-  * bytes. Formats the JDK cannot decode (JPEG is decodable but lossy —
-  * excluded from exact oracles; MP4/WebM/MP3 have no JDK decoder)
-  * remain behind the same SPI for a JNI/ffmpeg implementation; the
-  * engine plumbing is codec-agnostic either way.
+  * bytes. JPEG is decodable (and routed below) but LOSSY, so it is
+  * excluded from the generator-formula exact oracles; the arm is
+  * instead pinned by MediaCodecSpec's checked-in golden JFIF decode
+  * (fixed bytes decode deterministically within the pinned JDK).
+  * Formats the JDK cannot decode at all (MP4/WebM/MP3) remain behind
+  * the same SPI for a JNI/ffmpeg implementation; the engine plumbing
+  * is codec-agnostic either way.
   *
   * Thread/executor behavior: `ImageIO.setUseCache(false)` is set in
   * `init()` so tiny payloads never round-trip through temp files (the

@@ -83,6 +83,48 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG golden decode: the routing arm decodes a checked-in JFIF byte stream exactly") {
+    // The image/jpeg arm of the decode router was shipped live but
+    // untested (round-8 review finding). This pins it with a tiny
+    // checked-in JPEG: a 16x12 RGB gradient (r=16x, g=20y, b=9(x+y))
+    // encoded ONCE by this JDK's ImageIO writer and frozen here as
+    // bytes, with the decoded per-channel sums recorded at freeze
+    // time. JPEG is LOSSY, so the sums differ from the pre-encode
+    // formula — that is WHY no generator emits JPEG into the exact
+    // oracles — but decoding a FIXED byte stream is deterministic
+    // within the pinned JDK (libjpeg-derived IDCT; JDK 17 here), so
+    // exact equality is the correct assertion for the golden bytes.
+    // Regenerate via a scratch ImageIO.write if the JDK major ever
+    // changes and this pin shifts.
+    val goldenB64 =
+      "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAAMABADASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDgNN8MdPk/Suu03wx0/d/pXUabYW/HyV1+m6fb8fJSoV2Y5FntXQ//2Q=="
+    val bytes = java.util.Base64.getDecoder.decode(goldenB64)
+    assert(bytes.length == 664, "frozen artifact length")
+    // JPEG SOI marker (0xFFD8) + JFIF APP0 identifier
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "SOI marker")
+    assert(new String(bytes.slice(6, 10), "US-ASCII") == "JFIF", "APP0 JFIF tag")
+    val d = Codecs.JdkCodec.decode(bytes, "image/jpeg")
+    assert(d.width == 16 && d.height == 12 && d.nFrames == 1L)
+    assert(d.chanSums.toSeq == Seq(23126L, 21026L, 22422L),
+      "JPEG decoded channel sums drifted from the freeze-time pin")
+    assert(d.chanSumSqs.toSeq == Seq(3781302L, 3191040L, 3126948L),
+      "JPEG decoded channel sum-squares drifted from the freeze-time pin")
+    assert(d.checksum == 23126L + 21026L + 22422L)
+    // lossy sanity: in the same ballpark as the pre-encode formula
+    // sums (within 10%), which for this gradient are ~23k/21k/21k
+    val formula = {
+      var s = Array(0L, 0L, 0L)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        s(0) += (x * 16) & 0xff; s(1) += (y * 20) & 0xff; s(2) += ((x + y) * 9) & 0xff
+      }
+      s
+    }
+    (0 until 3).foreach { c =>
+      assert(math.abs(d.chanSums(c) - formula(c)).toDouble / formula(c) < 0.10,
+        s"channel $c decoded mass implausibly far from the source gradient")
+    }
+  }
+
   test("undecodable payloads and unknown mimes fail fast with context") {
     val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
     assertThrows[IllegalArgumentException](
