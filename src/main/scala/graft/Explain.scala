@@ -14,7 +14,15 @@ object Explain {
     val out = if (args.length > 1) args(1) else "PLANS.md"
     val spark = GraftSession.local(cores = 8, shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
-    val picks = Seq(
+    // Since round 10 the audit covers the ENTIRE registered surface —
+    // every SparkEntry query, sorted — so a new query can never ship
+    // without a committed physical plan. (Queries that materialize
+    // eagerly at construction time — exports, count-derived sampling
+    // moduli — run their jobs here too; sf0.01 keeps that cheap. The
+    // historical curated list below survives as the per-round notes of
+    // WHAT each addition's plan was audited for.)
+    val picks = SparkEntry.queries.keys.toSeq.sorted
+    val auditNotes = Seq(
       "q1_agg", "q3_join", "q5_multijoin", "fs_materialize_latest",
       "fs_materialize_range", "fs_training_set_pit", "fs_training_set_update",
       "emb_knn_brute", "emb_knn_ivf_partial", "emb_upsert",
@@ -131,9 +139,13 @@ object Explain {
       // no users x items cross join), fixed-page-count export (the
       // union is 32 pruned slices at ANY SF).
       "source_jdbc_roundtrip")
+    require(auditNotes.forall(SparkEntry.queries.contains),
+      "audit-note names must stay registered: " +
+        auditNotes.filterNot(SparkEntry.queries.contains).mkString(", "))
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")
+    sb.append(s"# coverage: ${picks.size} queries (the full registered surface)\n")
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n\n## $name\n\n```\n")

@@ -1899,9 +1899,18 @@ object SparkEntry {
       import s.implicits._
       val p = System.getProperty("java.io.tmpdir") +
         s"/graft_hnsw_export_${ProcessHandle.current().pid()}/index.hnsw"
+      // the IVF-probed candidate source IS the exported path: nProbe
+      // (1000) >= the 10 label cells makes the probe exhaustive, so the
+      // artifact is byte-identical to the brute-candidate export
+      // (HnswExportSpec asserts the file bytes) and the from-first-
+      // principles oracle below gates the production build shape —
+      // nothing in the export plan is quadratic in the corpus
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.centroids(emb, "label", "embedding").pinned()
       HnswExport.exportIndex(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        m = 3, maxLevel = 3, efConstruction = 100, p)
+        emb, "vec_id", "embedding",
+        m = 3, maxLevel = 3, efConstruction = 100, p,
+        candidates = Some(Graph.ivfCandidateSource("vec_id", "embedding", cents, nProbe = 1000)))
       val idx = HnswExport.readIndex(p)
       // payload check rides the gate: labels dense-ascending in key
       // order and vector bytes bit-equal to the source column (an
@@ -6512,6 +6521,16 @@ object SparkEntry {
     // 6dp-rounded std is engine-exact.
     "mm_image_stats" -> ((s, dir) =>
       Multimodal.imageChannelStats(MediaGen.imagesFor(t(s, dir, "documents"))).toDF()),
+    // The LOSSY codec arm driven end-to-end at corpus scale: every doc
+    // encoded as a REAL JPEG (fixed explicit quality), decoded back
+    // through the SPI, reduced to per-payload-class verdicts. The
+    // oracle derives the lossless parts (dims, class counts) from the
+    // generator formulas; the lossy parts ride as gated booleans —
+    // decode determinism per class (n_stat_variants = 1) and bounded
+    // channel-mass deviation (relTol 0.25, ~2x the exhaustively
+    // measured max of 0.1181; MediaCodecSpec pins the measurement).
+    "mm_jpeg_stats" -> ((s, dir) =>
+      Multimodal.jpegCorpusGate(t(s, dir, "documents"), relTol = 0.25)),
     // LAION-style CLIP-gate pair curation: image vec at doc_id, caption
     // vec at doc_id+1; similarity + caption-length + language gates,
     // per-gate verdicts for curation QA.
@@ -6738,6 +6757,23 @@ object SparkEntry {
              CAST(round(sqrt((n * qg - sg * sg) / (n * n)), 6) AS DOUBLE) AS std_g,
              CAST(round(sqrt((n * qb - sb * sb) / (n * n)), 6) AS DOUBLE) AS std_b
       FROM d JOIN agg ON agg.id = d.id""",
+    // JPEG gate: the oracle recomputes the LOSSLESS facts — class
+    // membership (doc_id mod 3840; 24, 120 and 256 all divide 3840, so
+    // dims and the pixel formulas are class-pure), class counts, and
+    // header-exact dims — and asserts the lossy-side verdicts the
+    // engine computed from the real decode (one stat tuple per class,
+    // bounded deviation) as constants.
+    "mm_jpeg_stats" -> """
+      WITH d AS (SELECT doc_id % 3840 AS m_class FROM documents)
+      SELECT m_class,
+             count(*) AS n_docs,
+             CAST(8 + m_class % 24 AS BIGINT) AS width,
+             CAST(8 + (m_class // 5) % 24 AS BIGINT) AS height,
+             CAST(1 AS BIGINT) AS n_stat_variants,
+             TRUE AS dims_ok,
+             TRUE AS dev_ok
+      FROM d
+      GROUP BY m_class""",
     "mm_pair_curation" -> """
       WITH cos AS (
         SELECT a AS doc_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim FROM (

@@ -15,9 +15,14 @@ import graft.operators.Multimodal.{Decoded, MediaCodec}
   * These retire the md5 stub that previously filled this seam: decode
   * results now come from actual pixels and samples in actual container
   * bytes. JPEG is decodable (and routed below) but LOSSY, so it is
-  * excluded from the generator-formula exact oracles; the arm is
-  * instead pinned by MediaCodecSpec's checked-in golden JFIF decode
-  * (fixed bytes decode deterministically within the pinned JDK).
+  * excluded from the generator-formula EXACT oracles; the arm is gated
+  * three ways instead — MediaCodecSpec's checked-in golden JFIF decode
+  * (fixed bytes decode deterministically within the pinned JDK), the
+  * exhaustive per-payload-class deviation measurement in the same spec,
+  * and the mm_jpeg_stats driver query, which drives a real
+  * encode→container→decode round trip over the whole corpus and gates
+  * header-exact dims, per-class decode determinism, and bounded
+  * channel-mass deviation ([[Multimodal.jpegCorpusGate]]).
   * Formats the JDK cannot decode at all (MP4/WebM/MP3) remain behind
   * the same SPI for a JNI/ffmpeg implementation; the engine plumbing
   * is codec-agnostic either way.

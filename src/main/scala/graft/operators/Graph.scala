@@ -246,8 +246,7 @@ object Graph {
       space: DataFrame,
       keyCol: String,
       vecCol: String,
-      maxLevel: Int,
-      extraCols: Seq[String] = Nil
+      maxLevel: Int
   ): DataFrame = {
     require(maxLevel >= 1 && maxLevel <= 8, s"maxLevel out of range: $maxLevel")
     val h = graft.functions.TextFunctions.md5Long60(
@@ -256,7 +255,7 @@ object Graph {
     for (l <- 1 to maxLevel)
       level = when(pmod(h, lit(math.pow(4, l).toLong)) === 0, l.toLong).otherwise(level)
     space
-      .select(col(keyCol) +: col(vecCol) +: extraCols.map(col) :+ level.as("level"): _*)
+      .select(col(keyCol), col(vecCol), level.as("level"))
       .pinned()
   }
 
@@ -437,13 +436,43 @@ object Graph {
       nProbe: Int
   ): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
-    graft.plans.GraftFunctions.register(space.sparkSession)
-    def cos(a: Column, b: Column) = graft.functions.VectorFunctions.cosine(a, b)
     // coarse quantizer trained ONCE over the full space (layer 0);
     // bounded rows, pinned, broadcast at every use
     val cents = Similarity.centroids(space, cellCol, vecCol).pinned()
     val leveled = hnswLevels(space, keyCol, vecCol, maxLevel)
-    def ivfCandidates(sub: DataFrame, candK: Int): DataFrame = {
+    val source = ivfCandidateSource(keyCol, vecCol, cents, nProbe)
+    (0 to maxLevel)
+      .map { l =>
+        val sub = leveled.where(col("level") >= l)
+        diverseFromCandidates(sub, keyCol, vecCol, k, source(sub, 2 * k))
+          .select(col("query_id").as("src"), explode(col("dsts")).as("dst"))
+          .select(lit(l.toLong).as("level"), col("src"), col("dst"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** The IVF probe as a PLUGGABLE candidate source: a
+    * (level-filtered space, candK) => top-candK candidate frame closure
+    * in the exact shape [[diverseFromCandidates]] consumes — the probe
+    * [[hnswBuildIvf]] runs, factored out so any hierarchy consumer
+    * ([[HnswExport.exportIndex]] in particular) builds without the
+    * all-pairs brute stage. At nProbe >= the cell count the probe is
+    * exhaustive and the ranked candidates EQUAL
+    * [[Similarity.knnBruteForce]]'s (same bounded-heap ranking, same
+    * self-exclusion), which is what both gates hold it to:
+    * emb_hnsw_ivf_build's brute-oracle edge equality and
+    * HnswExportSpec's byte-identical-artifact assertion.
+    */
+  def ivfCandidateSource(
+      keyCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      nProbe: Int
+  ): (DataFrame, Int) => DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    def cos(a: Column, b: Column) = graft.functions.VectorFunctions.cosine(a, b)
+    (sub: DataFrame, candK: Int) => {
+      graft.plans.GraftFunctions.register(sub.sparkSession)
       val assigned = Similarity.nearestCentroid(sub, keyCol, vecCol, cents)
         .select(col("vec_id").as("neighbor_id"), col("assigned").as("cell"))
       val corpusCells = sub
@@ -466,14 +495,6 @@ object Graph {
         .withColumn("sim", cos(col("q_vec"), col("n_vec")))
       Similarity.topKPerGroup(scored, "query_id", "sim", "neighbor_id", candK)
     }
-    (0 to maxLevel)
-      .map { l =>
-        val sub = leveled.where(col("level") >= l)
-        diverseFromCandidates(sub, keyCol, vecCol, k, ivfCandidates(sub, 2 * k))
-          .select(col("query_id").as("src"), explode(col("dsts")).as("dst"))
-          .select(lit(l.toLong).as("level"), col("src"), col("dst"))
-      }
-      .reduce(_ unionAll _)
   }
 
   /** Bounded greedy-descent replay over a built HNSW hierarchy — the

@@ -72,8 +72,10 @@ import org.apache.spark.sql.functions._
   * by definition the bytes one serving process must hold in RAM, so a
   * per-shard export is bounded by serving-box memory no matter how big
   * the corpus; 100 TB corpora ship as many shard indexes, one export
-  * each (and the candidate stage swaps brute force for the IVF probe
-  * exactly as [[Graph.hnswBuild]] documents).
+  * each, built through the IVF-probed candidate source
+  * ([[Graph.ivfCandidateSource]] via the `candidates` parameter — the
+  * emb_hnsw_export driver query runs that path; the upper-level link
+  * section spools to a temp file, so no driver buffer grows with n).
   */
 object HnswExport {
 
@@ -92,6 +94,17 @@ object HnswExport {
     * hnswlib `saveIndex` layout. `m` is hnswlib's M (per-level degree
     * cap of the heuristic build; level-0 capacity in the file is the
     * standard 2M). Returns the summary the caller gates on.
+    *
+    * `candidates` is the per-layer candidate source feeding the diverse
+    * prune — `(levelFilteredSpace, candK) => (query_id, neighbor_id,
+    * rank)`. None (default) runs the exact all-pairs search: the recall
+    * oracle, quadratic in the layer. The production path passes
+    * [[Graph.ivfCandidateSource]] so NOTHING in the export plan is
+    * quadratic in the corpus; at nProbe >= the cell count the probe is
+    * exhaustive and the written artifact is BYTE-IDENTICAL to the brute
+    * export (HnswExportSpec asserts the file bytes; the emb_hnsw_export
+    * driver query runs the IVF-fed path against the from-first-
+    * principles oracle).
     */
   def exportIndex(
       space: DataFrame,
@@ -100,7 +113,8 @@ object HnswExport {
       m: Int,
       maxLevel: Int,
       efConstruction: Int,
-      path: String
+      path: String,
+      candidates: Option[(DataFrame, Int) => DataFrame] = None
   ): Summary = {
     require(m >= 2 && m <= 10000, s"m out of range (hnswlib mult_=1/ln(M) needs M>=2): $m")
     require(efConstruction >= 0, s"efConstruction must be >= 0: $efConstruction")
@@ -124,8 +138,12 @@ object HnswExport {
     // posexplode/re-collect keeps the heuristic's list order through
     // the mapping join (the join itself is order-destroying).
     val linkFrames = (0 to maxLevel).map { l =>
-      Graph
-        .diverseNeighborLists(leveled.where(col("level") >= l), keyCol, vecCol, m, 2 * m)
+      val sub = leveled.where(col("level") >= l)
+      val lists = candidates match {
+        case Some(src) => Graph.diverseFromCandidates(sub, keyCol, vecCol, m, src(sub, 2 * m))
+        case None      => Graph.diverseNeighborLists(sub, keyCol, vecCol, m, 2 * m)
+      }
+      lists
         .select(
           col("query_id").cast("long").as("label"),
           posexplode(col("dsts")).as(Seq("pos", "_dlbl")))
@@ -163,15 +181,19 @@ object HnswExport {
 
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    // the upper-level link section must be written AFTER the whole
+    // level-0 block, so spool it to a sibling temp FILE as we stream
+    // and concatenate at the end — a single driver heap array would
+    // cap at 2 GB (4n + 16·Σlevels bytes can cross it on a large
+    // shard even when the n < 2^31 require passes); the spool keeps
+    // driver memory flat at the copy-buffer size
+    val upperPath = Files.createTempFile(
+      Option(Paths.get(path).getParent).getOrElse(Paths.get(".")), ".hnsw_upper", ".tmp")
+    val upper = new BufferedOutputStream(new FileOutputStream(upperPath.toFile), 1 << 20)
     try {
       var dim = -1
       var bytes = 0L
       def emit(bb: ByteBuffer): Unit = { out.write(bb.array(), 0, bb.position()); bytes += bb.position() }
-      // the upper-level link section must be written AFTER the whole
-      // level-0 block, so buffer it per element as we stream (bounded:
-      // n * level_i * sizeLinksPerElement only for level>0 nodes —
-      // ~1/3 of the level-0 edge bytes by the 4^-l level rule)
-      val upper = new java.io.ByteArrayOutputStream()
       val edgeCounts = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
       var expected = 0
       val it = ordered.toLocalIterator()
@@ -240,12 +262,23 @@ object HnswExport {
         upper.write(ub.array(), 0, ub.position())
       }
       require(expected.toLong == n, s"streamed $expected elements, numbering said $n")
-      val ubytes = upper.toByteArray
-      out.write(ubytes)
-      bytes += ubytes.length
+      upper.close()
+      val in = Files.newInputStream(upperPath)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var read = in.read(buf)
+        while (read >= 0) {
+          if (read > 0) { out.write(buf, 0, read); bytes += read }
+          read = in.read(buf)
+        }
+      } finally in.close()
       out.flush()
       Summary(n, dim, maxLevelUsed, entryLabel, entryInternal, bytes, edgeCounts.toMap)
-    } finally out.close()
+    } finally {
+      upper.close()
+      Files.deleteIfExists(upperPath)
+      out.close()
+    }
   }
 
   // ---------------------------------------------------------------- //

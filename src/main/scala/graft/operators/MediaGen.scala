@@ -85,6 +85,34 @@ object MediaGen {
     bos.toByteArray
   }
 
+  /** JPEG-encoded textured RGB image — the LOSSY arm of the codec SPI,
+    * driven end-to-end by the mm_jpeg_stats driver query. Encoding uses
+    * an EXPLICIT compression quality (0.75) so the bytes never depend
+    * on writer defaults; within a fixed JDK both encoder and decoder
+    * are deterministic, which is the honest gate for a lossy codec:
+    * exact pixel recovery is impossible by design, so the query gates
+    * (a) header-exact dims, (b) one decoded stat tuple per payload
+    * class (the payload is a pure function of id mod 3840 — the lcm of
+    * the m/width/height periods 256, 24, 120), and (c) bounded
+    * decoded-vs-formula channel-mass deviation. The same discipline as
+    * MediaCodecSpec's checked-in golden JFIF, generalized to corpus
+    * scale.
+    */
+  def jpegBytes(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.75f)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(rgbImage(id), null, null), param)
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
   /** Hand-rolled uncompressed 24bpp bottom-up BMP — byte-exact layout
     * (54-byte header + rows padded to 4B), so even the container LENGTH
     * is formula-derivable: 54 + h·((3w+3)/4·4).

@@ -267,6 +267,69 @@ object Multimodal {
     }
   }
 
+  /** The LOSSY-codec corpus gate: encode every document's textured image
+    * as a REAL JPEG ([[MediaGen.jpegBytes]] — fixed explicit quality),
+    * decode it back through the [[Codecs.JdkCodec]] SPI arm, and reduce
+    * to per-payload-class verdicts. Exact pixel equality is impossible
+    * for JPEG by design, so the gate asserts exactly what IS contractual
+    * for a lossy codec:
+    *
+    *  - `width`/`height` — header metadata is LOSSLESS, so dims must
+    *    equal the generator formulas exactly (oracle-derivable);
+    *  - `n_stat_variants == 1` — the payload is a pure function of
+    *    id mod 3840 (lcm of the m/width/height periods), so every row
+    *    of a class must decode to the SAME stat tuple: decode
+    *    determinism at corpus scale, the golden-JFIF discipline
+    *    generalized;
+    *  - `dev_ok` — decoded per-channel pixel mass stays within `relTol`
+    *    of the generator-formula sums (computed in the same task from
+    *    [[MediaGen.px]], compared against a decode that went through a
+    *    genuine encode→container→decode round trip).
+    *
+    * Scale shape: one scan projection (generate + encode + decode +
+    * per-row verdicts fused in `mapPartitions`), then ONE bounded
+    * aggregation over ≤ 3840 classes — no corpus-sized shuffle.
+    */
+  def jpegCorpusGate(docs: DataFrame, relTol: Double = 0.25): DataFrame = {
+    require(relTol > 0, s"relTol must be positive: $relTol")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      Codecs.JdkCodec.init()
+      ids.map { id =>
+        val d = Codecs.JdkCodec.decode(MediaGen.jpegBytes(id), "image/jpeg")
+        val (w, h) = (MediaGen.imageWidth(id), MediaGen.imageHeight(id))
+        val f = new Array[Long](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = MediaGen.px(id, x, y)
+            f(0) += r; f(1) += g; f(2) += b
+            x += 1
+          }
+          y += 1
+        }
+        val dimsOk = d.width == w && d.height == h
+        val devOk = (0 until 3).forall(c =>
+          math.abs(d.chanSums(c) - f(c)).toDouble <= relTol * f(c))
+        (id % 3840L, d.width, d.height,
+          d.chanSums(0), d.chanSums(1), d.chanSums(2), dimsOk, devOk)
+      }
+    }.toDF("m_class", "width", "height", "sr", "sg", "sb", "dims_ok", "dev_ok")
+    perDoc
+      .groupBy(col("m_class"))
+      .agg(
+        count(lit(1L)).as("n_docs"),
+        max(col("width")).as("width"),
+        max(col("height")).as("height"),
+        countDistinct(
+          struct(col("width"), col("height"), col("sr"), col("sg"), col("sb")))
+          .as("n_stat_variants"),
+        min(col("dims_ok")).as("dims_ok"), // boolean min = AND
+        min(col("dev_ok")).as("dev_ok"))
+  }
+
   /** Resize planning for image payloads: compute the output dimensions
     * that fit each image into a `maxDim` bounding box preserving aspect
     * ratio (the standard vision-model preprocessing step). This is the

@@ -141,6 +141,26 @@ class HnswExportSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-fed export at nProbe >= nCells is byte-identical to the brute export") {
+    // the deployable-artifact path without the quadratic brute stage:
+    // candidates come from Graph.ivfCandidateSource; with the probe
+    // exhaustive (nProbe >= the 4 cells) the candidate ranking equals
+    // knnBruteForce's, so the WRITTEN FILE must match bit for bit —
+    // the same equality discipline emb_hnsw_ivf_build is held to,
+    // extended to the serialized artifact
+    val cells = space.withColumn("cell", pmod(col("vec_id"), lit(4L)))
+    val cents = graft.operators.Similarity.centroids(cells, "cell", "embedding")
+    val src = Graph.ivfCandidateSource("vec_id", "embedding", cents, nProbe = 8)
+    val p3 = Files.createTempDirectory("hnsw_export_ivf").resolve("circle.hnsw").toString
+    val s3 = HnswExport.exportIndex(
+      space, "vec_id", "embedding", m, maxLevel, 100, p3, candidates = Some(src))
+    assert(s3.fileBytes == Files.size(Paths.get(path)))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(path)), Files.readAllBytes(Paths.get(p3))),
+      "the IVF-probed export must reproduce the brute-candidate artifact byte for byte " +
+        "when the probe is exhaustive")
+  }
+
   test("reader fails loudly on a truncated file") {
     val bytes = Files.readAllBytes(Paths.get(path))
     val cut = Files.createTempDirectory("hnsw_cut").resolve("cut.hnsw")

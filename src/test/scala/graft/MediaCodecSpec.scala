@@ -94,8 +94,10 @@ class MediaCodecSpec extends AnyFunSuite {
     // oracles — but decoding a FIXED byte stream is deterministic
     // within the pinned JDK (libjpeg-derived IDCT; JDK 17 here), so
     // exact equality is the correct assertion for the golden bytes.
-    // Regenerate via a scratch ImageIO.write if the JDK major ever
-    // changes and this pin shifts.
+    // If a JDK bump ever shifts this pin, re-freeze mechanically:
+    //   sbt 'testOnly graft.MediaCodecSpec -- -z regeneration' \
+    //     -Dgraft.regen.jpeg=1
+    // prints the fresh base64 + sums to paste over the constants below.
     val goldenB64 =
       "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAAMABADASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDgNN8MdPk/Suu03wx0/d/pXUabYW/HyV1+m6fb8fJSoV2Y5FntXQ//2Q=="
     val bytes = java.util.Base64.getDecoder.decode(goldenB64)
@@ -122,6 +124,64 @@ class MediaCodecSpec extends AnyFunSuite {
     (0 until 3).foreach { c =>
       assert(math.abs(d.chanSums(c) - formula(c)).toDouble / formula(c) < 0.10,
         s"channel $c decoded mass implausibly far from the source gradient")
+    }
+  }
+
+  test("JPEG corpus arm: exact dims and bounded channel-mass deviation across EVERY payload class") {
+    // The mm_jpeg_stats driver query encodes each doc as a real JPEG
+    // and gates decode-vs-formula channel mass at relTol = 0.25. The
+    // payload is a pure function of id mod 3840 (lcm of the 256/24/120
+    // periods of m, width, height), so walking every class HERE is the
+    // exhaustive measurement that relTol is pinned to: if an encoder
+    // change pushes any class past the bound, this fails before the
+    // driver gate does.
+    var maxRel = 0.0
+    var id = 0L
+    while (id < 3840L) {
+      val bytes = MediaGen.jpegBytes(id)
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, s"SOI marker for id=$id")
+      val d = Codecs.JdkCodec.decode(bytes, "image/jpeg")
+      assert(d.width == MediaGen.imageWidth(id) && d.height == MediaGen.imageHeight(id),
+        s"JPEG header dims must be lossless for id=$id")
+      val (s, _) = naiveImageSums(id)
+      var c = 0
+      while (c < 3) {
+        maxRel = math.max(maxRel, math.abs(d.chanSums(c) - s(c)).toDouble / s(c))
+        c += 1
+      }
+      id += 1
+    }
+    info(f"max per-class channel-mass relative deviation: $maxRel%.4f")
+    // measured at freeze time: 0.1181 (an 8x8 class — one DCT block,
+    // wrap-around ringing); the driver gate's 0.25 is ~2x that max
+    assert(maxRel < 0.25,
+      f"JPEG decode drifted $maxRel%.4f from the source gradient — the mm_jpeg_stats relTol no longer holds")
+    // determinism: task retries re-encode identically (the per-class
+    // n_stat_variants = 1 gate depends on it)
+    for (i <- Seq(0L, 77L, 3839L))
+      assert(MediaGen.jpegBytes(i).toSeq == MediaGen.jpegBytes(i).toSeq)
+  }
+
+  test("golden JFIF regeneration helper (run with -Dgraft.regen.jpeg=1 after a JDK bump)") {
+    // Mechanical re-freeze for the pin above: re-encodes the same
+    // 16x12 gradient with THIS JDK's default ImageIO JPEG writer (the
+    // freeze-time setting) and prints the new base64 + decoded sums.
+    // Without the property it only checks the helper still encodes.
+    val img = new java.awt.image.BufferedImage(
+      16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y,
+        (((x * 16) & 0xff) << 16) | (((y * 20) & 0xff) << 8) | (((x + y) * 9) & 0xff))
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val bytes = bos.toByteArray
+    assert(bytes.length > 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    if (sys.props.contains("graft.regen.jpeg")) {
+      val d = Codecs.JdkCodec.decode(bytes, "image/jpeg")
+      info("goldenB64 = " + java.util.Base64.getEncoder.encodeToString(bytes))
+      info(s"length = ${bytes.length}")
+      info(s"chanSums = ${d.chanSums.toSeq}; chanSumSqs = ${d.chanSumSqs.toSeq}")
     }
   }
 
