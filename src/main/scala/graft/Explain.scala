@@ -146,6 +146,13 @@ object Explain {
     sb.append("# Physical plan audit (generated by graft.Explain)\n")
     sb.append(s"# sf dir: $sfDir\n")
     sb.append(s"# coverage: ${picks.size} queries (the full registered surface)\n")
+    sb.append("# note: queries that materialize eagerly at construction (emb_hnsw_export,\n")
+    sb.append("# emb_index_persist-style artifact round-trips, count-derived sampling moduli)\n")
+    sb.append("# show only their residual stats frame here (LocalTableScan); their\n")
+    sb.append("# distributed build side is the lineage they share with a non-eager twin —\n")
+    sb.append("# emb_hnsw_export's build is emb_hnsw_ivf_build's audited plan (shared\n")
+    sb.append("# ivfCandidateSource + diverseFromCandidates), whose exchange carries the\n")
+    sb.append("# partial_graft_topk bounded heap, never an n x nCells frame.\n")
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n\n## $name\n\n```\n")
