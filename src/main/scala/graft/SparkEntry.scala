@@ -1895,44 +1895,24 @@ object SparkEntry {
     // level + diverse-neighbor CTEs, and the exact file byte count
     // from hnswlib's layout arithmetic — so a drifting serializer
     // (wrong field width, missing pad, dropped edge) hash-mismatches.
-    "emb_hnsw_export" -> ((s, dir) => {
-      import s.implicits._
-      val p = System.getProperty("java.io.tmpdir") +
-        s"/graft_hnsw_export_${ProcessHandle.current().pid()}/index.hnsw"
-      // the IVF-probed candidate source IS the exported path: nProbe
-      // (1000) >= the 10 label cells makes the probe exhaustive, so the
-      // artifact is byte-identical to the brute-candidate export
-      // (HnswExportSpec asserts the file bytes) and the from-first-
-      // principles oracle below gates the production build shape —
-      // nothing in the export plan is quadratic in the corpus
+    // the IVF-probed candidate source IS the exported path: nProbe
+    // (1000) >= the 10 label cells makes the probe exhaustive, so the
+    // artifact is byte-identical to the brute-candidate export
+    // (HnswExportSpec asserts the file bytes) and the from-first-
+    // principles oracle gates the production build shape — nothing in
+    // the export plan is quadratic in the corpus
+    "emb_hnsw_export" -> ((s, dir) =>
+      hnswExportStats(s, t(s, dir, "embeddings"), "full")),
+    // Deterministically capped export twin (the emb_hnsw_*_sampled
+    // discipline): the SAME serialize-parse-gate machinery over the
+    // `vec_id % ((n+1999) div 2000) = 0` slice — the full space at
+    // driver SFs (modulus 1, equal to emb_hnsw_export), a bounded
+    // 2000-vector slice of generated scale-ups, so the hnswlib ARTIFACT
+    // itself (byte count included) is oracle-gateable at sf10.
+    "emb_hnsw_export_sampled" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.centroids(emb, "label", "embedding").pinned()
-      HnswExport.exportIndex(
-        emb, "vec_id", "embedding",
-        m = 3, maxLevel = 3, efConstruction = 100, p,
-        candidates = Some(Graph.ivfCandidateSource("vec_id", "embedding", cents, nProbe = 1000)))
-      val idx = HnswExport.readIndex(p)
-      // payload check rides the gate: labels dense-ascending in key
-      // order and vector bytes bit-equal to the source column (an
-      // artifact-sized driver loop — the file is serving-RAM-sized by
-      // the format's own contract)
-      val src = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .orderBy(col("vec_id")).collect()
-      val payloadOk =
-        idx.labels.toSeq == src.map(_.getLong(0)).toSeq &&
-          src.indices.forall { i =>
-            val v = src(i).getSeq[Float](1)
-            v.length == idx.dim && v.indices.forall(j =>
-              java.lang.Float.floatToRawIntBits(v(j)) ==
-                java.lang.Float.floatToRawIntBits(idx.vectors(i)(j)))
-          }
-      val fileBytes = java.nio.file.Files.size(java.nio.file.Paths.get(p))
-      (0 to 3).map(l => (
-        l.toLong, idx.nodesAtLevelGte(l), idx.edgesAtLevel(l),
-        idx.nElements.toLong, idx.labels(idx.header.enterPoint), fileBytes, payloadOk))
-        .toDF("level", "n_nodes", "n_edges", "n_elements", "entry_label",
-          "file_bytes", "payload_ok")
+      val kmod = (emb.count() + 1999L) / 2000L
+      hnswExportStats(s, emb.where(col("vec_id") % kmod === 0), "sampled")
     }),
     // Dense-core extraction: 3 synchronized peeling rounds at k=3 over
     // the undirected 3-NN graph; survivors + residual degree.
@@ -2231,6 +2211,45 @@ object SparkEntry {
     hnswSearchOracleFrom(hnswSampledSrc, s"10 * $kmod")
   }
 
+  /** The shared body of the emb_hnsw_export driver queries: build the
+    * hierarchy over `space` through the IVF-probed candidate source,
+    * WRITE the hnswlib saveIndex binary, re-parse it with the
+    * independent reader, and emit per-level stats FROM THE PARSED
+    * BYTES plus the payload check (labels dense-ascending in key
+    * order, vector bytes bit-equal to the source column — an
+    * artifact-sized driver loop; the file is serving-RAM-sized by the
+    * format's own contract).
+    */
+  private def hnswExportStats(
+      s: SparkSession, space: DataFrame, tag: String): DataFrame = {
+    import s.implicits._
+    val p = System.getProperty("java.io.tmpdir") +
+      s"/graft_hnsw_export_${tag}_${ProcessHandle.current().pid()}/index.hnsw"
+    val cents = Similarity.centroids(space, "label", "embedding").pinned()
+    HnswExport.exportIndex(
+      space, "vec_id", "embedding",
+      m = 3, maxLevel = 3, efConstruction = 100, p,
+      candidates = Some(Graph.ivfCandidateSource("vec_id", "embedding", cents, nProbe = 1000)))
+    val idx = HnswExport.readIndex(p)
+    val src = space
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+    val payloadOk =
+      idx.labels.toSeq == src.map(_.getLong(0)).toSeq &&
+        src.indices.forall { i =>
+          val v = src(i).getSeq[Float](1)
+          v.length == idx.dim && v.indices.forall(j =>
+            java.lang.Float.floatToRawIntBits(v(j)) ==
+              java.lang.Float.floatToRawIntBits(idx.vectors(i)(j)))
+        }
+    val fileBytes = java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    (0 to 3).map(l => (
+      l.toLong, idx.nodesAtLevelGte(l), idx.edgesAtLevel(l),
+      idx.nElements.toLong, idx.labels(idx.header.enterPoint), fileBytes, payloadOk))
+      .toDF("level", "n_nodes", "n_edges", "n_elements", "entry_label",
+        "file_bytes", "payload_ok")
+  }
+
   /** The hnswlib-serialization gate: per-level node/edge counts from
     * the SAME level + diverse-neighbor CTEs as the build oracle, plus
     * the EXACT artifact byte count from hnswlib's saveIndex layout
@@ -2241,7 +2260,7 @@ object SparkEntry {
     * numbers back out of the parsed binary, so the two derivations
     * meet only at the file format.
     */
-  private lazy val hnswExportOracleSql: String = {
+  private def hnswExportOracleFrom(src: String): String = {
     val kept = (0 to 3).map(l => hnswKeptEdgesSql(l, s"ed$l", candK = 6, m = 3))
     val arms = (0 to 3).map { l =>
       s"""SELECT CAST($l AS BIGINT) AS level,
@@ -2249,11 +2268,11 @@ object SparkEntry {
              (SELECT count(*) FROM ed$l) AS n_edges"""
     }.mkString("\n      UNION ALL\n      ")
     s"""
-      WITH $hnswLvCte,
-      $hnswEsCte,
+      WITH ${hnswLvCteFrom(src)},
+      ${hnswEsCteFrom(src)},
       ${kept.mkString(",")},
       geom AS MATERIALIZED (
-        SELECT count(*) AS n, max(len(embedding)) AS dim FROM embeddings),
+        SELECT count(*) AS n, max(len(embedding)) AS dim FROM $src g0),
       lvsum AS (SELECT sum(level) AS suml FROM lv),
       perlevel AS ($arms)
       SELECT p.level,
@@ -2266,6 +2285,11 @@ object SparkEntry {
              TRUE AS payload_ok
       FROM perlevel p, geom g, lvsum s"""
   }
+
+  private lazy val hnswExportOracleSql: String = hnswExportOracleFrom("embeddings")
+
+  private lazy val hnswExportSampledOracleSql: String =
+    hnswExportOracleFrom(hnswSampledSrc)
 
   /** All-points 10-NN label consistency: integer match counts, one
     * IEEE division at output.
@@ -3235,6 +3259,7 @@ object SparkEntry {
     "emb_hnsw_search" -> hnswSearchOracleSql,
     "emb_hnsw_search_sampled" -> hnswSearchSampledOracleSql,
     "emb_hnsw_export" -> hnswExportOracleSql,
+    "emb_hnsw_export_sampled" -> hnswExportSampledOracleSql,
     "graph_pagerank_bipartite" -> pageRankBipartiteOracleSql,
     "graph_label_prop_bipartite" -> labelPropBipartiteOracleSql,
     "emb_label_consistency" -> labelConsistencyOracleSql,
