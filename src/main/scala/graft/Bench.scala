@@ -52,9 +52,13 @@ object Bench {
 
     // Optional subset (comma-separated query names) for local A/B runs;
     // the driver never sets it, so official benches time the full surface.
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(s) => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq.sorted
-      case None => SparkEntry.queries.keys.toSeq.sorted
+    // Subset runs write their per-query map to BENCH_subset.json, NOT
+    // BENCH_full.json: a later A/B subset run used to silently clobber
+    // the committed full-surface artifact (bit past rounds twice).
+    val (names, fullArtifact) = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) =>
+        (s.split(',').map(_.trim).filter(_.nonEmpty).toSeq.sorted, "BENCH_subset.json")
+      case None => (SparkEntry.queries.keys.toSeq.sorted, "BENCH_full.json")
     }
 
     /** Pre-rep teardown, all in the untimed gap: drop the table cache
@@ -145,15 +149,15 @@ object Bench {
       .mkString("{", ",", "}")
     val slowest = qmap(results.sortBy(-_._2).take(12))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"),
+      java.nio.file.Paths.get(fullArtifact),
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"blocking_cleaner":$blocking,"queries":${qmap(results)},"reps":$repsMap,"errors":$errs,"sf":"$sfDir"}""")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"families":$fams,"slowest":$slowest,"errors":$errs,"sf":"$sfDir","full":"BENCH_full.json"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"families":$fams,"slowest":$slowest,"errors":$errs,"sf":"$sfDir","full":"$fullArtifact"}"""
     // Hard guarantee: never exceed the driver's tail window. If errors
     // somehow balloon the line, fall back to the minimal contract line.
     println(
       if (line.length <= 1900) line
-      else s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir","full":"BENCH_full.json"}""")
+      else s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir","full":"$fullArtifact"}""")
     spark.stop()
   }
 }

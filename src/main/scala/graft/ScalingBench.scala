@@ -82,22 +82,33 @@ object ScalingBench {
     drain()
     Thread.sleep(3000)
 
-    def timed(name: String, dir: String): Double = {
+    // A failing rep records -1.0 AND the exception, so a broken query at
+    // a high SF reads as a failure with a cause in the artifact, never
+    // as a bare timing sentinel a scaling table could silently absorb.
+    def timed(name: String, dir: String): (Double, Option[String]) = {
+      var err: Option[String] = None
       val reps = (1 to 2).map { _ =>
         drain()
         val t0 = System.nanoTime()
         try { force(name, dir); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch {
+          case e: Throwable =>
+            err = Some(
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+            -1.0
+        }
       }
-      if (reps.exists(_ < 0)) -1.0 else reps.min
+      (if (reps.exists(_ < 0)) -1.0 else reps.min, err)
     }
 
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val rows = queries.map { q =>
       val ts = dirs.map { d =>
-        val t = timed(q, d)
-        System.err.println(f"[scaling] $q%-24s $d%-24s ${t}%8.2f s")
-        d -> t
+        val (t, err) = timed(q, d)
+        System.err.println(f"[scaling] $q%-24s $d%-24s ${t}%8.2f s" +
+          err.map(" ERR " + _).getOrElse(""))
+        (d, t, err)
       }
       // alpha between the two LARGEST dirs, assuming dir order is
       // ascending SF and each step is 10x (the exponent is
@@ -110,9 +121,12 @@ object ScalingBench {
       (q, ts, alpha)
     }
     val json = rows.map { case (q, ts, alpha) =>
-      val times = ts.map { case (d, t) => "\"" + d + "\":" + ms(t) }.mkString("{", ",", "}")
+      val times = ts.map { case (d, t, _) => "\"" + d + "\":" + ms(t) }.mkString("{", ",", "}")
       val a = if (alpha.isNaN) "null" else ms(alpha)
-      "\"" + q + "\":{\"times\":" + times + ",\"alpha\":" + a + "}"
+      val errs = ts.collect { case (d, _, Some(e)) => "\"" + d + "\":\"" + e + "\"" }
+      val errField =
+        if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+      "\"" + q + "\":{\"times\":" + times + ",\"alpha\":" + a + errField + "}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     System.err.println(s"[scaling] wrote $outJson")

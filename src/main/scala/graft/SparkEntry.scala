@@ -2223,13 +2223,27 @@ object SparkEntry {
   private def hnswExportStats(
       s: SparkSession, space: DataFrame, tag: String): DataFrame = {
     import s.implicits._
-    val p = System.getProperty("java.io.tmpdir") +
-      s"/graft_hnsw_export_${tag}_${ProcessHandle.current().pid()}/index.hnsw"
+    // per-invocation temp dir, not a (tag, pid)-keyed path: two
+    // concurrent invocations of the same export query inside one JVM
+    // (e.g. a ConcurrentBench subset) must never write and read the
+    // same file
+    val p = java.nio.file.Files
+      .createTempDirectory(s"graft_hnsw_export_${tag}_")
+      .resolve("index.hnsw").toString
     val cents = Similarity.centroids(space, "label", "embedding").pinned()
+    // the oracle equality below assumes the IVF probe is EXHAUSTIVE
+    // (every cell probed => candidate set identical to brute); fail
+    // loudly if the corpus ever grows more label cells than nProbe
+    // instead of surfacing as an opaque hash mismatch at verify time
+    val nProbe = 1000
+    val nCells = cents.count()
+    require(nCells <= nProbe,
+      s"hnswExportStats($tag): IVF candidate source must be exhaustive for " +
+        s"byte-level oracle equality, but nCells=$nCells > nProbe=$nProbe")
     HnswExport.exportIndex(
       space, "vec_id", "embedding",
       m = 3, maxLevel = 3, efConstruction = 100, p,
-      candidates = Some(Graph.ivfCandidateSource("vec_id", "embedding", cents, nProbe = 1000)))
+      candidates = Some(Graph.ivfCandidateSource("vec_id", "embedding", cents, nProbe = nProbe)))
     val idx = HnswExport.readIndex(p)
     val src = space
       .select(col("vec_id").cast("long"), col("embedding"))
@@ -2243,6 +2257,10 @@ object SparkEntry {
               java.lang.Float.floatToRawIntBits(idx.vectors(i)(j)))
         }
     val fileBytes = java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    // artifact fully parsed into memory above; drop the per-invocation
+    // temp dir so repeated bench reps don't accumulate index files
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p).getParent)
     (0 to 3).map(l => (
       l.toLong, idx.nodesAtLevelGte(l), idx.edgesAtLevel(l),
       idx.nElements.toLong, idx.labels(idx.header.enterPoint), fileBytes, payloadOk))

@@ -99,18 +99,37 @@ object MediaGen {
     * scale.
     */
   def jpegBytes(id: Long): Array[Byte] = {
+    val enc = new JpegEncoder
+    try enc.encode(id)
+    finally enc.close()
+  }
+
+  /** Reusable JPEG encoder: ImageWriter lookup + dispose and the output
+    * buffer are paid ONCE, then amortized across every image a task
+    * encodes (the per-row form paid writer acquisition on each of
+    * sf10's 500k documents). NOT thread-safe — create one per task
+    * (mapPartitions closure), reuse within it, close at the end. The
+    * bytes are identical to the one-shot path: output depends only on
+    * the writer class and the explicit-quality param, both fixed.
+    */
+  final class JpegEncoder extends AutoCloseable {
     javax.imageio.ImageIO.setUseCache(false)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
+    private val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(0.75f)
-    val bos = new ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(rgbImage(id), null, null), param)
-    ios.close()
-    writer.dispose()
-    bos.toByteArray
+    private val bos = new ByteArrayOutputStream()
+
+    def encode(id: Long): Array[Byte] = {
+      bos.reset()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgbImage(id), null, null), param)
+      ios.close()
+      bos.toByteArray
+    }
+
+    override def close(): Unit = writer.dispose()
   }
 
   /** Hand-rolled uncompressed 24bpp bottom-up BMP — byte-exact layout
