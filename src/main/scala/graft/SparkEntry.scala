@@ -4060,6 +4060,16 @@ object SparkEntry {
     "text_scrub" -> ((s, dir) =>
       TextAnalysis.scrub(
         t(s, dir, "documents"), "doc_id", "text", ScrubBlocklist)),
+    // Regex-class PII scrub (TextAnalysis.PiiClasses: email / card /
+    // IPv4 / SSN / phone, sequential-redaction counts). The synthetic
+    // corpus carries no PII, so the query seeds class spans from
+    // doc_id arithmetic first (piiSeeded — reproducible in ANSI SQL),
+    // then redacts; per-class counts AND the scrubbed text both
+    // hash-compare against the oracle, which runs the IDENTICAL
+    // pattern strings in DuckDB's RE2 — the Java ∩ RE2 shared-dialect
+    // contract documented on PiiClasses.
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(piiSeeded(t(s, dir, "documents")), "doc_id", "text")),
     // Gopher-style repetition/quality gates with keep/drop verdict.
     "text_gopher_filter" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
@@ -4267,6 +4277,42 @@ object SparkEntry {
     * synthetic lowercase words; production swaps in PII regexes).
     */
   private val ScrubBlocklist = Seq("hash", "key", "secret")
+
+  /** Deterministic PII seeding for text_pii_scrub: the synthetic corpus
+    * is lowercase words with no PII, so the query appends class spans
+    * derived from doc_id arithmetic — an email for doc_id ≡ 0 (mod 3),
+    * a phone for ≡ 1 (mod 4), a dotted-quad IP for ≡ 2 (mod 5), an
+    * SSN-shaped id for ≡ 3 (mod 6), a 16-digit card run for ≡ 4
+    * (mod 7); docs hitting none of the residues exercise the no-PII
+    * path, docs hitting several get multiple classes in one row. Every
+    * piece is integer-mod + lpad string building that the DuckDB
+    * oracle reproduces verbatim, and the seeded spans are pairwise
+    * non-overlapping by construction so per-class counts are exact
+    * under sequential redaction.
+    */
+  private def piiSeeded(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def str(c: Column) = c.cast("string")
+    val email = when(id % 3 === 0,
+      concat(lit(" contact u"), str(id), lit("@mail"), str(id % 7),
+        lit(".example.com"))).otherwise(lit(""))
+    val phone = when(id % 4 === 1,
+      concat(lit(" call 555-"), str(id % 900 + 100), lit("-"),
+        str(id % 9000 + 1000))).otherwise(lit(""))
+    val ip = when(id % 5 === 2,
+      concat(lit(" from 10."), str(id % 256), lit("."),
+        str(floor(id / 7) % 256), lit("."), str(id % 250 + 1)))
+      .otherwise(lit(""))
+    val ssn = when(id % 6 === 3,
+      concat(lit(" ssn 123-45-"), lpad(str(id % 10000), 4, "0")))
+      .otherwise(lit(""))
+    val card = when(id % 7 === 4,
+      concat(lit(" card 4111222233"), lpad(str(id % 1000000), 6, "0")))
+      .otherwise(lit(""))
+    docs.select(
+      col("doc_id"),
+      concat(col("text"), email, phone, ip, ssn, card).as("text"))
+  }
 
   /** Fixed probe set for the CMS/Bloom sketch queries: four known
     * vocabulary terms + one never-seen token (exercises the empty-cell
@@ -4540,6 +4586,50 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text, '\b(hash|key|secret)\b')) AS BIGINT) AS n_redacted,
              regexp_replace(text, '\b(hash|key|secret)\b', '[REDACTED]', 'g') AS scrubbed
       FROM documents""",
+    // The IDENTICAL pattern strings as TextAnalysis.PiiClasses (the
+    // Java-regex ∩ RE2 shared dialect), the IDENTICAL seeding
+    // arithmetic as piiSeeded, and the IDENTICAL sequential-redaction
+    // semantics: class k counts on the text as classes < k left it.
+    "text_pii_scrub" -> """
+      WITH seeded AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+               || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END
+          || CASE WHEN doc_id % 4 = 1 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+               || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+               || '.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 6 = 3 THEN ' ssn 123-45-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 7 = 4 THEN ' card 4111222233'
+               || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') ELSE '' END
+          AS t0
+        FROM documents),
+      s1 AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+               regexp_replace(t0, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g') AS t1
+             FROM seeded),
+      s2 AS (SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t1, '\b\d{16}\b')) AS BIGINT) AS n_card,
+               regexp_replace(t1, '\b\d{16}\b', '[CARD]', 'g') AS t2
+             FROM s1),
+      s3 AS (SELECT doc_id, n_email, n_card,
+               CAST(len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+               regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t3
+             FROM s2),
+      s4 AS (SELECT doc_id, n_email, n_card, n_ipv4,
+               CAST(len(regexp_extract_all(t3, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+               regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t4
+             FROM s3),
+      s5 AS (SELECT doc_id, n_email, n_card, n_ipv4, n_ssn,
+               CAST(len(regexp_extract_all(t4, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+               regexp_replace(t4, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t5
+             FROM s4)
+      SELECT doc_id, n_email, n_card, n_ipv4, n_ssn, n_phone,
+             n_email + n_card + n_ipv4 + n_ssn + n_phone AS n_redacted,
+             t5 AS scrubbed
+      FROM s5""",
     "text_gopher_filter" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       f AS (

@@ -115,6 +115,75 @@ object TextAnalysis {
       regexp_replace(col(textCol), pat, repl).as("scrubbed"))
   }
 
+  /** One PII redaction class: name (column suffix), pattern, token. */
+  final case class PiiClass(name: String, pattern: String, replacement: String)
+
+  /** The day-one PII classes of every published pipeline's scrub pass
+    * (CCNet / RefinedWeb / Dolma all redact or drop these): emails,
+    * 16-digit card runs, dotted-quad IPs, SSN-shaped ids, US-shaped
+    * phone numbers.
+    *
+    * Dialect contract: patterns stay inside the Java-regex ∩ RE2
+    * shared subset — character classes, bounded repetition, `\b`, `\d`,
+    * alternation, non-capturing groups; NO backreferences, lookarounds,
+    * possessive quantifiers, or inline flags (RE2 lacks the first three,
+    * Java differs on defaults for the last) — so the identical pattern
+    * string runs in Spark (java.util.regex) and in an external RE2
+    * engine (DuckDB oracle) with identical match sets. `\b`/`\d`/`\w`
+    * agree because both dialects are ASCII-default here.
+    *
+    * Order matters and is fixed: email before the digit classes (an
+    * address like `a1234567890123456@x.ie` must redact as ONE email,
+    * not leak its local part to the card class), card (longest digit
+    * run) before IP/SSN/phone.
+    */
+  val PiiClasses: Seq[PiiClass] = Seq(
+    PiiClass("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    PiiClass("card", "\\b\\d{16}\\b", "[CARD]"),
+    PiiClass("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    PiiClass("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    PiiClass("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"))
+
+  /** Regex-class PII scrub — the production form of [[scrub]]: each
+    * class is counted on the text AS THE PREVIOUS CLASSES LEFT IT and
+    * then replaced, i.e. a sequential redaction pipeline. Sequential
+    * semantics (not count-on-original) is what makes the per-class
+    * counts exact even when classes could overlap on adversarial input:
+    * a span consumed by an earlier class can never double-count under a
+    * later one.
+    *
+    * Scale shape: k chained regexp passes fused into one codegen'd
+    * projection — no shuffle, no explode; the text column prunes
+    * straight off parquet and the whole operator runs at scan speed.
+    * The stage-k count column re-evaluates the k-1 prior replaces
+    * inside the same task (expression-tree sharing keeps no state), so
+    * cost is O(k²) regex passes per row with k = 5 — still scan-bound;
+    * a corpus with hundreds of classes would motivate a custom
+    * Expression holding one compiled Matcher chain, not a different
+    * plan shape.
+    */
+  def piiScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      classes: Seq[PiiClass] = PiiClasses
+  ): DataFrame = {
+    require(classes.nonEmpty, "need at least one PII class")
+    var cur: Column = col(textCol)
+    val counts = classes.map { c =>
+      val n = size(regexp_extract_all(cur, lit(c.pattern), lit(0)))
+        .cast("long").as(s"n_${c.name}")
+      cur = regexp_replace(cur, c.pattern,
+        java.util.regex.Matcher.quoteReplacement(c.replacement))
+      n
+    }
+    val total = classes.map(c => col(s"n_${c.name}"))
+      .reduce(_ + _).as("n_redacted")
+    docs
+      .select(col(idCol).as("doc_id") +: counts :+ cur.as("scrubbed"): _*)
+      .select(col("*"), total)
+  }
+
   /** Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1:
     * word-count bounds, mean word length, repetition fractions) with a
     * combined keep/drop verdict. The per-word frequency goes through

@@ -105,6 +105,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.getAs[String]("scrubbed") == "uses c++ and $5 [X] but not axb")
   }
 
+  test("piiScrub redacts every class with exact per-class counts") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk now"),
+      (2L, "card 4111222233445566 ip 10.1.200.3"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567"),
+      (4L, "clean words only"),
+      (5L, "two mails a@b.io c@d.io one ip 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 1L)
+    assert(out(1L).getAs[String]("scrubbed") == "mail [EMAIL] now")
+    assert(out(2L).getAs[Long]("n_card") == 1L)
+    assert(out(2L).getAs[Long]("n_ipv4") == 1L)
+    assert(out(2L).getAs[String]("scrubbed") == "card [CARD] ip [IP]")
+    assert(out(3L).getAs[Long]("n_ssn") == 1L)
+    assert(out(3L).getAs[Long]("n_phone") == 1L)
+    assert(out(3L).getAs[String]("scrubbed") == "ssn [SSN] phone [PHONE]")
+    assert(out(4L).getAs[Long]("n_redacted") == 0L)
+    assert(out(4L).getAs[String]("scrubbed") == "clean words only")
+    assert(out(5L).getAs[Long]("n_email") == 2L)
+    assert(out(5L).getAs[Long]("n_ipv4") == 1L)
+    assert(out(5L).getAs[Long]("n_redacted") == 3L)
+  }
+
+  test("piiScrub sequential semantics: earlier classes consume spans first") {
+    // The digits of an email's local part must NOT leak to the card
+    // class: email runs first and removes the whole address. And an
+    // SSN-shaped span inside a phone-shaped context stays one class.
+    val docs = Seq(
+      (1L, "a1234567890123456@x.ie end"),
+      (2L, "overlap 123-45-6789 and 555-123-4567")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 1L)
+    assert(out(1L).getAs[Long]("n_card") == 0L)
+    assert(out(1L).getAs[String]("scrubbed") == "[EMAIL] end")
+    assert(out(2L).getAs[Long]("n_ssn") == 1L)
+    assert(out(2L).getAs[Long]("n_phone") == 1L)
+    assert(out(2L).getAs[Long]("n_redacted") == 2L)
+  }
+
   test("repetitionSignals computes gopher signals and the keep verdict") {
     val passing = (1 to 25).map(i => f"wd$i%02d").mkString(" ") // 25 x 4-char distinct
     val docs = Seq((1L, "aa aa aa bb"), (2L, passing)).toDF("doc_id", "text")
