@@ -3544,11 +3544,19 @@ object SparkEntry {
     // Sub-quadratic embedding near-dup via random-hyperplane LSH
     // (Charikar'02): md5-signed hyperplanes -> sign-bit sketch ->
     // exact-band candidates -> exact-cosine verify. The data-adaptive
-    // counterpart of dedup_embedding's label blocking.
-    "dedup_embedding_lsh" -> ((s, dir) =>
+    // counterpart of dedup_embedding's label blocking. Banding is
+    // COUNT-ADAPTIVE (Dedup.lshAdaptiveParams — band width grows with
+    // the corpus so expected bucket size stays bounded; the r10 fixed
+    // 4-bit bands were 16 buckets forever and went quadratic at sf10),
+    // and the candidate join is budget-guarded like every pair family.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (planes, bands) = Dedup.lshAdaptiveParams(emb.count())
       Dedup.embeddingLshDedup(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, planes = 16, bands = 4, cosFloor = 0.3)),
+        emb, "vec_id", "embedding",
+        dims = 64, planes = planes, bands = bands, cosFloor = 0.3,
+        maxCandidateInstances = Some(10000000000L))
+    }),
     "dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val edges = Dedup
@@ -3873,22 +3881,39 @@ object SparkEntry {
     "dedup_containment_sampled" -> pairSampleSql(containmentOracleSql),
     // Same md5-signed hyperplanes as emb_random_projection; sign bits
     // summed as disjoint powers of two (== the OR fold), band bits by
-    // shift/mask, exact cosine verify on the originals.
+    // shift/mask, exact cosine verify on the originals. Banding is
+    // count-adaptive exactly as Dedup.lshAdaptiveParams derives it:
+    // width w = smallest bits in [4,16] with (n >> w) <= 16 — the
+    // integer threshold walk, no float log, so both engines compute
+    // the identical w from the identical count — and nb = 63 // w
+    // bands tile the 63 non-sign sketch bits. All 63 sign chains are
+    // emitted; rows beyond nb*w bits are never banded. Signs compare
+    // the RAW projection sum (> 0 is invariant under the positive
+    // 1/sqrt(planes) normalization the Spark kernel applies).
     "dedup_embedding_lsh" -> {
-      val chains = (0 until 16).map { j =>
+      val chains = (0 until 63).map { j =>
         (1 to 64)
           .map(i => s"embedding[$i]::DOUBLE * (${Quantization.rpSign("rp", i, j)})")
-          .mkString("(", " + ", s") / sqrt(16.0)")
+          .mkString("(", " + ", ")")
       }.mkString("list_value(", ", ", ")")
-      val skBits = (0 until 16)
+      val skBits = (0 until 63)
         .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
         .mkString(" + ")
+      val wArms = (4 until 16)
+        .map(w => s"WHEN (c >> $w) <= 16 THEN $w").mkString(" ")
       s"""
-      WITH rpv AS (SELECT vec_id, $chains AS v FROM embeddings),
+      WITH par AS (
+        SELECT CASE $wArms ELSE 16 END AS w
+        FROM (SELECT count(*) AS c FROM embeddings)),
+      bp AS (SELECT w, 63 // w AS nb FROM par),
+      rpv AS (SELECT vec_id, $chains AS v FROM embeddings),
       sks AS (SELECT vec_id, $skBits AS sk FROM rpv),
       banded AS (
-        SELECT vec_id, b, (sk >> (b * 4)) & 15 AS bh
-        FROM sks CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+        SELECT vec_id, b, (sk >> (b * w)) & ((1::BIGINT << w) - 1) AS bh
+        FROM sks
+        CROSS JOIN bp
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS b) t
+        WHERE b < nb),
       cand AS (
         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         FROM banded x JOIN banded y

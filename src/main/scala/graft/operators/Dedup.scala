@@ -1153,6 +1153,29 @@ object Dedup {
     * re-attaching vectors by id. Deterministic end to end: md5
     * hyperplanes, exact double signs, exact band bits.
     */
+  /** Count-adaptive banding parameters for [[embeddingLshDedup]]: the
+    * band hash must GROW with the corpus or bucket count stays fixed
+    * while bucket SIZE — and the candidate join's output — grows
+    * linearly with n, i.e. the "sub-quadratic" path silently reverts
+    * to quadratic at scale (measured, round 11: the old fixed
+    * planes=16/bands=4 driver query — 16 buckets per band forever —
+    * emitted a multi-billion-pair candidate stream at sf10's 200k
+    * vectors and filled 65 GB of shuffle before ENOSPC; both engines
+    * blew up, DuckDB's oracle spilled past the same disk). Width w is
+    * the smallest bit count in [4, 16] with floor(n / 2^w) <=
+    * targetBucket — an integer threshold walk, NO float log, so any
+    * engine derives the identical w from the same count — and bands
+    * tile the 63 usable non-sign bits of the BIGINT sketch
+    * (arithmetic-only right shifts never touch the sign bit that
+    * way). Returns (planes, bands) with planes = bands·w.
+    */
+  def lshAdaptiveParams(n: Long, targetBucket: Long = 16L): (Int, Int) = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    var w = 4
+    while (w < 16 && (n >> w) > targetBucket) w += 1
+    (63 / w * w, 63 / w)
+  }
+
   def embeddingLshDedup(
       space: DataFrame,
       keyCol: String,
@@ -1161,7 +1184,8 @@ object Dedup {
       planes: Int,
       bands: Int,
       cosFloor: Double,
-      seed: String = "rp"
+      seed: String = "rp",
+      maxCandidateInstances: Option[Long] = None
   ): DataFrame = {
     require(planes >= 1 && planes <= 64, s"planes must fit one long, got $planes")
     require(bands >= 1 && planes % bands == 0, s"bands=$bands must divide planes=$planes")
@@ -1188,10 +1212,22 @@ object Dedup {
         .as(Seq("band", "bh")))
     val x = banded.select(col("band"), col("bh"), col("id").as("a"))
     val y = banded.select(col("band"), col("bh"), col("id").as("b"))
-    val cands = x.join(y, Seq("band", "bh"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+    // fail-fast candidate budget from the band-bucket sizes (reads the
+    // persisted sketch once, O(buckets)) — see [[guardBudget]]; the
+    // priced value also sizes the pair-stream dedupe exchange and
+    // enables the packed-long regime via the id range
+    val priced = guardBudget("embeddingLshDedup", maxCandidateInstances)(
+      selfBudget(banded, Seq("band", "bh")))
+    val idRow = sketches.agg(
+      min(col("id").cast("long")), max(col("id").cast("long"))).head
+    val idRange =
+      if (idRow.isNullAt(0)) (0L, Long.MaxValue)
+      else (idRow.getLong(0), idRow.getLong(1))
+    val cands = distinctPairs(
+      x.join(y, Seq("band", "bh"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b")),
+      priced, idRange)
     val va = space.select(col(keyCol).as("a"), col(vecCol).as("va"))
     val vb = space.select(col(keyCol).as("b"), col(vecCol).as("vb"))
     cands

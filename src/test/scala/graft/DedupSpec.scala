@@ -30,6 +30,31 @@ class DedupSpec extends AnyFunSuite {
       "the orthogonal vector fails the cosine floor even if banded together")
     assert(out.values.forall(_ >= 0.9), "precision 1.0: every pair is verified")
   }
+  test("lshAdaptiveParams widens the band hash with the corpus; cap at 16 bits") {
+    assert(Dedup.lshAdaptiveParams(20L) == ((60, 15)))          // w=4
+    assert(Dedup.lshAdaptiveParams(2000L) == ((63, 9)))         // w=7
+    assert(Dedup.lshAdaptiveParams(200000L) == ((56, 4)))       // w=14
+    assert(Dedup.lshAdaptiveParams(Long.MaxValue / 2) == ((48, 3))) // w=16 cap
+    // monotone: a bigger corpus never gets a narrower band hash
+    val widths = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(n => 63 / Dedup.lshAdaptiveParams(n)._2)
+    assert(widths == widths.sorted)
+  }
+
+  test("embeddingLshDedup budget guard prices the bucket join before it runs") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val base = (0 until 8).map(i => math.cos(i * 0.7).toFloat)
+    val space = Seq((1L, base), (2L, base), (3L, base))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingLshDedup(
+        space, "vec_id", "embedding", dims = 8, planes = 16, bands = 4,
+        cosFloor = 0.0, maxCandidateInstances = Some(1L)).collect()
+    }
+    assert(e.getMessage.contains("maxCandidateInstances"))
+  }
+
   private lazy val spark = GraftTestSession.spark
   import spark.implicits._
 
