@@ -144,11 +144,26 @@ object GenData {
       val r = i % dims
       val neg = (i / dims) % 2 == 1
       val rev = (i / (2 * dims)) % 2 == 1
-      require(i < 4 * dims, s"copy $i exceeds the ${4 * dims} distinct isometries")
+      // beyond the 4*dims rotation x negation x reversal family,
+      // compose a per-group ±1 DIAGONAL (coordinate sign flips): for
+      // same-copy vectors (Dx)·(Dy) = Σ d_j² x_j y_j = x·y since
+      // d_j² = 1, so intra-copy cosine structure is still EXACT, while
+      // distinct multiplicative-hash bit windows decorrelate groups
+      // from each other — the family now covers 4*dims*2^31 copies
+      // (group 0 is the identity diagonal, so copies < 4*dims are
+      // bit-identical to the pre-extension outputs)
+      val g = i / (4 * dims)
+      require(g < Int.MaxValue, s"copy $i exceeds the isometry family")
       var e = col("embedding")
       if (r != 0) e = concat(slice(e, r + 1, dims - r), slice(e, 1, r))
       if (neg) e = transform(e, x => -x)
       if (rev) e = reverse(e)
+      if (g != 0) {
+        val pat = g.toLong * 2654435761L // Knuth multiplicative hash
+        val signs = (0 until dims).map(j =>
+          lit(if (((pat >> (j % 31)) & 1L) == 1L) -1.0f else 1.0f))
+        e = zip_with(e, array(signs: _*), (x, s) => x * s)
+      }
       if (i == 0) shifted else shifted.withColumn("embedding", e)
     }, "embeddings")
 
