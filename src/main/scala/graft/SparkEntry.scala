@@ -5520,6 +5520,20 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("spend"))
     }),
+    // WebDataset tar-shard training export (operators.WdsShards): the
+    // dataloader-facing last mile past the reference's parquet/CSV
+    // materialization exports (provider/offline.go's materialization
+    // iterators stop at tabular files). Division-packed 1 MiB shards
+    // over doc_id order; every manifest stat is re-derived from the
+    // PARSED artifact bytes (header checksums, member names/sizes,
+    // payload CRCs vs the source strings), so the formula oracle and
+    // the tar file meet only at the POSIX-ustar format — the
+    // hnswlib-export gate discipline. 256 KiB target = multi-shard at
+    // every driver SF (~2 KiB archived cost per sample); a production
+    // export sets ~1 GiB.
+    "sink_wds_shards" -> ((s, dir) =>
+      WdsShards.exportStats(t(s, dir, "documents"), "doc_id", "text", "lang",
+        targetBytes = 256L * 1024)),
     // Lakehouse round-trip (the reference Spark runner's Iceberg/Delta
     // registration path, offline_store_spark_runner.py:193/213,
     // re-expressed on graft's own JSON-commit-log format): commit
@@ -6552,6 +6566,26 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS spend
       FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
       GROUP BY event_type""",
+    "sink_wds_shards" -> """
+      WITH sized AS (
+        SELECT doc_id, strlen(text) AS tb, strlen(lang) AS cb,
+               1024 + ((strlen(text) + 511) // 512) * 512
+                    + ((strlen(lang) + 511) // 512) * 512 AS tar_bytes
+        FROM documents),
+      cum AS (
+        SELECT doc_id, tb, cb, tar_bytes,
+               sum(tar_bytes) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        FROM sized)
+      SELECT CAST((rs - tar_bytes) // 262144 AS BIGINT) AS shard_id,
+             count(*) AS n_samples,
+             CAST(sum(tb + cb) AS BIGINT) AS payload_bytes,
+             CAST(sum(tar_bytes) + 1024 AS BIGINT) AS file_bytes,
+             CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+             CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+             CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+             TRUE AS payload_ok
+      FROM cum GROUP BY 1""",
     "source_lakehouse_roundtrip" -> """
       WITH latest AS (
         SELECT n_nationkey, n_regionkey FROM nation
