@@ -44,6 +44,12 @@ import org.apache.spark.sql.types._
   * ~100k shards across the cluster with no driver involvement; the
   * emitted frame is one row per shard (manifest-sized).
   *
+  * [[Multimodal.shardPack]] is the PLAN-ONLY half of this story
+  * (per-source shard assignment + offsets, no artifact); this operator
+  * is the writer end: it cuts over the exact archived cost (headers +
+  * padding, not raw payload bytes) and materializes + gates the tar
+  * files themselves.
+  *
   * The emitted stats come FROM THE PARSED BYTES of the written file
   * (header checksums validated, member names/sizes/order re-read,
   * payload CRCs compared against the source strings), so the formula
