@@ -29,11 +29,19 @@ object Verify {
     // derive from this run's corpus.
     SparkEntry.oracleDataDir = Some(sfDir)
     new java.io.File(outDir).mkdirs()
+    // The single-file dump is driver-compare tidiness; the checker
+    // globs part files, so builder-side scale-up sweeps (sf100 per-doc
+    // outputs would otherwise funnel a whole scan through ONE task via
+    // the narrow coalesce) can disable it.
+    val coalesce1 = sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1") == "1"
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val res = fn(spark, sfDir)
+          (if (coalesce1) res.coalesce(1) else res)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
