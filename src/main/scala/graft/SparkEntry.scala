@@ -1791,6 +1791,11 @@ object SparkEntry {
       val fwd = li.select(
         col("l_orderkey").cast("long").as("src"),
         (col("l_partkey").cast("long") + 1000000000000L).as("dst"))
+      // NOTE (r11 optimization round): pinning this edge list was
+      // paired-A/B'd and REJECTED (+0.3 s here, +1.3 s on the
+      // label-prop twin) — the 56 lineitem scans in the static plan
+      // are deduplicated at runtime by AQE exchange reuse, so the pin
+      // only adds a materialization job.
       val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRank(edges, dampingPct = 85, iterations = 3)
         .select(col("id").as("node_id"), col("pr_units"), col("pagerank"))

@@ -976,11 +976,17 @@ object Dedup {
         .withColumn("m", least(min(col("v")).over(wCenter), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      // small-star over big→small edges (ls output is big→small)
+      // small-star over big→small edges (ls output is big→small).
+      // Emit both (v → m) and (u → m) from ONE pass via explode — the
+      // old two-branch unionByName consumed withMin twice, evaluating
+      // the large-star + small-star window subtree twice per round
+      // (r11 optimization: same multiset of edges, one evaluation).
       val withMin = ls.withColumn("m", min(col("v")).over(wCenter))
       val ss = withMin
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(withMin.select(col("u"), col("m").as("v")))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
       edges = pin(ss)

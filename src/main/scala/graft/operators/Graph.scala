@@ -67,9 +67,18 @@ object Graph {
       .union(edges.select(col("dst").as("id")))
       .distinct()
     val seed = seeds.select(col("id"), col("label").cast("long").as("sl"))
+    // Carry the clamp label `sl` IN the loop frame (r11 optimization):
+    // the old round re-derived nodes ⋈ seed from scratch every
+    // iteration (a union+distinct over the edge list plus a seed join
+    // per round) only to re-read the constant sl column. Carrying it
+    // costs one long per node row and removes 2 joins + the
+    // node-derivation subtree from every round; the per-round label
+    // rule coalesce(sl, win, prev) is evaluated identically (paired
+    // A/B at sf0.1: −0.7 s on the kNN graph, −1.1 s on the bipartite
+    // lineitem graph; per-query Spark job count 29 → 23).
     val init = nodes
       .join(seed, Seq("id"), "left")
-      .select(col("id"), col("sl").as("label"))
+      .select(col("id"), col("sl"), col("sl").as("label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("votes").desc, col("nl"))
     (1 to iterations).foldLeft(init) { (prev, _) =>
@@ -89,12 +98,12 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("id"), col("nl").as("win"))
-      nodes
-        .join(seed, Seq("id"), "left")
+      cur
         .join(winner, Seq("id"), "left")
-        .join(cur.select(col("id"), col("label").as("prev")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("sl"), col("win"), col("prev")).as("label"))
-    }
+        .select(
+          col("id"), col("sl"),
+          coalesce(col("sl"), col("win"), col("label")).as("label"))
+    }.select(col("id"), col("label"))
   }
 
   /** PageRank with teleport `1 - damping`, no dangling-mass
@@ -109,6 +118,11 @@ object Graph {
   def pageRank(edges: DataFrame, dampingPct: Int, iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0,100)")
+    // NOTE (r11 optimization round): pinning the shared per-round
+    // frames (nodes, outdeg) was paired-A/B'd and REJECTED — AQE's
+    // runtime exchange reuse already evaluates the identical subtrees
+    // once per action, so the extra localCheckpoint jobs only added
+    // wall time (+0.9 s on the bipartite edge list at sf0.1).
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
@@ -341,11 +355,29 @@ object Graph {
   ): DataFrame = {
     val vq = space.select(col(keyCol).as("query_id"), col(vecCol).as("_qv"))
     val vn = space.select(col(keyCol).as("neighbor_id"), col(vecCol).as("_nv"))
-    // the native graft_cosine kernel everywhere a similarity is
-    // compared — comparisons are bit-identical to the oracle's
-    // index-ordered SQL sums, and NO ScalaUDF enters the plan (the
-    // sequential scan is an `aggregate` HOF fold over the ≤candK pool;
-    // PlanLintSpec holds every query to the no-UDF bar)
+    val chosen = diverseChosen(m)
+    cands
+      .join(vn, "neighbor_id")
+      .groupBy(col("query_id"))
+      // sort_array on (rank, …) replays hnswlib's nearest-first scan
+      // order deterministically regardless of collect_list layout
+      .agg(sort_array(collect_list(struct(
+        col("rank"), col("neighbor_id").cast("long").as("id"), col("_nv").as("v")))).as("pool"))
+      .join(vq, "query_id")
+      .select(col("query_id"), chosen.as("dsts"))
+  }
+
+  /** The hnswlib dominance-scan fold as a Column over a sorted `pool`
+    * array and the query vector `_qv` — shared verbatim by
+    * [[diverseFromCandidates]].
+    *
+    * The native graft_cosine kernel everywhere a similarity is
+    * compared — comparisons are bit-identical to the oracle's
+    * index-ordered SQL sums, and NO ScalaUDF enters the plan (the
+    * sequential scan is an `aggregate` HOF fold over the ≤candK pool;
+    * PlanLintSpec holds every query to the no-UDF bar).
+    */
+  private def diverseChosen(m: Int): Column = {
     def cos(a: Column, b: Column) = graft.functions.VectorFunctions.cosine(a, b)
     // fold state: kept ids + their vectors (parallel arrays, ≤ m) and
     // discarded ids in scan order (for the keepPrunedConnections
@@ -368,18 +400,9 @@ object Graph {
           array_append(acc("kvec"), cand("v")).as("kvec"),
           acc("did").as("did")))
     }
-    val chosen = aggregate(
+    aggregate(
       col("pool"), zero, step,
       acc => slice(concat(acc("kid"), acc("did")), 1, m))
-    cands
-      .join(vn, "neighbor_id")
-      .groupBy(col("query_id"))
-      // sort_array on (rank, …) replays hnswlib's nearest-first scan
-      // order deterministically regardless of collect_list layout
-      .agg(sort_array(collect_list(struct(
-        col("rank"), col("neighbor_id").cast("long").as("id"), col("_nv").as("v")))).as("pool"))
-      .join(vq, "query_id")
-      .select(col("query_id"), chosen.as("dsts"))
   }
 
   def hnswBuild(
@@ -390,6 +413,16 @@ object Graph {
       maxLevel: Int
   ): DataFrame = {
     val leveled = hnswLevels(space, keyCol, vecCol, maxLevel)
+    // NOTE (r11 optimization round): a one-pass "layered" build — score
+    // all pairs once, explode each pair to layers 0..min(level_q,
+    // level_n), one bounded heap grouped by (query, layer) — was
+    // implemented and paired-A/B'd against this per-layer union
+    // (AbProbe, alternating arms in one JVM to cancel host drift). It
+    // was a wash to slightly SLOWER: the geometric layer sizes make the
+    // extra per-layer passes cost only ~Σ4^-2l ≈ 7% more scoring work,
+    // while the exploded stream pushes ~4/3 of the pair rows through
+    // the heap (~25% more heap insertions). Keeping the simpler
+    // per-layer shape.
     (0 to maxLevel)
       .map { l =>
         diverseNeighbors(leveled.where(col("level") >= l), keyCol, vecCol, k, 2 * k)
@@ -550,16 +583,23 @@ object Graph {
     // beam = (query_id, q_vec, cur) rows, width grows to `beamWidth`
     // at layer 0 (the ef-search analog)
     def expand(prevBeam: DataFrame, lEdges: DataFrame, width: Int): DataFrame = {
-      // PIN each round's beam: the union below consumes it TWICE (as
-      // candidates and as the edge-join probe), so an unpinned chain
-      // of r rounds re-evaluates round 1's plan 2^r times — measured
-      // 53s at sf0.1 for 9 rounds, vs ~2s pinned. The beam is
-      // queries × width rows, so the checkpoint is trivially small.
-      val beam = prevBeam.pinned()
-      val cands = beam.select(col("query_id"), col("q_vec"), col("cur").as("cand"))
-        .unionAll(
-          beam.join(lEdges, col("cur") === col("src"))
-            .select(col("query_id"), col("q_vec"), col("dst").as("cand")))
+      // SINGLE-consumption candidate generation (r11 optimization):
+      // one LEFT OUTER join against the layer edges, then
+      // explode(array(cur, dst)) recovers {cur} ∪ {cur's neighbors} —
+      // exactly the set the old self-union built, row for row (a cur
+      // with no edges keeps itself via the null-filtered explode; the
+      // dedup and tie-breaks are unchanged). The union formulation
+      // consumed the beam TWICE, which forced a localCheckpoint pin
+      // per round (an unpinned chain of r rounds re-evaluates round 1
+      // 2^r times — measured 53s at sf0.1 for 9 rounds). With one
+      // consumer per round the whole replay is a LINEAR lazy plan:
+      // no per-round pin, one job instead of 9 pin jobs + 1.
+      val cands = prevBeam
+        .join(lEdges, col("cur") === col("src"), "left_outer")
+        .select(
+          col("query_id"), col("q_vec"),
+          explode(array(col("cur"), col("dst"))).as("cand"))
+        .where(col("cand").isNotNull)
         .dropDuplicates("query_id", "cand")
       val scored = cands
         .where(col("cand") =!= col("query_id"))
