@@ -258,12 +258,27 @@ object FeatureStore {
     val (parted, offsets) = numberedPartitions(materialized, orderCols)
     val total = offsets.map(_._3).sum
     val pageSize = math.max(1L, (total + nPages - 1) / nPages)
+    // Full-export form, so number ONCE and pin (r11 optimization):
+    // every page of this form gets read — that is its documented
+    // contract vs [[pagedMaterialization]]'s serving-API slices — so
+    // slicing per page re-ran the offset join + per-partition window
+    // nPages times over the same pinned rows (the fs_*_paged plans
+    // carried ~60 Exchanges, ~2 per page subtree). One full
+    // numbering pass + a pin turns each page into a pure row_number
+    // range filter over the pinned numbering: identical page rows and
+    // row_number values, zero per-page exchanges. The single-page
+    // serving path keeps the partition-pruned slice, where numbering
+    // the whole materialization would be the waste. Paired A/B and
+    // row-equality are gated in FeatureStoreSpec.
+    lazy val numbered =
+      Pins.pin(rangeSlice(parted, offsets, 0L, total, orderCols))
     val pages = Iterator
       .iterate(0L)(_ + pageSize)
       .takeWhile(_ < total)
       .map { start =>
         val end = math.min(start + pageSize, total)
-        (start, end, rangeSlice(parted, offsets, start, end, orderCols))
+        (start, end,
+          numbered.where(col("row_number") > start && col("row_number") <= end))
       }
     (pageSize, pages)
   }

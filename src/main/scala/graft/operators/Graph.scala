@@ -506,11 +506,12 @@ object Graph {
     def cos(a: Column, b: Column) = graft.functions.VectorFunctions.cosine(a, b)
     (sub: DataFrame, candK: Int) => {
       graft.plans.GraftFunctions.register(sub.sparkSession)
-      val assigned = Similarity.nearestCentroid(sub, keyCol, vecCol, cents)
-        .select(col("vec_id").as("neighbor_id"), col("assigned").as("cell"))
-      val corpusCells = sub
-        .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-        .join(assigned, "neighbor_id")
+      // cell-keyed corpus via the carried-vector assignment (see
+      // Similarity.nearestCentroidWithVec) — no corpus re-join (r11)
+      val corpusCells = Similarity.nearestCentroidWithVec(sub, keyCol, vecCol, cents)
+        .select(
+          col("vec_id").as("neighbor_id"), col("v").as("n_vec"),
+          col("assigned").as("cell"))
       // per-node nProbe nearest cells via the bounded heap (NOT a
       // per-node window over the n×nCells scored frame)
       val cellScores = sub

@@ -93,9 +93,11 @@ object Quantization {
             .partitionBy(col("subspace")).orderBy(col("vec_id"))) - 1).cast("int"))
       .select(col("subspace"), col("centroid_id"), col("centroid"))
     for (_ <- 0 until iterations) {
-      val assigned = assignCells(sub, cents)
-      cents = sub
-        .join(assigned, Seq("vec_id", "subspace"))
+      // E-step carries the subvector through the argmin group (see
+      // [[assignCellsWithVec]]) so the M-step reads it directly — the
+      // old sub ⋈ assigned re-join per iteration is gone (r11
+      // optimization; identical assignment and means).
+      cents = assignCellsWithVec(sub, cents)
         .select(col("subspace"), col("cell"), posexplode(col("subvec")).as(Seq("pos", "x")))
         .groupBy(col("subspace"), col("cell"), col("pos"))
         .agg(avg(col("x")).as("c"))
@@ -125,6 +127,22 @@ object Quantization {
       .withColumn("d", VectorFunctions.l2Sq(col("subvec"), col("centroid")))
       .groupBy(col("vec_id"), col("subspace"))
       .agg(min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("cell"))
+
+  /** [[assignCells]] with the subvector CARRIED through the argmin
+    * group (first(subvec) is constant within a (vec_id, subspace)
+    * group — the group's rows are one sub row replicated per broadcast
+    * centroid), so the M-step needs no re-join with the subvector
+    * stream (r11 optimization, one exchange + join less per Lloyd
+    * iteration; the Similarity.nearestCentroidWithVec trade).
+    */
+  private def assignCellsWithVec(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub
+      .join(broadcast(cents), "subspace")
+      .withColumn("d", VectorFunctions.l2Sq(col("subvec"), col("centroid")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(
+        min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("cell"),
+        first(col("subvec")).as("subvec"))
 
   /** PQ encoding: (vec_id, codes) with codes[j] = nearest sub-centroid
     * of subspace j — the m-byte compressed representation of the corpus.
@@ -248,15 +266,13 @@ object Quantization {
       .kmeansCodebook(corpus, keyCol, vecCol, nCells, coarseIterations)
       .select(col("centroid_id").as("cell"), col("centroid").as("c_vec"))
       .pinned()
-    val assigned = Similarity
-      .nearestCentroid(
-        corpus, keyCol, vecCol,
+    // Residuals: vec - centroid[cell], computed once per corpus row —
+    // the carried-vector assignment (Similarity.nearestCentroidWithVec)
+    // makes the old corpus re-join on vec_id unnecessary (r11).
+    val resid = Similarity
+      .nearestCentroidWithVec(corpus, keyCol, vecCol,
         coarse.select(col("cell").as("centroid_id"), col("c_vec").as("centroid")))
       .withColumnRenamed("assigned", "cell")
-    // Residuals: vec - centroid[cell], computed once per corpus row.
-    val resid = corpus
-      .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
-      .join(assigned, "vec_id")
       .join(broadcast(coarse), "cell")
       .select(
         col("vec_id"), col("cell"),
@@ -283,14 +299,10 @@ object Quantization {
       dims: Int
   ): DataFrame = {
     graft.plans.GraftFunctions.register(rows.sparkSession)
-    val assigned = Similarity
-      .nearestCentroid(
-        rows, keyCol, vecCol,
+    val resid = Similarity
+      .nearestCentroidWithVec(rows, keyCol, vecCol,
         index.coarse.select(col("cell").as("centroid_id"), col("c_vec").as("centroid")))
       .withColumnRenamed("assigned", "cell")
-    val resid = rows
-      .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
-      .join(assigned, "vec_id")
       .join(broadcast(index.coarse), "cell")
       .select(
         col("vec_id"), col("cell"),
@@ -372,13 +384,10 @@ object Quantization {
       shiftThreshold: Double
   ): IvfPqMaintenance = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val assigned = Similarity.nearestCentroid(
-      corpus, keyCol, vecCol,
-      index.coarse.select(col("cell").as("centroid_id"), col("c_vec").as("centroid")))
     val fresh = Similarity.centroids(
-      corpus
-        .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
-        .join(assigned, "vec_id"),
+      Similarity.nearestCentroidWithVec(
+        corpus, keyCol, vecCol,
+        index.coarse.select(col("cell").as("centroid_id"), col("c_vec").as("centroid"))),
       "assigned", "v")
     val shifts = fresh
       .join(

@@ -439,6 +439,34 @@ object Similarity {
       .agg(max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id"))).as("assigned"))
   }
 
+  /** [[nearestCentroid]] with the vector CARRIED through the argmax
+    * group — (vec_id, assigned, v). Consumers that need the assigned
+    * rows WITH their vectors (k-means M-step, residual computation,
+    * cell-keyed corpus frames) previously re-joined the corpus on
+    * vec_id after the assignment aggregate: one extra exchange + join
+    * per use, purely to fetch back a column the aggregate's input
+    * already had (r11 optimization; one Lloyd build saved an exchange
+    * per iteration). `first(v)` is deterministic here — every row in a
+    * vec_id group is the same corpus row replicated per broadcast
+    * centroid, so v is constant within the group.
+    */
+  def nearestCentroidWithVec(
+      space: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      cents: DataFrame
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(space.sparkSession)
+    space
+      .select(col(keyCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("v"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id"))).as("assigned"),
+        first(col("v")).as("v"))
+  }
+
   /** Approximate top-k via IVF: probe only the nProbe nearest cells per
     * query. Recall < 1 by design; the exactness gate is knnBruteForce.
     */
@@ -453,12 +481,12 @@ object Similarity {
   ): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val cents = centroids(corpus, groupColForCentroids, vecCol)
-    val assigned = nearestCentroid(corpus, keyCol, vecCol, cents)
-      .withColumnRenamed("vec_id", "neighbor_id")
-      .withColumnRenamed("assigned", "cell")
-    val corpusCells = corpus
-      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-      .join(assigned, "neighbor_id")
+    // cell-keyed corpus via the carried-vector assignment (see
+    // nearestCentroidWithVec) — no corpus re-join after the argmax
+    val corpusCells = nearestCentroidWithVec(corpus, keyCol, vecCol, cents)
+      .select(
+        col("vec_id").as("neighbor_id"), col("v").as("n_vec"),
+        col("assigned").as("cell"))
     // Per query: its nProbe nearest cells.
     val q = queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
     val qCells = q
@@ -496,12 +524,11 @@ object Similarity {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val cents = kmeansCodebook(corpus, keyCol, vecCol, nCells, kmeansIterations)
       .pinned() // index build artifact; don't re-iterate per probe
-    val assigned = nearestCentroid(corpus, keyCol, vecCol, cents)
-      .withColumnRenamed("vec_id", "neighbor_id")
-      .withColumnRenamed("assigned", "cell")
-    val corpusCells = corpus
-      .select(col(keyCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-      .join(assigned, "neighbor_id")
+    // carried-vector assignment: no corpus re-join (nearestCentroidWithVec)
+    val corpusCells = nearestCentroidWithVec(corpus, keyCol, vecCol, cents)
+      .select(
+        col("vec_id").as("neighbor_id"), col("v").as("n_vec"),
+        col("assigned").as("cell"))
     val q = queries.select(col(keyCol).as("query_id"), col(vecCol).as("q_vec"))
     val qCells = q
       .crossJoin(broadcast(cents))
@@ -650,9 +677,12 @@ object Similarity {
           .cast("int").as("centroid_id"),
         transform(col("v"), x => x.cast("double")).as("centroid"))
     for (_ <- 0 until iterations) {
-      val assigned = nearestCentroid(keyed, "vec_id", "v", cents)
-      cents = keyed
-        .join(assigned, "vec_id")
+      // E-step carries the vector through the argmax group (see
+      // [[nearestCentroidWithVec]]) so the M-step reads it directly —
+      // the old keyed ⋈ assigned re-join (one exchange + join per
+      // iteration, fetching back a column the E-step input had) is gone
+      // (r11 optimization; identical assignment and means).
+      cents = nearestCentroidWithVec(keyed, "vec_id", "v", cents)
         .select(col("assigned").as("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("x")).as("c"))

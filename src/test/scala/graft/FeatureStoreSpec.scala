@@ -209,6 +209,31 @@ class FeatureStoreSpec extends AnyFunSuite {
       Seq.empty[(Long, Double)].toDF("entity", "value"), 10L).isEmpty)
   }
 
+  test("pagedMaterializationFixedPages: number-once pages equal the sliced form") {
+    // r11 optimization gate: the fixed-page-count (full-export) form
+    // numbers once and filters per page; every page must still hold
+    // exactly its numbered slice, identical to pagedMaterialization's
+    // partition-pruned slices at the same page size.
+    val m = (0L until 237L).map(i => (i, i * 2.0)).toDF("entity", "value")
+    val (psize, pagesIt) = FeatureStore.pagedMaterializationFixedPages(m, nPages = 5)
+    val pages = pagesIt.toSeq
+    assert(psize == 48L)
+    assert(pages.map(p => (p._1, p._2)) ==
+      Seq((0L, 48L), (48L, 96L), (96L, 144L), (144L, 192L), (192L, 237L)))
+    val sliced = FeatureStore.pagedMaterialization(m, pageSize = psize).toSeq
+    for (((start, end, df), (s2, e2, ref)) <- pages.zip(sliced)) {
+      assert((start, end) == (s2, e2))
+      val got = df.collect().map(r =>
+        (r.getAs[Long]("entity"), r.getAs[Long]("row_number"))).sortBy(_._2).toSeq
+      val want = ref.collect().map(r =>
+        (r.getAs[Long]("entity"), r.getAs[Long]("row_number"))).sortBy(_._2).toSeq
+      assert(got == want, s"page ($start,$end]")
+    }
+    // empty input -> no pages (and the lazy full numbering never runs)
+    assert(FeatureStore.pagedMaterializationFixedPages(
+      Seq.empty[(Long, Double)].toDF("entity", "value"), 4)._2.isEmpty)
+  }
+
   test("featureDrift: identical windows score ~0, a shifted window drifts") {
     val ref = (0 until 100).map(i => ("stable", ts("2024-01-01 00:00:00"), i % 10 * 1.0)) ++
       (0 until 100).map(i => ("shifted", ts("2024-01-01 00:00:00"), i % 10 * 1.0))
