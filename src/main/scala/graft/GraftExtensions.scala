@@ -46,6 +46,8 @@ object GraftExtensions {
     GraftFunctions.SimHashName -> (exprs => SimHash64(exprs(0))),
     GraftFunctions.SortedInterName ->
       (exprs => graft.plans.SortedIntersectSize(exprs(0), exprs(1))),
+    GraftFunctions.PairSampleName ->
+      (exprs => graft.plans.PairSampleMatch(exprs(0), exprs(1))),
     GraftFunctions.MinHashBandsName -> (exprs => {
       def litInt(e: Expression, what: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -39,13 +39,24 @@ object SparkEntry {
     * form for generated corpora where the full pair dump is
     * impractical (sf10 containment is ~360 M rows).
     */
-  private def pairSample(pairs: DataFrame): DataFrame =
+  private def pairSample(pairs: DataFrame): DataFrame = {
+    // Native kernel (graft.plans.PairSampleMatch) — bit-identical to
+    //   conv(substring(md5(concat(cast(a as string), ':',
+    //                             cast(b as string))), 1, 4), 16, 10)
+    //     .cast("int") % 256 === 0
+    // (the predicate tests the SECOND md5 digest byte of "<a>:<b>").
+    // The optimizer pushes this filter into the candidate bucket-join
+    // condition — once per candidate INSTANCE, not per verified pair —
+    // so the declarative form's per-row MessageDigest + hex + conv
+    // allocations were the single hottest expression of the bench
+    // (r12 stall dumps: >40 CPU-min in NumberConverter/md5Hex when the
+    // per-query codegen ran de-optimized). See PairSampleExpression.
+    graft.plans.GraftFunctions.register(pairs.sparkSession)
     pairs.where(
-      conv(
-        substring(
-          md5(concat(col("a").cast("string"), lit(":"), col("b").cast("string"))),
-          1, 4),
-        16, 10).cast("int") % 256 === 0)
+      call_function(
+        graft.plans.GraftFunctions.PairSampleName,
+        col("a").cast("long"), col("b").cast("long")))
+  }
 
   private val jaccardWordsOracleSql: String = """
       WITH w AS (

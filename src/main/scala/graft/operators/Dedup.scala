@@ -409,24 +409,69 @@ object Dedup {
 
   /** Exact output-instance count of `a JOIN b ON keys`, from per-key
     * counts — the [[guardBudget]] price for a two-sided bucket join.
+    * One-row frame form so it can share an action with other pricing
+    * aggregates ([[pricedPayloadStats]]).
     */
-  private def crossBudget(a: DataFrame, b: DataFrame, keys: Seq[String]): Long = {
+  private def crossBudgetDf(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_na"))
     val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_nb"))
     ca.join(cb, keys)
-      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)))
-      .head.getLong(0)
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("_budget"))
   }
 
-  /** Exact unordered-pair instance count of a self-join on `keys`
-    * (Σ C(n_bucket, 2)) — the [[guardBudget]] price for a banded /
-    * prefix self-join with an `a < b` guard.
+  private def crossBudget(a: DataFrame, b: DataFrame, keys: Seq[String]): Long =
+    crossBudgetDf(a, b, keys).head.getLong(0)
+
+  /** Unordered-pair instance count of a self-join on `keys`, DOUBLED
+    * (Σ n_bucket·(n_bucket − 1); halve for Σ C(n_bucket, 2)) — the
+    * [[guardBudget]] price for a banded / prefix self-join with an
+    * `a < b` guard, in the same one-row frame form as
+    * [[crossBudgetDf]].
     */
-  private def selfBudget(a: DataFrame, keys: Seq[String]): Long = {
-    val s = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-      .agg(coalesce(sum(col("_n") * (col("_n") - lit(1L))), lit(0L)))
-      .head.getLong(0)
-    s / 2
+  private def selfBudgetDf(a: DataFrame, keys: Seq[String]): DataFrame =
+    a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(col("_n") * (col("_n") - lit(1L))), lit(0L)).as("_budget"))
+
+  private def selfBudget(a: DataFrame, keys: Seq[String]): Long =
+    selfBudgetDf(a, keys).head.getLong(0) / 2
+
+  /** Fold the candidate-budget price and the token-payload stats read
+    * into ONE driver action (r12, guide §5: each `.head` is a full job
+    * barrier — the two pricing reads per pair-verify query were
+    * sequential driver round-trips over the same persisted substrate).
+    * The stats half reads, from the freqSortedTokens frame in one
+    * aggregate: exact payload bytes (rank elements, 8B conservative —
+    * ints halve it — plus per-row array/id overhead), which pick the
+    * verify-join strategy ([[verifyAttach]]); and the (min, max) doc-id
+    * range, which decides whether [[distinctPairs]] may pack (a, b)
+    * into one long — both bounds, because a negative id sign-extends
+    * under the pack and corrupts the key even when the max is small.
+    * The returned values are byte-identical to the unfused reads: the
+    * budget row and the stats row are independent one-row aggregates
+    * glued by a cross join, evaluated together. `budgetDf` is by-name
+    * and only evaluated when `cap` is set, preserving [[guardBudget]]'s
+    * None-skips-the-check contract. `halveBudget` selects the
+    * self-join (Σ C(n,2)) convention of [[selfBudget]].
+    */
+  private def pricedPayloadStats(
+      what: String,
+      cap: Option[Long],
+      budgetDf: => DataFrame,
+      halveBudget: Boolean,
+      sorted: DataFrame): (Option[Long], Long, (Long, Long)) = {
+    val stats = sorted.agg(
+      coalesce(sum(col("nw")), lit(0L)).as("_s0"), count(lit(1)).as("_s1"),
+      coalesce(min(col("doc_id").cast("long")), lit(-1L)).as("_s2"),
+      coalesce(max(col("doc_id").cast("long")), lit(Long.MaxValue)).as("_s3"))
+    val row = cap match {
+      case Some(_) => budgetDf.crossJoin(stats).head
+      case None    => stats.select(lit(0L).as("_budget"), col("*")).head
+    }
+    val raw = row.getLong(0)
+    val priced = guardBudget(what, cap)(if (halveBudget) raw / 2 else raw)
+    (priced,
+      row.getLong(1) * 8L + row.getLong(2) * 48L,
+      (row.getLong(3), row.getLong(4)))
   }
 
   def editVerifiedPairs(
@@ -595,10 +640,11 @@ object Dedup {
     val pb = prefix.select(col("block"), col("pw"), col("doc_id").as("b"), col("nw").as("nwb"))
     // fail-fast candidate budget from prefix-bucket sizes — see
     // [[guardBudget]]: Σ C(n_bucket, 2), priced before the join runs;
-    // the priced value also sizes the pair-stream dedupe exchange
-    val priced = guardBudget("jaccardWordPairs", maxCandidateInstances)(
-      selfBudget(prefix, Seq("block", "pw")))
-    val (payloadBytes, docIdRange) = tokenPayloadStats(sorted)
+    // the priced value also sizes the pair-stream dedupe exchange.
+    // Budget + payload stats share one driver action (pricedPayloadStats).
+    val (priced, payloadBytes, docIdRange) = pricedPayloadStats(
+      "jaccardWordPairs", maxCandidateInstances,
+      selfBudgetDf(prefix, Seq("block", "pw")), halveBudget = true, sorted)
     val cands = distinctPairs(
       pa
         .join(pb, Seq("block", "pw"))
@@ -722,25 +768,6 @@ object Dedup {
     else df => df.hint("shuffle_hash")
   }
 
-  /** Exact payload bytes of a freqSortedTokens frame (rank elements,
-    * 8B conservative — ints halve it — plus per-row array/id overhead)
-    * AND the max doc id, read in the same one-pass aggregate: the
-    * bytes pick the verify-join strategy ([[verifyAttach]]) and the
-    * (min, max) id range decides whether [[distinctPairs]] may pack
-    * (a, b) into one long — both bounds, because a negative id
-    * sign-extends under the pack and corrupts the key even when the
-    * max is small.
-    */
-  private def tokenPayloadStats(sorted: DataFrame): (Long, (Long, Long)) = {
-    val r = sorted
-      .agg(
-        coalesce(sum(col("nw")), lit(0L)), count(lit(1)),
-        coalesce(min(col("doc_id").cast("long")), lit(-1L)),
-        coalesce(max(col("doc_id").cast("long")), lit(Long.MaxValue)))
-      .head
-    (r.getLong(0) * 8L + r.getLong(1) * 48L, (r.getLong(2), r.getLong(3)))
-  }
-
   /** Asymmetric CONTAINMENT join — doc-in-doc detection: emit ordered
     * pairs (a, b) where C(a→b) = |tokens(a) ∩ tokens(b)| / |tokens(a)|
     * >= t, i.e. container b holds at least a t-fraction of a's
@@ -777,10 +804,11 @@ object Dedup {
       explode(col("stoks")).as("pw"))
     // fail-fast candidate budget from the prefix×posting bucket sizes —
     // see [[guardBudget]]: Σ |prefix_b|·|full_b|, priced before the
-    // join; the priced value also sizes the pair-stream dedupe exchange
-    val priced = guardBudget("containmentPairs", maxCandidateInstances)(
-      crossBudget(prefix, full, Seq("block", "pw")))
-    val (payloadBytes, docIdRange) = tokenPayloadStats(sorted)
+    // join; the priced value also sizes the pair-stream dedupe exchange.
+    // Budget + payload stats share one driver action (pricedPayloadStats).
+    val (priced, payloadBytes, docIdRange) = pricedPayloadStats(
+      "containmentPairs", maxCandidateInstances,
+      crossBudgetDf(prefix, full, Seq("block", "pw")), halveBudget = false, sorted)
     val cands = distinctPairs(
       prefix
         .join(full, Seq("block", "pw"))
@@ -1222,13 +1250,20 @@ object Dedup {
     // persisted sketch once, O(buckets)) — see [[guardBudget]]; the
     // priced value also sizes the pair-stream dedupe exchange and
     // enables the packed-long regime via the id range
+    // Budget + id-range stats share one driver action (r12, same fold
+    // as pricedPayloadStats — one job barrier instead of two).
+    val idStats = sketches.agg(
+      min(col("id").cast("long")).as("_i0"), max(col("id").cast("long")).as("_i1"))
+    val row = maxCandidateInstances match {
+      case Some(_) =>
+        selfBudgetDf(banded, Seq("band", "bh")).crossJoin(idStats).head
+      case None => idStats.select(lit(0L).as("_budget"), col("*")).head
+    }
     val priced = guardBudget("embeddingLshDedup", maxCandidateInstances)(
-      selfBudget(banded, Seq("band", "bh")))
-    val idRow = sketches.agg(
-      min(col("id").cast("long")), max(col("id").cast("long"))).head
+      row.getLong(0) / 2)
     val idRange =
-      if (idRow.isNullAt(0)) (0L, Long.MaxValue)
-      else (idRow.getLong(0), idRow.getLong(1))
+      if (row.isNullAt(1)) (0L, Long.MaxValue)
+      else (row.getLong(1), row.getLong(2))
     val cands = distinctPairs(
       x.join(y, Seq("band", "bh"))
         .where(col("a") < col("b"))

@@ -128,22 +128,48 @@ object Graph {
       .distinct()
     val nStats = nodes.agg(count(lit(1)).as("nn"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val pr0 = nodes
+    // r12 optimization: the iterated state carries each node's
+    // out-degree, joined ONCE up front (null for sinks — a sink is
+    // never a contrib src, so its od is never consulted), and each
+    // round is ONE join + ONE aggregate instead of three joins + one:
+    // the old round was pr ⋈ edges ⋈ outdeg → agg → nodes-left-join.
+    // The nodes-left-join (which re-read the constant node set just to
+    // default missing sums to 0) is folded into the edge list as
+    // zero-weight SELF-LOOP rows, one per node: a self-loop row joins
+    // the state like any edge but emits c = 0, so every node reaches
+    // the aggregate and sum over {0} ∪ contribs equals the old
+    // coalesce(sum(contribs), 0). The self-loop row also re-carries
+    // the node's out-degree through max(od) (contrib rows carry null;
+    // each group holds exactly one self-loop row — its own). The
+    // state is consumed exactly ONCE per round (the single join), so
+    // plan depth stays LINEAR in iterations — a two-branch
+    // state-union form was measured equally fast at 3 rounds but its
+    // lineage doubles per round (the exponential-consumption trap the
+    // r11 hnswSearchReplay rewrite removed). Arithmetic per node is
+    // unchanged (same integer div schedule), so the fixed-point
+    // trajectory — and the oracle hash — is identical.
+    val st0 = nodes
+      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .crossJoin(broadcast(nStats))
-      .select(col("id"), expr(s"${Units}L div nn").as("pr"))
+      .select(col("id"), expr(s"${Units}L div nn").as("pr"), col("od"))
+    val loops = edges.select(col("src"), col("dst"), lit(false).as("zl"))
+      .unionByName(nodes.select(
+        col("id").as("src"), col("id").as("dst"), lit(true).as("zl")))
     val teleport = expr(s"${(100 - dampingPct)} * ${Units}L div 100 div nn")
-    val last = (1 to iterations).foldLeft(pr0) { (pr, _) =>
-      val contrib = edges
-        .join(pr.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("id"), expr("pr div od").as("c"))
-      val sums = contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
-      nodes
-        .join(sums, Seq("id"), "left")
+    val last = (1 to iterations).foldLeft(st0) { (st, _) =>
+      loops
+        .join(st.withColumnRenamed("id", "src"), "src")
+        .select(
+          col("dst").as("id"),
+          when(col("zl"), lit(0L)).otherwise(expr("pr div od")).as("c"),
+          when(col("zl"), col("od")).as("odc"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("s"), max(col("odc")).as("od"))
         .crossJoin(broadcast(nStats))
         .select(
           col("id"),
-          (teleport + expr(s"$dampingPct * coalesce(s, 0L) div 100")).as("pr"))
+          (teleport + expr(s"$dampingPct * coalesce(s, 0L) div 100")).as("pr"),
+          col("od"))
     }
     last.select(
       col("id"),

@@ -376,6 +376,7 @@ object GraftFunctions {
   val MatApplyName = "graft_matapply"
   val KmvName = "graft_kmv"
   val SortedInterName = "graft_sorted_inter"
+  val PairSampleName = "graft_pair_sample"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
