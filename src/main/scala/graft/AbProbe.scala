@@ -16,6 +16,11 @@ package graft
   */
 object AbProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: AbProbe <sfDir> <reps> <confKey|-> <query> [<query>...]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val reps = args(1).toInt
     val confKey = args(2)
@@ -51,9 +56,16 @@ object AbProbe {
       names.foreach { name =>
         time(name) // warmup
         val rs = (1 to reps).map(_ => time(name))
+        // Per-rep structural counts: a rep perturbed by AQE
+        // re-optimization or a listener race must be VISIBLE, not
+        // silently reported as THE count (it was rs.last before).
+        def cnt(f: ((Double, Int, Int, Int)) => Int): String = {
+          val vs = rs.map(f)
+          if (vs.distinct.size == 1) vs.head.toString else vs.mkString("|")
+        }
         println(f"[probe] $name%-28s min=${rs.map(_._1).min}%.2f " +
           rs.map(r => f"${r._1}%.2f").mkString("(", " ", ")") +
-          s"  jobs=${rs.last._2} stages=${rs.last._3} tasks=${rs.last._4}")
+          s"  jobs=${cnt(_._2)} stages=${cnt(_._3)} tasks=${cnt(_._4)}")
       }
       spark.stop(); return
     }

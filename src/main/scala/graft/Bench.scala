@@ -148,9 +148,20 @@ object Bench {
       .map { case (f, rs) => "\"" + f + "\":" + ms(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
     val slowest = qmap(results.sortBy(-_._2).take(12))
+    val fullJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"blocking_cleaner":$blocking,"queries":${qmap(results)},"reps":$repsMap,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullArtifact),
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"blocking_cleaner":$blocking,"queries":${qmap(results)},"reps":$repsMap,"errors":$errs,"sf":"$sfDir"}""")
+      java.nio.file.Paths.get(fullArtifact), fullJson)
+    // Optional round-stamped copy (SPARK_GRAFT_BENCH_TAG=r12 ->
+    // BENCH_full_r12.json): every run overwrites BENCH_full.json, which
+    // has twice left the driver's per-query regression compare with no
+    // stable "previous" artifact — a tagged copy committed at end of
+    // round preserves the full per-query map per round. The driver
+    // never sets the tag, so its runs are byte-identical to before.
+    sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_full_$tag.json"), fullJson)
+    }
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"families":$fams,"slowest":$slowest,"errors":$errs,"sf":"$sfDir","full":"$fullArtifact"}"""
     // Hard guarantee: never exceed the driver's tail window. If errors

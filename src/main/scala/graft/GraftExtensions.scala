@@ -48,6 +48,14 @@ object GraftExtensions {
       (exprs => graft.plans.SortedIntersectSize(exprs(0), exprs(1))),
     GraftFunctions.PairSampleName ->
       (exprs => graft.plans.PairSampleMatch(exprs(0), exprs(1))),
+    GraftFunctions.LaneHashesName -> (exprs => {
+      val lanes = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_lane_hashes lanes must be an int literal, got $other")
+      }
+      graft.plans.LaneHashes(exprs(0), lanes)
+    }),
     GraftFunctions.MinHashBandsName -> (exprs => {
       def litInt(e: Expression, what: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -16,6 +16,11 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: PlanDump <sfDir> <outDir> <suffix> <query> [<query>...]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val outDir = args(1)
     val suffix = args(2)

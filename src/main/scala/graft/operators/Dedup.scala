@@ -240,13 +240,21 @@ object Dedup {
       .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.grp") < col("y.grp"))
       .groupBy(col("x.grp").as("a"), col("y.grp").as("b"))
       .agg(count(lit(1)).as("inter"))
-    val laneCols = (0 until lanes / 2).flatMap { g =>
-      val h = md5(concat(lit(s"$g:"), col("sh")))
-      Seq(
-        min(substring(h, 1, 16)).as(s"h${2 * g}"),
-        min(substring(h, 17, 16)).as(s"h${2 * g + 1}"))
-    }
-    val sig = sh.groupBy(col("grp")).agg(laneCols.head, laneCols.tail: _*)
+    // r12: the lanes/2 per-shingle md5-hex-substring columns are one
+    // native graft_lane_hashes call (see [[graft.plans.LaneHashes]]
+    // for the min-over-hex == min-over-flipped-long equivalence; the
+    // lanes only feed EQUALITY counts downstream, so the long
+    // re-encoding never reaches the output).
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val laneCols = (0 until lanes).map(i =>
+      min(element_at(col("lh"), i + 1)).as(s"h$i"))
+    val sig = sh
+      .select(
+        col("grp"),
+        call_function(
+          graft.plans.GraftFunctions.LaneHashesName, col("sh"), lit(lanes))
+          .as("lh"))
+      .groupBy(col("grp")).agg(laneCols.head, laneCols.tail: _*)
     val laneMatches = (0 until lanes)
       .map(i => when(col(s"p.h$i") === col(s"q.h$i"), 1L).otherwise(0L))
       .reduce(_ + _)

@@ -248,6 +248,16 @@ object FeatureStore {
     * alpha 1.2, purely from 375 unioned page subtrees at 10x data).
     * Returns (pageSize, pages); the numbering is computed once and
     * shared, same as the fixed-size form.
+    *
+    * Caller notes (cluster deployments): constructing the page list
+    * MATERIALIZES the full numbering eagerly — Iterator.map forces the
+    * lazy pin as soon as the first page frame is built, so a caller
+    * that builds pages but aborts before reading still pays the
+    * numbering job. The pinned numbering also lives in EXECUTOR
+    * storage for the lifetime of the paging: size storage for one
+    * numbered copy of the materialization, and set
+    * `graft.pins.durable=true` (+ a checkpoint dir) if executor loss
+    * mid-export must not fail the remaining pages.
     */
   def pagedMaterializationFixedPages(
       materialized: DataFrame,

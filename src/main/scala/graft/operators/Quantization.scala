@@ -134,6 +134,12 @@ object Quantization {
     * centroid), so the M-step needs no re-join with the subvector
     * stream (r11 optimization, one exchange + join less per Lloyd
     * iteration; the Similarity.nearestCentroidWithVec trade).
+    * PRECONDITION: (vec_id, subspace) must be unique in `sub` — with
+    * duplicates, first(subvec) silently collapses rows the old
+    * assign-then-rejoin shape would have weighted into the M-step mean
+    * (see the nearestCentroidWithVec scaladoc). pqEncode derives sub
+    * from a keyed corpus via posexplode, so the contract holds for
+    * every current caller.
     */
   private def assignCellsWithVec(sub: DataFrame, cents: DataFrame): DataFrame =
     sub

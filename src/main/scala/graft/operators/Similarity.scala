@@ -449,6 +449,15 @@ object Similarity {
     * per iteration). `first(v)` is deterministic here — every row in a
     * vec_id group is the same corpus row replicated per broadcast
     * centroid, so v is constant within the group.
+    *
+    * PRECONDITION: `keyCol` must be UNIQUE in `space`. With duplicate
+    * keys the old assign-then-rejoin shape fanned each duplicate row
+    * out into downstream means/residuals, while `first(v)` silently
+    * collapses the group to ONE run-dependent row — different (and
+    * nondeterministic) centroids, with no error. Every current caller
+    * passes a primary-key vec_id; a caller with possibly-duplicated
+    * keys must dedupe first (same contract as
+    * [[graft.operators.Quantization.assignCellsWithVec]]).
     */
   def nearestCentroidWithVec(
       space: DataFrame,

@@ -377,6 +377,7 @@ object GraftFunctions {
   val KmvName = "graft_kmv"
   val SortedInterName = "graft_sorted_inter"
   val PairSampleName = "graft_pair_sample"
+  val LaneHashesName = "graft_lane_hashes"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
